@@ -1,0 +1,76 @@
+"""Batch collation with bucketed static-shape padding.
+
+Counterpart of reference collaters/ssc.py:12-152 with one TPU-critical
+change: instead of padding to the exact batch max (a new XLA program per
+unique max length), lengths are padded up to the next *bucket* — a multiple
+of ``bucket_multiple`` frames (default 64: keeps the UNet's stride-2 level
+and the GST's six stride-2 levels exact).  A handful of buckets ⇒ a handful
+of compiled programs, cached after the first epoch.
+
+Reference semantics kept: batch sorted by length descending, utterances of
+``max_frames`` (3000) or more dropped (collaters/ssc.py:53-54), zero
+padding, keys ``xs/lens/ys/louds/scores`` (+``f0_flucs``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from serenade_tpu.config import register
+
+
+def bucket_length(n: int, multiple: int = 64, min_len: int = 64) -> int:
+    return max(min_len, ((n + multiple - 1) // multiple) * multiple)
+
+
+def pad_to(x: np.ndarray, length: int) -> np.ndarray:
+    pad = length - x.shape[0]
+    if pad <= 0:
+        return x[:length]
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, widths)
+
+
+@register("collater")
+class SSCCollater:
+    FEATURE_KEYS = {"xs": "hubert", "ys": "logmel", "louds": "loud",
+                    "scores": "score"}
+
+    def __init__(self, max_frames: int = 3000, bucket_multiple: int = 64,
+                 pad_batch_to: int | None = None):
+        self.max_frames = max_frames
+        self.bucket_multiple = bucket_multiple
+        self.pad_batch_to = pad_batch_to
+
+    def _filter_sort(self, batch: Sequence[dict]) -> List[dict]:
+        kept = [b for b in batch if b["hubert"].shape[0] < self.max_frames]
+        return sorted(kept, key=lambda b: -b["hubert"].shape[0])
+
+    def __call__(self, batch: Sequence[dict]) -> Dict[str, np.ndarray]:
+        items = self._filter_sort(batch)
+        if not items:
+            raise ValueError("collater received an empty batch after filtering")
+        lens = np.array([b["hubert"].shape[0] for b in items], np.int32)
+        T = bucket_length(int(lens.max()), self.bucket_multiple)
+
+        out = {"lens": lens}
+        for out_key, src_key in self.FEATURE_KEYS.items():
+            out[out_key] = np.stack(
+                [pad_to(np.asarray(b[src_key], np.float32), T) for b in items]
+            )
+        # pad the batch axis too when a fixed batch size is requested
+        # (keeps the program count at one per bucket on multi-chip meshes)
+        if self.pad_batch_to and len(items) < self.pad_batch_to:
+            nb = self.pad_batch_to - len(items)
+            out["lens"] = np.concatenate([lens, np.zeros(nb, np.int32)])
+            for k in self.FEATURE_KEYS:
+                pad_block = np.zeros((nb,) + out[k].shape[1:], np.float32)
+                out[k] = np.concatenate([out[k], pad_block])
+        return out
+
+
+@register("collater")
+class SSCCollaterNew(SSCCollater):
+    FEATURE_KEYS = dict(SSCCollater.FEATURE_KEYS, f0_flucs="f0_fluc")

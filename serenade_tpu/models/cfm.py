@@ -1,0 +1,114 @@
+"""Optimal-transport conditional flow matching (CFM).
+
+TPU-native counterpart of reference matcha_components/flow_matching.py:9-133.
+Training draws t ~ U(0,1) per sample, forms
+``y = (1-(1-σ)t)·z + t·x1`` and regresses the estimator onto
+``u = x1 - (1-σ)·z`` with a masked MSE on the infill segment.  Inference is
+a fixed 10-step Euler ODE from ``z·temperature`` expressed as ``lax.scan``
+(one compiled estimator body, unrolled by XLA's scheduler, not Python).
+
+RNG is explicit (`jax.random` keys threaded by the caller) — the reference's
+`torch.rand` calls inside forward become key splits, a requirement for a
+deterministic jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from serenade_tpu.models.unet import Decoder
+
+
+class CFM(nn.Module):
+    in_channels: int = 80          # conditioning dims + target dims
+    out_channels: int = 80
+    sigma_min: float = 1e-4
+    spk_embed_dim: int = 256
+    decoder_channels: Tuple[int, ...] = (512, 512)
+    decoder_attention_head_dim: int = 512
+    dropout: float = 0.05
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.estimator = Decoder(
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            channels=self.decoder_channels,
+            attention_head_dim=self.decoder_attention_head_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+
+    def __call__(self, x1, mask, mu, spk, *, mask_l=None, rng=None,
+                 deterministic: bool = True):
+        return self.compute_loss(x1, mask, mu, spk, mask_l=mask_l, rng=rng,
+                                 deterministic=deterministic)
+
+    def compute_loss(self, x1, mask, mu, spk, *, mask_l=None, rng=None,
+                     deterministic: bool = True):
+        """Masked CFM loss.
+
+        Args:
+            x1: (B, T, C) target (already loss-masked upstream).
+            mask: (B, T, 1) validity mask.
+            mu: (B, T, in_channels - out_channels) conditioning stack.
+            spk: (B, spk_dim) style embedding.
+            mask_l: (B, T, 1) infill-segment loss mask (optional).
+            rng: PRNG key for (t, z) draws.
+
+        Returns:
+            (loss, y): scalar f32 loss and the noisy interpolant.
+        """
+        b, T, c = x1.shape
+        kt, kz = jax.random.split(rng)
+        t = jax.random.uniform(kt, (b, 1, 1), dtype=jnp.float32)
+        z = jax.random.normal(kz, x1.shape, dtype=jnp.float32)
+
+        x1f = x1.astype(jnp.float32)
+        y = (1.0 - (1.0 - self.sigma_min) * t) * z + t * x1f
+        u = x1f - (1.0 - self.sigma_min) * z
+
+        v = self.estimator(y.astype(self.dtype), mask, mu, t[:, 0, 0], spk,
+                           deterministic=deterministic)
+
+        norm_mask = mask_l if mask_l is not None else mask
+        err = jnp.square((v - u) * norm_mask)
+        loss = jnp.sum(err) / (jnp.maximum(jnp.sum(norm_mask), 1.0) * c)
+        return loss, y
+
+    def inference(self, mu, mask, spk, *, n_timesteps: int = 10,
+                  temperature: float = 0.667, rng=None):
+        """Euler-ODE sampling: z·τ → x1 over a uniform t grid.
+
+        The estimator body is compiled once and iterated with a lifted scan
+        (`nn.scan`), not unrolled in Python — compile time stays flat in
+        ``n_timesteps``.
+
+        Returns (B, T, out_channels) f32 mels (valid under ``mask``).
+        """
+        b, T, _ = mu.shape
+        z = jax.random.normal(rng, (b, T, self.out_channels), jnp.float32)
+        z = z * temperature
+        t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
+        dtype = self.dtype
+
+        def euler_step(est, x, t_pair):
+            t0, t1 = t_pair
+            v = est(x.astype(dtype), mask, mu,
+                    jnp.broadcast_to(t0, (b,)), spk, deterministic=True)
+            return x + (t1 - t0) * v.astype(jnp.float32), ()
+
+        scan = nn.scan(
+            euler_step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+        )
+        x, _ = scan(self.estimator, z, (t_span[:-1], t_span[1:]))
+        return x

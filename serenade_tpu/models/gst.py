@@ -1,0 +1,175 @@
+"""Global Style Token (GST) encoder, TPU-native.
+
+Re-design of reference modules/gst/style_encoder.py:16-276 (GST-Tacotron):
+
+* ReferenceEncoder: 6 stride-2 conv2d + norm + ReLU over the (time, mel)
+  plane, then a GRU whose final hidden state is the reference embedding.
+  TPU changes: channels-last NHWC convs; GroupNorm(masked) instead of
+  BatchNorm2d (no cross-replica batch statistics needed, padding-invariant,
+  and identical role of per-channel normalization); the GRU is a masked
+  `nn.scan` that freezes the carry at padded steps, so the returned state is
+  the hidden at each sequence's true last frame (the reference runs its GRU
+  straight over padding — a padding-dependent behavior we do not replicate).
+* StyleTokenLayer: 50 learnable tokens attended by the reference embedding
+  with 4-head attention; returns a (B, gst_token_dim) style vector.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from serenade_tpu.ops.attention import multi_head_attention
+
+
+class MaskedGRU(nn.Module):
+    """Unidirectional GRU over (B, T, C) with per-step carry freezing.
+
+    Runs as a lifted scan in f32 (small state; latency-bound not
+    FLOP-bound). Returns the hidden state at each sequence's last valid
+    step.
+    """
+
+    hidden: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """x: (B, T, C); mask: (B, T) 1=valid. Returns (B, hidden)."""
+        b = x.shape[0]
+        cell = nn.GRUCell(features=self.hidden, param_dtype=self.param_dtype,
+                          dtype=jnp.float32)
+
+        def step(cell, carry, inp):
+            xt, mt = inp
+            new_carry, _ = cell(carry, xt)
+            keep = mt[:, None]
+            carry = jax.tree_util.tree_map(
+                lambda n, o: n * keep + o * (1.0 - keep), new_carry, carry
+            )
+            return carry, ()
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+        )
+        init = cell.initialize_carry(jax.random.key(0), (b, x.shape[-1]))
+        carry, _ = scan(cell, init, (x.astype(jnp.float32),
+                                     mask.astype(jnp.float32)))
+        return carry
+
+
+class ReferenceEncoder(nn.Module):
+    idim: int = 80
+    conv_chans: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+    kernel_size: int = 3
+    stride: int = 2
+    gru_units: int = 128
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, lengths=None):
+        """mel: (B, T, idim). Returns (B, gru_units)."""
+        b, T, _ = mel.shape
+        x = mel.astype(self.dtype)[..., None]  # NHWC: (B, T, mel, 1)
+        t_len = (
+            jnp.asarray(lengths) if lengths is not None
+            else jnp.full((b,), T, jnp.int32)
+        )
+        for i, ch in enumerate(self.conv_chans):
+            x = nn.Conv(
+                ch,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(1, 1), (1, 1)],
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv{i}",
+            )(x)
+            x = nn.GroupNorm(
+                num_groups=min(8, ch), dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"norm{i}",
+            )(x)
+            x = nn.relu(x)
+            t_len = (t_len + self.stride - 1) // self.stride  # ceil-div per level
+        bt = x.shape[1]
+        feats = x.reshape(b, bt, -1)  # (B, T', freq'*ch)
+        step_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, bt), 1) < t_len[:, None]
+        ).astype(jnp.float32)
+        return MaskedGRU(self.gru_units, param_dtype=self.param_dtype)(
+            feats, step_mask
+        )
+
+
+class StyleTokenLayer(nn.Module):
+    ref_embed_dim: int = 128
+    gst_tokens: int = 50
+    gst_token_dim: int = 256
+    gst_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref_embs):
+        """ref_embs: (B, ref_embed_dim) -> (B, gst_token_dim)."""
+        b = ref_embs.shape[0]
+        token_dim = self.gst_token_dim // self.gst_heads
+        tokens = self.param(
+            "gst_embs", nn.initializers.normal(1.0),
+            (self.gst_tokens, token_dim), self.param_dtype,
+        )
+        keys = jnp.tanh(tokens)[None].repeat(b, axis=0)  # (B, N, token_dim)
+        q = nn.Dense(self.gst_token_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="linear_q")(
+            ref_embs[:, None, :].astype(self.dtype))
+        k = nn.Dense(self.gst_token_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="linear_k")(
+            keys.astype(self.dtype))
+        v = nn.Dense(self.gst_token_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="linear_v")(
+            keys.astype(self.dtype))
+        out = multi_head_attention(q, k, v, num_heads=self.gst_heads)
+        out = nn.Dense(self.gst_token_dim, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="linear_out")(out)
+        return out[:, 0, :]
+
+
+class StyleEncoder(nn.Module):
+    """mel (B, T, idim) -> style embedding (B, gst_token_dim)."""
+
+    idim: int = 80
+    gst_tokens: int = 50
+    gst_token_dim: int = 256
+    gst_heads: int = 4
+    conv_chans: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+    gru_units: int = 128
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, lengths=None):
+        ref = ReferenceEncoder(
+            idim=self.idim,
+            conv_chans=self.conv_chans,
+            gru_units=self.gru_units,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="ref_enc",
+        )(mel, lengths)
+        return StyleTokenLayer(
+            ref_embed_dim=self.gru_units,
+            gst_tokens=self.gst_tokens,
+            gst_token_dim=self.gst_token_dim,
+            gst_heads=self.gst_heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="stl",
+        )(ref)

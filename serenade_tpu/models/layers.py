@@ -1,0 +1,355 @@
+"""Shared neural building blocks (flax.linen, channels-last).
+
+Design notes (TPU-first, not a port):
+
+* All sequence tensors are ``(B, T, C)`` — channels on the TPU lane axis.
+* Convolutions use *explicit torch-equivalent padding* so geometry matches
+  the reference architectures exactly (needed for torch-checkpoint
+  conversion of the pretrained HiFiGAN vocoder) while staying static-shape.
+* Normalization layers compute masked statistics: the reference's GroupNorm
+  (decoder.py:66-77) includes padded frames in its mean/var, which makes
+  outputs depend on how much padding the batch happened to have.  With
+  bucketed static-shape padding that would be amplified, so our GroupNorm
+  ignores padding — padding-invariant by construction.
+* Weight-normalized convs store ``(v, g)`` exactly like torch's
+  ``weight_norm`` parametrization (per-output-channel L2 norm), so torch
+  checkpoints convert 1:1.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+# ---------------------------------------------------------------------------
+# convolution primitives
+# ---------------------------------------------------------------------------
+
+
+def conv1d(x, kernel, bias=None, *, stride: int = 1, dilation: int = 1,
+           padding: Tuple[int, int] = (0, 0)):
+    """1-D convolution on ``(B, T, Cin)`` with kernel ``(K, Cin, Cout)``.
+
+    Explicit padding (torch semantics).  Channels-last NHC layout keeps the
+    contraction on the lane axis so XLA lowers it onto the MXU.
+    """
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHC", "HIO", "NHC"))
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=[padding],
+        rhs_dilation=(dilation,),
+        dimension_numbers=dn,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def conv_transpose1d(x, kernel, bias=None, *, stride: int = 2,
+                     padding: int = 1, output_padding: int = 0):
+    """Transposed 1-D conv matching torch ``ConvTranspose1d`` geometry.
+
+    ``out_len = (T - 1) * stride - 2 * padding + K + output_padding``.
+    Implemented as input dilation + regular convolution with the kernel
+    flipped — the canonical XLA lowering, which fuses cleanly.
+
+    Kernel layout is ``(K, Cin, Cout)`` (the torch ``(Cin, Cout, K)`` kernel
+    transposes into this in the checkpoint converter).
+    """
+    k = kernel.shape[0]
+    pad_lo = k - 1 - padding
+    pad_hi = k - 1 - padding + output_padding
+    flipped = jnp.flip(kernel, axis=0)
+    dn = lax.conv_dimension_numbers(x.shape, flipped.shape, ("NHC", "HIO", "NHC"))
+    y = lax.conv_general_dilated(
+        x,
+        flipped,
+        window_strides=(1,),
+        padding=[(pad_lo, pad_hi)],
+        lhs_dilation=(stride,),
+        dimension_numbers=dn,
+    )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def reflect_pad_time(x, pad: int):
+    """Reflection-pad the time axis of ``(B, T, C)``."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+
+
+class Conv1d(nn.Module):
+    """Plain conv1d with torch-style symmetric integer padding."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    padding: Optional[int] = None  # None => torch "same-ish" (k-1)//2 * dilation
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(in_axis=(0, 1), out_axis=2),
+            (self.kernel_size, cin, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        pad = self.padding
+        if pad is None:
+            pad = (self.kernel_size - 1) // 2 * self.dilation
+        x = x.astype(self.dtype)
+        return conv1d(
+            x,
+            kernel.astype(self.dtype),
+            bias.astype(self.dtype) if bias is not None else None,
+            stride=self.stride,
+            dilation=self.dilation,
+            padding=(pad, pad),
+        )
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed conv1d with torch geometry (see ``conv_transpose1d``)."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(in_axis=(0, 1), out_axis=2),
+            (self.kernel_size, cin, self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        return conv_transpose1d(
+            x,
+            kernel.astype(self.dtype),
+            bias.astype(self.dtype) if bias is not None else None,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+        )
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized conv1d (torch ``weight_norm`` parametrization).
+
+    ``kernel = g * v / ||v||`` with the norm over (K, Cin) per output channel
+    (reference serenade.py:359). Stored as ``v``/``g`` so torch checkpoints
+    (``weight_v``/``weight_g``) map 1:1.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        v = self.param(
+            "v",
+            nn.initializers.he_normal(in_axis=(0, 1), out_axis=2),
+            (self.kernel_size, cin, self.features),
+            self.param_dtype,
+        )
+        g = self.param("g", nn.initializers.ones, (self.features,), self.param_dtype)
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True) + 1e-12)
+        kernel = (g * v / norm).astype(self.dtype)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        return conv1d(
+            x,
+            kernel,
+            bias.astype(self.dtype) if bias is not None else None,
+            stride=self.stride,
+            dilation=self.dilation,
+            padding=self.padding,
+        )
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm over (time, channels/group) with padding excluded.
+
+    Statistics are computed in f32 over valid frames only (``mask`` is
+    ``(B, T, 1)``), making outputs independent of bucket padding — a
+    deliberate improvement over reference decoder.py:71 whose statistics
+    include zero padding.
+    """
+
+    num_groups: int = 8
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b, t, c = x.shape
+        g = self.num_groups
+        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+
+        xf = x.astype(jnp.float32).reshape(b, t, g, c // g)
+        if mask is None:
+            mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+        else:
+            m = mask.astype(jnp.float32).reshape(b, t, 1, 1)
+            denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True) * (c // g), 1.0)
+            mean = jnp.sum(xf * m, axis=(1, 3), keepdims=True) / denom
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True) / denom
+        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
+        y = y.reshape(b, t, c) * scale + bias
+        if mask is not None:
+            y = y * mask
+        return y.astype(self.dtype)
+
+
+class SpeakerAdaLayerNorm(nn.Module):
+    """AdaSpeech2-style conditional LayerNorm (reference decoder.py:14-45).
+
+    Per-frame LayerNorm over channels, then scale/bias predicted from the
+    style embedding.  Projections init to identity (W=0, scale bias=1).
+    """
+
+    features: int
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, spk):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
+        scale = nn.Dense(
+            self.features,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.ones,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="w_scale",
+        )(spk.astype(jnp.float32))
+        bias = nn.Dense(
+            self.features,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="w_bias",
+        )(spk.astype(jnp.float32))
+        y = y * scale[:, None, :] + bias[:, None, :]
+        return y.astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    """Plain LayerNorm over channels, f32 statistics."""
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# timestep embedding
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_time_embedding(t, dim: int, scale: float = 1000.0):
+    """Sinusoidal embedding of flow time (reference decoder.py:48-63).
+
+    Args:
+        t: ``(B,)`` flow times in [0, 1].
+        dim: even embedding dimension.
+    """
+    assert dim % 2 == 0
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    )
+    args = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """2-layer SiLU MLP over the sinusoidal embedding (decoder.py:113-157)."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(
+            self.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_1",
+        )(emb.astype(self.dtype))
+        emb = jax.nn.silu(emb)
+        emb = nn.Dense(
+            self.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_2",
+        )(emb)
+        return emb

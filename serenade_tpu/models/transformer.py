@@ -1,0 +1,176 @@
+"""Transformer block of the CFM UNet decoder.
+
+TPU-native re-design of reference matcha_components/transformer.py:150-354.
+Faithful structural notes (verified against the reference defaults):
+
+* With the shipped config (``cross_attention_dim=None``,
+  ``double_self_attention=False``) the reference never constructs ``attn2``
+  (transformer.py:223-245) — the block is LayerNorm→self-attn→LayerNorm→FFN
+  and the style embedding reaches the UNet only through the SpeakerAdapter
+  conditional LayerNorms.  We replicate that; an optional true
+  cross-attention path to style is available behind ``use_style_cross_attn``.
+* ``act_fn="snake"`` falls through every branch of the reference
+  ``FeedForward`` selector (transformer.py:120-130) and lands on GEGLU, so
+  "snake" == GEGLU in practice.  We honor that mapping and additionally
+  expose a real ``snakebeta`` (reference transformer.py:17-91).
+* The reference feeds its 0/1 pad mask to SDPA as an additive bias —
+  padding is effectively unmasked.  We apply true key masking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from serenade_tpu.models.layers import LayerNorm
+from serenade_tpu.ops.attention import multi_head_attention
+
+
+class SnakeBeta(nn.Module):
+    """x + (1/beta) * sin^2(alpha * x) with log-scale learnable alpha/beta
+    after a linear projection (reference transformer.py:17-91)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="proj")(x)
+        alpha = self.param("alpha", nn.initializers.zeros, (self.features,),
+                           self.param_dtype)
+        beta = self.param("beta", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        a = jnp.exp(alpha).astype(jnp.float32)
+        b = jnp.exp(beta).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        y = xf + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(xf * a))
+        return y.astype(self.dtype)
+
+
+class GEGLU(nn.Module):
+    """Gated GELU: split a 2x projection into value ⊙ gelu(gate)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        proj = nn.Dense(self.features * 2, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj")(x)
+        value, gate = jnp.split(proj, 2, axis=-1)
+        return value * jax.nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """FFN with GEGLU (default; also what "snake" resolves to in the
+    reference) or SnakeBeta activation, 4x hidden width."""
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    activation_fn: str = "geglu"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        inner = self.dim * self.mult
+        act = self.activation_fn
+        if act == "snakebeta":
+            x = SnakeBeta(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="act")(x)
+        else:  # "geglu", "snake" (reference fall-through), anything else
+            x = GEGLU(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="act")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="out")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Self- or cross-attention head stack (diffusers Attention semantics:
+    no qkv bias, output projection with bias + dropout)."""
+
+    query_dim: int
+    heads: int = 4
+    head_dim: int = 512
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, key_mask=None, deterministic: bool = True):
+        inner = self.heads * self.head_dim
+        context = x if context is None else context
+        dense = lambda name: nn.Dense(  # noqa: E731
+            inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            name=name,
+        )
+        q = dense("to_q")(x)
+        k = dense("to_k")(context)
+        v = dense("to_v")(context)
+        out = multi_head_attention(q, k, v, num_heads=self.heads, key_mask=key_mask)
+        out = nn.Dense(self.query_dim, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="to_out")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class BasicTransformerBlock(nn.Module):
+    """Pre-LN self-attention + FFN block (see module docstring for the
+    relationship to the reference block)."""
+
+    dim: int
+    num_attention_heads: int = 4
+    attention_head_dim: int = 512
+    dropout: float = 0.0
+    activation_fn: str = "snake"
+    use_style_cross_attn: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, key_mask=None, style=None, deterministic: bool = True):
+        h = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
+        h = Attention(
+            query_dim=self.dim,
+            heads=self.num_attention_heads,
+            head_dim=self.attention_head_dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn1",
+        )(h, key_mask=key_mask, deterministic=deterministic)
+        x = x + h
+
+        if self.use_style_cross_attn and style is not None:
+            h = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="norm2")(x)
+            h = Attention(
+                query_dim=self.dim,
+                heads=self.num_attention_heads,
+                head_dim=self.attention_head_dim,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="attn2",
+            )(h, context=style[:, None, :], deterministic=deterministic)
+            x = x + h
+
+        h = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm3")(x)
+        h = FeedForward(
+            dim=self.dim,
+            dropout=self.dropout,
+            activation_fn=self.activation_fn,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="ff",
+        )(h, deterministic=deterministic)
+        return x + h

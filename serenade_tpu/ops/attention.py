@@ -1,0 +1,87 @@
+"""Multi-head attention compute op.
+
+Two interchangeable backends behind one functional interface:
+
+* ``xla``   — einsum attention with f32 softmax; XLA fuses the mask add and
+  scaling. Correct for any shape; used on CPU test meshes and as reference.
+* ``flash`` — Pallas TPU flash-attention kernel (serenade_tpu.ops.flash),
+  blockwise online-softmax, no (T, T) materialization in HBM. Used
+  automatically on TPU for long sequences where it wins.
+
+Unlike the reference (which passes a 0/1 mask straight to SDPA as an
+*additive* bias — i.e. padding is never actually masked, see
+matcha_components/transformer.py:292-301 + diffusers semantics), padded key
+positions here receive -inf bias: real masking.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _xla_attention(q, k, v, key_mask, scale):
+    """q,k,v: (B, H, T, D); key_mask: (B, Tk) float 1=valid or None."""
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if key_mask is not None:
+        bias = (1.0 - key_mask.astype(jnp.float32))[:, None, None, :] * _NEG_INF
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+
+
+def multi_head_attention(
+    q,
+    k,
+    v,
+    *,
+    num_heads: int,
+    key_mask: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+):
+    """Scaled dot-product attention over packed head tensors.
+
+    Args:
+        q: ``(B, Tq, H*D)``.
+        k, v: ``(B, Tk, H*D)``.
+        num_heads: H.
+        key_mask: optional ``(B, Tk)`` validity mask (1=valid).
+        backend: ``auto`` | ``xla`` | ``flash``.
+
+    Returns:
+        ``(B, Tq, H*D)``.
+    """
+    b, tq, hd = q.shape
+    tk = k.shape[1]
+    d = hd // num_heads
+    scale = d ** -0.5
+
+    def split(x, t):
+        return x.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, tq), split(k, tk), split(v, tk)
+
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        # flash wins once the (T, T) score matrix stops fitting in VMEM
+        backend = "flash" if (on_tpu and tq >= 1024 and tq == tk and d % 128 == 0) else "xla"
+
+    if backend == "flash":
+        from serenade_tpu.ops.flash import flash_attention
+
+        out = flash_attention(qh, kh, vh, key_mask=key_mask, scale=scale)
+    else:
+        out = _xla_attention(qh, kh, vh, key_mask, scale)
+
+    return out.transpose(0, 2, 1, 3).reshape(b, tq, hd)

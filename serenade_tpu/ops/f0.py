@@ -1,0 +1,152 @@
+"""On-device F0 (fundamental frequency) estimation.
+
+The reference leans on pyworld's Harvest (C++, CPU; preprocess.py:485-493,
+utils/signal.py:108) — an offline, per-utterance bottleneck.  Here F0 is a
+batched, jittable YIN-class estimator (cumulative mean normalized
+difference + parabolic refinement + dip-based voicing), formulated as
+framing + FFT cross-correlation so the whole utterance's frames evaluate in
+parallel on the VPU/MXU instead of a sequential C++ loop.
+
+Output contract matches the reference's Harvest usage: frame period in ms,
+f0 in Hz with 0 at unvoiced frames, plus a separate vuv array
+(preprocess.py:485-493 stores `f0` and `vuv = f0 != 0`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "f0_floor", "f0_ceil", "frame_period_ms",
+                              "win_length", "threshold"),
+)
+def yin_f0(
+    audio,
+    fs: int = 24000,
+    f0_floor: float = 60.0,
+    f0_ceil: float = 1100.0,
+    frame_period_ms: float = 10.0,
+    win_length: int | None = None,
+    threshold: float = 0.12,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Estimate (f0, vuv) at ``frame_period_ms`` hop.
+
+    Returns:
+        f0: (n_frames,) Hz, 0 where unvoiced.
+        vuv: (n_frames,) float 0/1 voicing.
+    """
+    hop = int(fs * frame_period_ms / 1000.0)
+    max_lag = int(np.ceil(fs / f0_floor)) + 1
+    min_lag = max(int(np.floor(fs / f0_ceil)), 2)
+    W = win_length or _next_pow2(max_lag * 2)
+
+    frame_len = W + max_lag
+    n_frames = 1 + audio.shape[0] // hop
+    pad = frame_len
+    x = jnp.pad(audio.astype(jnp.float32), (pad // 2, pad), mode="constant")
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_len)[None, :]
+    frames = x[idx]  # (N, W + max_lag)
+
+    # r(tau) = sum_{t<W} x[t] x[t+tau] via FFT cross-correlation
+    nfft = _next_pow2(frame_len + W)
+    head = frames[:, :W]
+    fa = jnp.fft.rfft(head, nfft)
+    fb = jnp.fft.rfft(frames, nfft)
+    corr = jnp.fft.irfft(jnp.conj(fa) * fb, nfft)[:, :max_lag]  # (N, L)
+
+    # p(tau) = sum_{t=tau}^{tau+W-1} x[t]^2 (running energy)
+    sq = jnp.square(frames)
+    csum = jnp.concatenate(
+        [jnp.zeros((n_frames, 1), jnp.float32), jnp.cumsum(sq, axis=1)], axis=1
+    )
+    taus = jnp.arange(max_lag)
+    p_tau = csum[:, taus + W] - csum[:, taus]
+    p_0 = p_tau[:, :1]
+
+    d = p_0 + p_tau - 2.0 * corr  # difference function (N, L)
+    # cumulative mean normalized difference
+    cum = jnp.cumsum(d[:, 1:], axis=1)
+    tau_idx = jnp.arange(1, max_lag, dtype=jnp.float32)
+    cmnd = jnp.concatenate(
+        [jnp.ones((n_frames, 1), jnp.float32),
+         d[:, 1:] * tau_idx / jnp.maximum(cum, 1e-12)],
+        axis=1,
+    )
+
+    # restrict to the plausible lag band
+    lag_mask = (taus >= min_lag) & (taus < max_lag - 1)
+    cmnd_band = jnp.where(lag_mask[None, :], cmnd, jnp.inf)
+
+    # first dip under threshold; else global min (YIN absolute threshold step)
+    below = cmnd_band < threshold
+    any_below = jnp.any(below, axis=1)
+    first_below = jnp.argmax(below, axis=1)
+    global_min = jnp.argmin(cmnd_band, axis=1)
+    raw_tau = jnp.where(any_below, first_below, global_min)
+
+    # local minimum walk: advance while the next bin keeps descending
+    def refine_local(tau, row):
+        def cond(t):
+            return (t + 1 < max_lag - 1) & (row[t + 1] < row[t])
+
+        def body(t):
+            return t + 1
+
+        return jax.lax.while_loop(cond, body, tau)
+
+    raw_tau = jax.vmap(refine_local)(raw_tau, cmnd_band)
+
+    # parabolic interpolation around the dip
+    t0 = jnp.clip(raw_tau, min_lag, max_lag - 2)
+    ym1 = jnp.take_along_axis(cmnd, (t0 - 1)[:, None], axis=1)[:, 0]
+    y0 = jnp.take_along_axis(cmnd, t0[:, None], axis=1)[:, 0]
+    yp1 = jnp.take_along_axis(cmnd, (t0 + 1)[:, None], axis=1)[:, 0]
+    denom = ym1 - 2.0 * y0 + yp1
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+    tau_star = t0.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0)
+
+    f0 = fs / jnp.maximum(tau_star, 1.0)
+    dip_val = y0
+    # voicing: a convincing dip + actual signal energy
+    energy = p_0[:, 0] / W
+    vuv = (
+        (dip_val < jnp.maximum(threshold * 2.5, 0.35))
+        & (energy > 1e-7)
+        & (f0 >= f0_floor)
+        & (f0 <= f0_ceil)
+    ).astype(jnp.float32)
+    f0 = jnp.where(vuv > 0, f0, 0.0)
+    return f0, vuv
+
+
+def smooth_f0_median(f0, width: int = 5):
+    """Median smoothing over voiced runs (0s preserved)."""
+    pad = width // 2
+    padded = jnp.pad(f0, (pad, pad), mode="edge")
+    idx = jnp.arange(f0.shape[0])[:, None] + jnp.arange(width)[None, :]
+    windows = padded[idx]
+    med = jnp.median(windows, axis=1)
+    return jnp.where(f0 > 0, med, 0.0)
+
+
+def world_extract_compatible(audio, fs: int, f0min: float, f0max: float,
+                             frame_period_ms: float = 10.0):
+    """Signature-compatible replacement for reference utils/signal.py:108
+    ``world_extract`` F0 path (Harvest-class): returns (f0, vuv)."""
+    f0, vuv = yin_f0(
+        audio, fs=fs, f0_floor=float(f0min), f0_ceil=float(f0max),
+        frame_period_ms=frame_period_ms,
+    )
+    f0 = smooth_f0_median(f0)
+    vuv = (f0 > 0).astype(jnp.float32)
+    return np.asarray(f0), np.asarray(vuv)

@@ -1,0 +1,7 @@
+from serenade_tpu.trainers.train_step import (  # noqa: F401
+    TrainState,
+    build_optimizer,
+    build_train_step,
+    create_train_state,
+)
+from serenade_tpu.trainers.ssc import SSCTrainer, SSCTrainerNew  # noqa: F401

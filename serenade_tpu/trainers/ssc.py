@@ -1,0 +1,212 @@
+"""Step-driven SSC trainer.
+
+Counterpart of reference trainers/base.py:18-233 + trainers/ssc.py:24-454:
+a step-counted loop with log/eval/save intervals, tensorboard metrics,
+resumable Orbax checkpoints, intermediate-sample generation on the first
+dev batch, and partial-transfer/freeze support.
+
+TPU shape: the hot loop is `host batch → device_put(sharded) → jitted
+step`; everything else (logging, checkpointing, eval wav/png dumps) happens
+on host at interval boundaries only.  "Rank 0" gating maps to
+``jax.process_index() == 0``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from serenade_tpu.checkpoint import (
+    find_latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from serenade_tpu.config import register
+from serenade_tpu.parallel.mesh import shard_batch
+
+logger = logging.getLogger(__name__)
+
+
+def _is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+@register("trainer")
+class SSCTrainer:
+    """Drives a jitted train step to ``train_max_steps``."""
+
+    BATCH_RENAME = {"xs": "x", "ys": "logmel", "scores": "midi",
+                    "louds": "loud", "lens": "lengths"}
+
+    def __init__(
+        self,
+        config: Dict[str, Any],
+        train_step: Callable,
+        state,
+        train_iter: Iterable,
+        dev_iter: Optional[Iterable] = None,
+        mesh=None,
+        writer=None,
+        outdir: str = "exp",
+        eval_fn: Optional[Callable] = None,
+        rng=None,
+    ):
+        self.config = config
+        self.train_step = train_step
+        self.state = state
+        self.train_iter = train_iter
+        self.dev_iter = dev_iter
+        self.mesh = mesh
+        self.outdir = outdir
+        self.eval_fn = eval_fn
+        self.rng = rng if rng is not None else jax.random.key(0)
+        self.steps = int(jax.device_get(state.step))
+        self.epochs = 0
+        self.finish_train = False
+        self.total_train_loss = defaultdict(float)
+        self._writer = writer
+        self._last_log_time = time.time()
+
+        if writer is None and _is_main_process():
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._writer = SummaryWriter(outdir)
+            except Exception:  # pragma: no cover
+                self._writer = None
+
+    # ------------------------------------------------------------------
+
+    def run(self):
+        max_steps = int(self.config.get("train_max_steps", 40000))
+        logger.info("training from step %d to %d", self.steps, max_steps)
+        try:
+            while not self.finish_train:
+                self._train_epoch(max_steps)
+                self.epochs += 1
+        finally:
+            if _is_main_process():
+                self.save(self.steps)
+        logger.info("finished training at step %d", self.steps)
+
+    def _prep_batch(self, batch):
+        model_batch = {
+            self.BATCH_RENAME.get(k, k): v for k, v in batch.items()
+        }
+        if self.mesh is not None:
+            model_batch = shard_batch(model_batch, self.mesh)
+        return model_batch
+
+    def _train_epoch(self, max_steps: int):
+        for batch in self.train_iter:
+            self.rng, step_key = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(
+                self.state, self._prep_batch(batch), step_key
+            )
+            self.steps += 1
+            self._accumulate(metrics)
+            self._check_log_interval()
+            self._check_eval_interval()
+            self._check_save_interval()
+            if self.steps >= max_steps:
+                self.finish_train = True
+                return
+
+    def _accumulate(self, metrics):
+        # fetch lazily: jax arrays resolve at log time, keeping the device
+        # queue full between intervals
+        self._pending = metrics
+
+    # ------------------------------------------------------------------
+    # intervals
+    # ------------------------------------------------------------------
+
+    def _check_log_interval(self):
+        interval = int(self.config.get("log_interval_steps", 500))
+        metrics = jax.device_get(self._pending)
+        for k, v in metrics.items():
+            self.total_train_loss[k] += float(v)
+        if self.steps % interval:
+            return
+        elapsed = time.time() - self._last_log_time
+        self._last_log_time = time.time()
+        if not _is_main_process():
+            self.total_train_loss = defaultdict(float)
+            return
+        for key, total in self.total_train_loss.items():
+            avg = total / interval
+            logger.info("(steps: %d) %s = %.4f", self.steps, key, avg)
+            if self._writer is not None:
+                self._writer.add_scalar(key, avg, self.steps)
+        if self._writer is not None:
+            self._writer.add_scalar(
+                "train/steps_per_sec", interval / max(elapsed, 1e-9), self.steps
+            )
+        self.total_train_loss = defaultdict(float)
+
+    def _check_eval_interval(self):
+        interval = int(self.config.get("eval_interval_steps", 2500))
+        if self.steps % interval or self.eval_fn is None:
+            return
+        if not _is_main_process():
+            return
+        try:
+            self.eval_fn(self.state, self.steps)
+        except Exception:  # eval must never kill training
+            logger.exception("intermediate eval failed at step %d", self.steps)
+
+    def _check_save_interval(self):
+        interval = int(self.config.get("save_interval_steps", 2500))
+        if self.steps % interval:
+            return
+        if _is_main_process():
+            self.save(self.steps)
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def save(self, step: int):
+        path = save_checkpoint(
+            self.outdir, step, jax.device_get(self.state.params),
+            jax.device_get(self.state.opt_state), epochs=self.epochs,
+        )
+        logger.info("saved checkpoint: %s", path)
+
+    def resume(self, path: Optional[str] = None, load_only_params: bool = False):
+        path = path or find_latest_checkpoint(self.outdir)
+        if path is None:
+            logger.info("no checkpoint found; starting fresh")
+            return
+        restored = restore_checkpoint(path)
+        params = restored["params"]
+        if load_only_params:
+            self.state = self.state.__class__(
+                params=params, opt_state=self.state.opt_state,
+                step=self.state.step,
+            )
+        else:
+            import jax.numpy as jnp
+
+            self.state = self.state.__class__(
+                params=params,
+                opt_state=restored.get("opt_state", self.state.opt_state),
+                step=jnp.asarray(int(restored["meta"]["step"]), jnp.int32),
+            )
+            self.steps = int(restored["meta"]["step"])
+            self.epochs = int(restored["meta"].get("epochs", 0))
+        logger.info("restored checkpoint %s (steps=%d)", path, self.steps)
+
+
+@register("trainer")
+class SSCTrainerNew(SSCTrainer):
+    """Adds the f0_fluc stream to the batch mapping (reference
+    trainers/ssc.py:238-454)."""
+
+    BATCH_RENAME = dict(SSCTrainer.BATCH_RENAME, f0_flucs="f0_fluc")

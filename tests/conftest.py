@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding logic is tested without TPU hardware by splitting the
+host CPU into 8 XLA devices (SURVEY §4 note: the reference has no analogue —
+its DDP paths simply don't run without GPUs).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")
+# amortize XLA CPU compiles across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/serenade_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

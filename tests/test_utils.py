@@ -1,0 +1,93 @@
+"""Tests for scalers, masking, h5 I/O, and the collater."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from serenade_tpu.collaters import SSCCollater, SSCCollaterNew
+from serenade_tpu.utils import (
+    HDF5ScpLoader,
+    MinMaxScaler,
+    StandardScaler,
+    read_hdf5,
+    write_hdf5,
+)
+from serenade_tpu.utils.masking import length_mask, segment_mask
+
+
+def test_standard_scaler_matches_sklearn():
+    from sklearn.preprocessing import StandardScaler as SkStandard
+
+    rng = np.random.default_rng(0)
+    chunks = [rng.normal(size=(50, 4)) * (i + 1) for i in range(5)]
+    ours, theirs = StandardScaler(), SkStandard()
+    for c in chunks:
+        ours.partial_fit(c)
+        theirs.partial_fit(c)
+    np.testing.assert_allclose(ours.mean_, theirs.mean_, rtol=1e-10)
+    np.testing.assert_allclose(ours.scale_, theirs.scale_, rtol=1e-8)
+    x = rng.normal(size=(7, 4))
+    np.testing.assert_allclose(ours.transform(x), theirs.transform(x), rtol=1e-8)
+
+
+def test_minmax_scaler_matches_sklearn():
+    from sklearn.preprocessing import MinMaxScaler as SkMinMax
+
+    rng = np.random.default_rng(1)
+    chunks = [rng.normal(size=(30, 3)) for _ in range(4)]
+    ours, theirs = MinMaxScaler(), SkMinMax()
+    for c in chunks:
+        ours.partial_fit(c)
+        theirs.partial_fit(c)
+    np.testing.assert_allclose(ours.data_min_, theirs.data_min_)
+    np.testing.assert_allclose(ours.data_max_, theirs.data_max_)
+    x = rng.normal(size=(5, 3))
+    np.testing.assert_allclose(ours.transform(x), theirs.transform(x), rtol=1e-10)
+
+
+def test_length_and_segment_masks():
+    m = np.asarray(length_mask(jnp.array([3, 5]), 6))
+    assert m.tolist() == [[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 0]]
+    s = np.asarray(segment_mask(2, 4, 6))
+    assert s.tolist() == [0, 0, 1, 1, 0, 0]
+
+
+def test_h5_roundtrip_and_scp(tmp_path):
+    p = str(tmp_path / "a.h5")
+    data = np.arange(12, dtype=np.float32).reshape(3, 4)
+    write_hdf5(p, "feats", data)
+    write_hdf5(p, "extra", np.ones(3))
+    np.testing.assert_array_equal(read_hdf5(p, "feats"), data)
+
+    scp = tmp_path / "feats.scp"
+    scp.write_text(f"utt1 {p}:feats\nutt2 {p}:feats,extra\n")
+    loader = HDF5ScpLoader(str(scp))
+    np.testing.assert_array_equal(loader["utt1"], data)
+    assert loader["utt2"].shape == (3, 5)  # concat with column-promoted 1-D
+
+
+def _fake_item(t, fluc=False):
+    item = {
+        "hubert": np.ones((t, 8), np.float32),
+        "logmel": np.ones((t, 4), np.float32),
+        "loud": np.ones((t, 1), np.float32),
+        "score": np.ones((t, 1), np.float32),
+    }
+    if fluc:
+        item["f0_fluc"] = np.ones((t, 1), np.float32)
+    return item
+
+
+def test_collater_buckets_sorts_and_drops():
+    c = SSCCollater(max_frames=3000, bucket_multiple=64)
+    batch = [_fake_item(100), _fake_item(130), _fake_item(3000)]
+    out = c(batch)
+    assert out["xs"].shape == (2, 192, 8)  # 130 -> bucket 192; 3000 dropped
+    assert out["lens"].tolist() == [130, 100]
+    # padding is zero beyond each length
+    assert out["xs"][1, 100:].sum() == 0
+
+
+def test_collater_new_includes_fluc():
+    c = SSCCollaterNew()
+    out = c([_fake_item(70, fluc=True)])
+    assert "f0_flucs" in out and out["f0_flucs"].shape == (1, 128, 1)
