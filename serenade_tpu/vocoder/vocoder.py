@@ -1,0 +1,111 @@
+"""Vocoder wrapper: stats denorm/renorm around the HiFiGAN generator.
+
+Counterpart of reference vocoder/vocoder.py:11-75 and vocoder/utils.py:14-63:
+resolves checkpoint/config/stats, converts the torch pickle to flax params,
+and exposes ``decode``/``decode_batch`` with the same normalization contract
+(denormalize by the SSC model's target stats, renormalize by the vocoder's
+own training stats) and per-utterance RTF logging.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from serenade_tpu.utils.h5 import read_hdf5
+from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
+
+logger = logging.getLogger(__name__)
+
+
+def load_vocoder(checkpoint: str, config: dict):
+    """Build the generator + converted params from a torch checkpoint.
+
+    Handles the reference's historical `upsample_kernal_sizes` typo
+    (vocoder/utils.py:40-43).
+    """
+    from serenade_tpu.vocoder.convert import (
+        convert_hifigan_generator,
+        load_torch_vocoder_checkpoint,
+    )
+
+    gp = dict(config.get("generator_params", {}))
+    if "upsample_kernal_sizes" in gp:
+        gp["upsample_kernel_sizes"] = gp.pop("upsample_kernal_sizes")
+    model = HiFiGANGenerator(
+        in_channels=gp.get("in_channels", 80),
+        out_channels=gp.get("out_channels", 1),
+        channels=gp.get("channels", 512),
+        kernel_size=gp.get("kernel_size", 7),
+        upsample_scales=tuple(gp.get("upsample_scales", (8, 8, 2, 2))),
+        upsample_kernel_sizes=tuple(
+            gp.get("upsample_kernel_sizes", (16, 16, 4, 4))
+        ),
+        resblock_kernel_sizes=tuple(gp.get("resblock_kernel_sizes", (3, 7, 11))),
+        resblock_dilations=tuple(
+            tuple(d) for d in gp.get("resblock_dilations", ((1, 3, 5),) * 3)
+        ),
+        use_additional_convs=gp.get("use_additional_convs", True),
+    )
+    sd = load_torch_vocoder_checkpoint(checkpoint)
+    params = convert_hifigan_generator(
+        sd,
+        num_upsamples=len(model.upsample_scales),
+        num_blocks=len(model.resblock_kernel_sizes),
+        resblock_dilations=model.resblock_dilations,
+        use_additional_convs=model.use_additional_convs,
+    )
+    return model, params
+
+
+class Vocoder:
+    def __init__(self, checkpoint: str, config: str, stats: str,
+                 trg_stats: Optional[dict] = None, take_norm_feat: bool = True):
+        if take_norm_feat and trg_stats is None:
+            raise ValueError("trg_stats required when take_norm_feat=True")
+        self.take_norm_feat = take_norm_feat
+        if trg_stats is not None:
+            self.trg_stats = {
+                "mean": np.asarray(trg_stats["mean"], np.float32),
+                "scale": np.asarray(trg_stats["scale"], np.float32),
+            }
+        with open(config) as f:
+            self.config = yaml.safe_load(f)
+        self.model, self.params = load_vocoder(checkpoint, self.config)
+        self.stats = {
+            "mean": np.asarray(read_hdf5(stats, "mean"), np.float32),
+            "scale": np.asarray(read_hdf5(stats, "scale"), np.float32),
+        }
+        self.sampling_rate = int(self.config.get("sampling_rate", 24000))
+        self._infer = jax.jit(
+            lambda params, c: self.model.apply(params, c)
+        )
+
+    def _normalize(self, c):
+        c = np.asarray(c, np.float32)
+        if self.take_norm_feat:
+            c = c * self.trg_stats["scale"] + self.trg_stats["mean"]
+        return (c - self.stats["mean"]) / self.stats["scale"]
+
+    def decode(self, c):
+        """c: (T, in_channels) mel -> (T * hop,) waveform, sampling rate."""
+        c = self._normalize(c)
+        start = time.time()
+        y = self._infer(self.params, c[None])[0, :, 0]
+        y = np.asarray(jax.device_get(y))
+        rtf = (time.time() - start) / (len(y) / self.sampling_rate)
+        logger.info("waveform generated (RTF = %.3f)", rtf)
+        return y, self.sampling_rate
+
+    def decode_batch(self, c):
+        """c: (B, T, in_channels) -> (B, T * hop)."""
+        c = self._normalize(c)
+        y = self._infer(self.params, c)
+        return np.asarray(jax.device_get(y))[..., 0]

@@ -1,0 +1,120 @@
+"""HiFiGAN tests: shape/upsampling contract, and numerical parity of the
+torch-checkpoint converter against a torch replica of the reference
+generator layout (module names from reference hifigan.py:71-190)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
+from serenade_tpu.vocoder.convert import convert_hifigan_generator
+
+CFG = dict(
+    in_channels=8,
+    channels=16,
+    kernel_size=7,
+    upsample_scales=(2, 2),
+    upsample_kernel_sizes=(4, 4),
+    resblock_kernel_sizes=(3,),
+    resblock_dilations=((1, 3),),
+)
+
+
+def test_generator_shapes():
+    model = HiFiGANGenerator(**CFG)
+    c = jnp.zeros((2, 32, 8))
+    params = jax.jit(lambda c: model.init(jax.random.key(0), c))(c)
+    y = jax.jit(lambda p, c: model.apply(p, c))(params, c)
+    assert y.shape == (2, 32 * 4, 1)
+    assert np.all(np.abs(np.asarray(y)) <= 1.0)
+
+
+def _torch_generator():
+    """Minimal torch twin with the reference's module naming."""
+    import torch
+    import torch.nn as nn
+    from torch.nn.utils import weight_norm
+
+    class ResBlock(nn.Module):
+        def __init__(self, ch, k, dils):
+            super().__init__()
+            self.convs1 = nn.ModuleList([
+                nn.Sequential(
+                    nn.LeakyReLU(0.1),
+                    weight_norm(nn.Conv1d(ch, ch, k, dilation=d,
+                                          padding=(k - 1) // 2 * d)),
+                ) for d in dils
+            ])
+            self.convs2 = nn.ModuleList([
+                nn.Sequential(
+                    nn.LeakyReLU(0.1),
+                    weight_norm(nn.Conv1d(ch, ch, k, padding=(k - 1) // 2)),
+                ) for _ in dils
+            ])
+
+        def forward(self, x):
+            for c1, c2 in zip(self.convs1, self.convs2):
+                x = x + c2(c1(x))
+            return x
+
+    class Gen(nn.Module):
+        def __init__(self):
+            super().__init__()
+            ch = CFG["channels"]
+            self.input_conv = weight_norm(
+                nn.Conv1d(CFG["in_channels"], ch, 7, padding=3))
+            self.upsamples = nn.ModuleList()
+            self.blocks = nn.ModuleList()
+            for i, (s, k) in enumerate(zip(CFG["upsample_scales"],
+                                           CFG["upsample_kernel_sizes"])):
+                self.upsamples.append(nn.Sequential(
+                    nn.LeakyReLU(0.1),
+                    weight_norm(nn.ConvTranspose1d(
+                        ch // (2 ** i), ch // (2 ** (i + 1)), k, s,
+                        padding=s // 2 + s % 2, output_padding=s % 2)),
+                ))
+                for kr, dils in zip(CFG["resblock_kernel_sizes"],
+                                    CFG["resblock_dilations"]):
+                    self.blocks.append(ResBlock(ch // (2 ** (i + 1)), kr, dils))
+            self.output_conv = nn.Sequential(
+                nn.LeakyReLU(),
+                weight_norm(nn.Conv1d(ch // (2 ** len(CFG["upsample_scales"])),
+                                      1, 7, padding=3)),
+                nn.Tanh(),
+            )
+
+        def forward(self, c):
+            c = self.input_conv(c)
+            nb = len(CFG["resblock_kernel_sizes"])
+            for i in range(len(CFG["upsample_scales"])):
+                c = self.upsamples[i](c)
+                cs = 0.0
+                for j in range(nb):
+                    cs = cs + self.blocks[i * nb + j](c)
+                c = cs / nb
+            return self.output_conv(c)
+
+    torch.manual_seed(0)
+    return Gen()
+
+
+def test_converter_matches_torch():
+    torch = pytest.importorskip("torch")
+    gen = _torch_generator()
+    gen.eval()
+
+    mel = np.random.default_rng(0).normal(size=(1, 8, 48)).astype(np.float32)
+    with torch.no_grad():
+        ref = gen(torch.from_numpy(mel)).numpy()[0, 0]
+
+    params = convert_hifigan_generator(
+        gen.state_dict(),
+        num_upsamples=len(CFG["upsample_scales"]),
+        num_blocks=len(CFG["resblock_kernel_sizes"]),
+        resblock_dilations=CFG["resblock_dilations"],
+    )
+    model = HiFiGANGenerator(**CFG)
+    y = model.apply(params, jnp.asarray(mel.transpose(0, 2, 1)))
+    ours = np.asarray(y)[0, :, 0]
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
