@@ -1,0 +1,176 @@
+"""serenade-preprocess: wav.scp -> per-utterance feature h5 dumps.
+
+CLI counterpart of reference bin/preprocess.py:262-615 with the same flags
+(--wav-scp/--segments/--dumpdir/--midi-path/--f0-path/--skip-gtmidi/
+--config/--verbose) and the same on-disk contract (9 h5 keys per utt).
+
+Offline-capable: ContentVec weights load from ``--contentvec-ckpt`` (a
+torch HF HubertModel state dict converted on the fly); without it, pass
+``--allow-missing-hubert true`` to dump everything except `hubert` (useful
+for vocoder-only or analysis pipelines).  The audio-MIDI transcriber
+checkpoint is optional; without it the estimated score comes from F0 note
+segmentation (serenade_tpu/features.py docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+import yaml
+
+from serenade_tpu.config import load_config
+from serenade_tpu.datasets.audio_dataset import AudioSCPDataset
+from serenade_tpu.features import FeatureConfig, extract_features
+from serenade_tpu.utils.h5 import write_hdf5
+from serenade_tpu.utils.types import str2bool
+
+WITH_F0_FLUC = False  # preprocess_new flips this
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="extract SSC features")
+    p.add_argument("--wav-scp", "--scp", required=True)
+    p.add_argument("--segments", default=None)
+    p.add_argument("--dumpdir", required=True)
+    p.add_argument("--midi-path", default=None,
+                   help="csv mapping utt_id -> wav path whose .json holds "
+                        "the GT score (GTSinger layout)")
+    p.add_argument("--f0-path", default=None, help="per-voice f0 range yaml")
+    p.add_argument("--skip-gtmidi", type=str2bool, default=False)
+    p.add_argument("--config", required=True)
+    p.add_argument("--contentvec-ckpt", default=None,
+                   help="torch HubertModel state-dict path (ContentVec)")
+    p.add_argument("--midi-model-ckpt", default=None,
+                   help="phoneme_midi transcriber checkpoint (optional)")
+    p.add_argument("--allow-missing-hubert", type=str2bool, default=False)
+    p.add_argument("--verbose", type=int, default=1)
+    return p
+
+
+def setup_logging(verbose: int):
+    level = (logging.DEBUG if verbose > 1
+             else logging.INFO if verbose > 0 else logging.WARN)
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+
+
+def load_gt_note_map(midi_path):
+    """The reference reads a 2-column csv `utt_id /wav_path` whose wav path
+    with .json extension holds the note sequence (preprocess.py:371,449-457)."""
+    mapping = {}
+    if midi_path is None:
+        return mapping
+    with open(midi_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(" /", 1)
+            if len(parts) != 2:
+                continue
+            mapping[parts[0]] = "/" + parts[1].replace(".wav", ".json")
+    return mapping
+
+
+def make_content_fn(ckpt_path):
+    if ckpt_path is None:
+        return None
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from serenade_tpu.modules.contentvec import (
+        ContentVecEncoder, convert_hf_hubert,
+    )
+
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    model = ContentVecEncoder()
+    params = convert_hf_hubert(sd)
+    infer = jax.jit(lambda w: model.apply(params, w))
+
+    def content_fn(audio16k):
+        out = infer(jnp.asarray(audio16k, jnp.float32)[None])
+        return np.asarray(out[0])
+
+    return content_fn
+
+
+def make_midi_transcribe_fn(ckpt_path):
+    if ckpt_path is None:
+        return None
+    from serenade_tpu.modules.phoneme_midi import load_transcriber
+
+    return load_transcriber(ckpt_path)
+
+
+def run(args, with_f0_fluc: bool):
+    setup_logging(args.verbose)
+    config = load_config(args.config)
+    fc = FeatureConfig.from_dict(config)
+
+    dataset = AudioSCPDataset(args.wav_scp, segments=args.segments,
+                              return_utt_id=True)
+    os.makedirs(args.dumpdir, exist_ok=True)
+
+    f0_table = None
+    if args.f0_path:
+        with open(args.f0_path) as f:
+            f0_table = yaml.safe_load(f)
+
+    gt_map = load_gt_note_map(args.midi_path)
+    content_fn = make_content_fn(args.contentvec_ckpt)
+    if content_fn is None and not args.allow_missing_hubert:
+        logging.error(
+            "no --contentvec-ckpt given; pass --allow-missing-hubert true to "
+            "dump without content features"
+        )
+        sys.exit(1)
+    midi_fn = make_midi_transcribe_fn(args.midi_model_ckpt)
+
+    n_done = 0
+    for utt_id, (audio, fs) in dataset:
+        gt_note_seq = None
+        if not args.skip_gtmidi and utt_id in gt_map:
+            path = gt_map[utt_id]
+            if not os.path.exists(path):
+                logging.info("WARNING: %s has missing midi information", utt_id)
+                continue
+            with open(path) as f:
+                gt_note_seq = json.load(f)
+        elif not args.skip_gtmidi and gt_map:
+            logging.info("WARNING: %s not in midi map", utt_id)
+            continue
+
+        feats = extract_features(
+            utt_id, audio, fs, fc,
+            f0_table=f0_table,
+            gt_note_seq=gt_note_seq,
+            content_fn=content_fn,
+            midi_transcribe_fn=midi_fn,
+            with_f0_fluc=with_f0_fluc,
+        )
+        if feats is None:
+            continue
+        out = os.path.join(args.dumpdir, f"{utt_id}.h5")
+        for key, value in feats.items():
+            write_hdf5(out, key, value)
+        n_done += 1
+        logging.info("dumped %s (%d frames)", utt_id, feats["logmel"].shape[0])
+    logging.info("preprocessing done: %d utterances", n_done)
+
+
+def main():
+    run(build_argparser().parse_args(), with_f0_fluc=WITH_F0_FLUC)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""serenade-decode: singing style conversion inference CLI.
+
+Counterpart of reference bin/ssc_decode.py:190-459: loads config beside the
+checkpoint, the fitted scaler, the vocoder, and the model; for every source
+utterance and every reference style it normalizes features, transposes the
+source F0 with `linear_midi_shift` (written to h5 for the SiFiGAN
+post-processing stage), runs the infilling inference, vocodes, and writes
+wavs.
+
+TPU-native notes: features are bucket-padded so every (source-bucket,
+ref-bucket) pair reuses one compiled program; inference itself is the
+jitted packed-sequence CFM (models/serenade.py docstring), which also
+removes the reference's batch=1 restriction.  The ≤2-shard reference-lookup
+assumption of the reference (ssc_decode.py:169-181) is replaced by a glob
+across all ``dump.*`` sibling shards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+from serenade_tpu.collaters.ssc import bucket_length, pad_to
+from serenade_tpu.config import load_config, resolve
+from serenade_tpu.ops.f0_stats import linear_midi_shift
+from serenade_tpu.utils.audio import write_wav
+from serenade_tpu.utils.h5 import read_hdf5, write_hdf5
+
+STYLES = ("Breathy", "Falsetto", "Pharyngeal", "Mixed_Voice")
+VARIANT_NEW = False
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="decode with trained SSC model")
+    p.add_argument("--config", default=None)
+    p.add_argument("--feats-scp", "--scp", default=None)
+    p.add_argument("--dumpdir", default=None)
+    p.add_argument("--stats", required=True)
+    p.add_argument("--ref-dict", default=None,
+                   help="json mapping style name -> reference dump h5")
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--n-timesteps", type=int, default=10)
+    p.add_argument("--temperature", type=float, default=0.667)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", type=int, default=1)
+    return p
+
+
+def get_random_ref_style(dumpdir: str, utt_id: str):
+    """Pick one reference dump per style for this singer (reference
+    ssc_decode.py:157-187), searching every sibling `dump.*` shard."""
+    dirname = os.path.dirname(os.path.join(dumpdir, f"{utt_id}.h5"))
+    ln, spk = utt_id.split("_")[:2]
+    search_dirs = [dirname]
+    parent = os.path.dirname(dirname.rstrip("/"))
+    base = os.path.basename(dirname.rstrip("/"))
+    if "." in base:
+        stem = base.split(".")[0]
+        search_dirs = sorted(glob.glob(os.path.join(parent, f"{stem}.*")))
+    ref_dict = {}
+    for style in STYLES:
+        for d in search_dirs:
+            files = glob.glob(os.path.join(d, f"{ln}_{spk}_*_{style}_Group_*.h5"))
+            if files:
+                ref_dict[style] = np.random.choice(files)
+                break
+    logging.info("using reference styles: %s", ref_dict)
+    return ref_dict
+
+
+def _norm_ref(scaler, h5path, with_fluc=False):
+    ref = {
+        "hubert": read_hdf5(h5path, "hubert"),
+        "logmel": read_hdf5(h5path, "logmel"),
+        "loud": read_hdf5(h5path, "loud"),
+        "score": read_hdf5(h5path, "est_lf0_score"),
+        "f0": read_hdf5(h5path, "f0"),
+        "wave": read_hdf5(h5path, "wave"),
+    }
+    ref["hubert"] = (ref["hubert"] - scaler["hubert"].mean_) / scaler["hubert"].scale_
+    ref["logmel"] = (ref["logmel"] - scaler["logmel"].mean_) / scaler["logmel"].scale_
+    ref["score"] = (ref["score"] - scaler["score"].data_min_) / (
+        scaler["score"].data_max_ - scaler["score"].data_min_
+    )
+    ref["loud"] = (ref["loud"] - scaler["loud"].data_min_) / (
+        scaler["loud"].data_max_ - scaler["loud"].data_min_
+    )
+    if with_fluc:
+        ref["f0_fluc"] = read_hdf5(h5path, "f0_fluc")
+    return ref
+
+
+def _pad2(x, T):
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    return pad_to(x, T)
+
+
+def run(variant_new: bool):
+    args = build_argparser().parse_args()
+    logging.basicConfig(
+        level=logging.INFO if args.verbose > 0 else logging.WARN,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+    import jax
+    import jax.numpy as jnp
+    import joblib
+
+    import serenade_tpu.models  # noqa: F401 (register)
+    from serenade_tpu.checkpoint import restore_params_only
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset, FeatsDatasetNew
+    from serenade_tpu.vocoder import Vocoder
+
+    if args.config is None:
+        args.config = os.path.join(os.path.dirname(args.checkpoint), "config.yml")
+    config = load_config(args.config)
+    config.update({k: v for k, v in vars(args).items() if v is not None})
+    os.makedirs(args.outdir, exist_ok=True)
+
+    if (args.feats_scp is None) == (args.dumpdir is None):
+        raise ValueError("specify exactly one of --dumpdir / --feats-scp")
+
+    scaler = joblib.load(args.stats)
+    trg_stats = {"mean": scaler["logmel"].mean_, "scale": scaler["logmel"].scale_}
+    vocoder = None
+    voc_cfg = config.get("vocoder") or {}
+    if voc_cfg.get("checkpoint") and os.path.exists(voc_cfg["checkpoint"]):
+        vocoder = Vocoder(voc_cfg["checkpoint"], voc_cfg["config"],
+                          voc_cfg["stats"], trg_stats=trg_stats)
+    else:
+        logging.warning("no vocoder available; writing mel h5 instead of wavs")
+
+    dataset_cls = FeatsDatasetNew if variant_new else FeatsDataset
+    dataset = dataset_cls(
+        root_dir=args.dumpdir, scaler=scaler, score_type="est_lf0_score",
+        return_utt_id=True,
+    )
+    logging.info("decoding %d utterances", len(dataset))
+
+    model_cls = resolve("model", config["model_type"])
+    model = model_cls(**config.get("model_params", {}))
+    params = restore_params_only(args.checkpoint)
+
+    @jax.jit
+    def infer(params, src, ref, key):
+        kwargs = {}
+        args_pos = [src["x"], src["lengths"], src["midi"], src["loud"]]
+        if variant_new:
+            args_pos.append(src["f0_fluc"])
+        args_pos += [ref["x"], ref["lengths"], ref["logmel"], ref["midi"],
+                     ref["loud"]]
+        if variant_new:
+            args_pos.append(ref["f0_fluc"])
+        return model.apply(
+            params, *args_pos, rng=key, n_timesteps=args.n_timesteps,
+            temperature=args.temperature, method="inference", **kwargs,
+        )
+
+    ref_dict = None
+    if args.ref_dict:
+        with open(args.ref_dict) as f:
+            ref_dict = json.load(f)
+
+    key = jax.random.key(args.seed)
+    for idx in range(len(dataset)):
+        utt_id, item = dataset[idx]
+        logging.info("decoding %s", utt_id)
+        t_src = item["hubert"].shape[0]
+        Ts = bucket_length(t_src)
+        src = {
+            "x": jnp.asarray(_pad2(item["hubert"], Ts))[None],
+            "lengths": jnp.asarray([t_src]),
+            "midi": jnp.asarray(_pad2(item["score"], Ts))[None],
+            "loud": jnp.asarray(_pad2(item["loud"], Ts))[None],
+        }
+        if variant_new:
+            src["f0_fluc"] = jnp.asarray(_pad2(item["f0_fluc"], Ts))[None]
+
+        write_wav(os.path.join(args.outdir, f"{utt_id}_gt.wav"),
+                  item["wave"], int(config["sampling_rate"]))
+
+        utt_refs = ref_dict or get_random_ref_style(args.dumpdir, utt_id)
+        for style, ref_h5 in utt_refs.items():
+            if style in utt_id:
+                continue  # avoid reconstruction (reference ssc_decode.py:381)
+            ref_raw = _norm_ref(scaler, ref_h5, with_fluc=variant_new)
+            t_ref = ref_raw["hubert"].shape[0]
+            Tr = bucket_length(t_ref)
+            ref = {
+                "x": jnp.asarray(_pad2(ref_raw["hubert"], Tr))[None],
+                "lengths": jnp.asarray([t_ref]),
+                "logmel": jnp.asarray(_pad2(ref_raw["logmel"], Tr))[None],
+                "midi": jnp.asarray(_pad2(ref_raw["score"], Tr))[None],
+                "loud": jnp.asarray(_pad2(ref_raw["loud"], Tr))[None],
+            }
+            if variant_new:
+                ref["f0_fluc"] = jnp.asarray(_pad2(ref_raw["f0_fluc"], Tr))[None]
+
+            write_wav(os.path.join(args.outdir, f"00_{style}_reference.wav"),
+                      ref_raw["wave"], int(config["sampling_rate"]))
+
+            shifted_lf0 = linear_midi_shift(
+                item["lf0"][:, 0], ref_raw["f0"].reshape(-1)
+            )
+
+            key, sub = jax.random.split(key)
+            start = time.time()
+            mel = np.asarray(jax.device_get(infer(params, src, ref, sub)))
+            mel = mel[0, :t_src]
+            outname = f"{utt_id}_{style}"
+            write_hdf5(os.path.join(args.outdir, f"{outname}.h5"), "lf0",
+                       shifted_lf0.astype(np.float32))
+            if vocoder is not None:
+                wav, sr = vocoder.decode(mel)
+                write_wav(os.path.join(args.outdir, f"{outname}.wav"), wav, sr)
+                rtf = (time.time() - start) / (len(wav) / sr)
+                logging.info("%s done (RTF %.3f)", outname, rtf)
+            else:
+                write_hdf5(os.path.join(args.outdir, f"{outname}.h5"),
+                           "mel", mel.astype(np.float32))
+
+
+def main():
+    run(variant_new=False)
+
+
+if __name__ == "__main__":
+    main()

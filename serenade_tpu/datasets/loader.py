@@ -1,0 +1,98 @@
+"""Host-sharded batching loader.
+
+Replaces the reference's DataLoader + DistributedSampler pair
+(ssc_train.py:274-309): each JAX process takes an interleaved shard of the
+index space (`process_index::process_count`), reshuffled per epoch with a
+deterministic seed (epoch-folded, matching DistributedSampler.set_epoch
+semantics, trainers/base.py:162-164), batches through the collater, and can
+optionally sort-by-length within a shuffle window to minimize bucket
+padding waste (a TPU-side improvement: fewer compiled programs, less
+padding FLOP).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+
+class ShardedBatchLoader:
+    def __init__(
+        self,
+        dataset,
+        collater: Callable,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        length_key: str = "hubert",
+        sort_window: int = 0,
+    ):
+        self.dataset = dataset
+        self.collater = collater
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count
+        self.sort_window = sort_window
+        self.length_key = length_key
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        shard = len(range(self.process_index, len(self.dataset),
+                          self.process_count))
+        if self.drop_last:
+            return shard // self.batch_size
+        return (shard + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.process_index::self.process_count]
+
+    def __iter__(self) -> Iterator:
+        if len(self) == 0:
+            raise ValueError(
+                f"loader would yield zero batches: shard has "
+                f"{len(range(self.process_index, len(self.dataset), self.process_count))} "
+                f"items for batch_size={self.batch_size} (drop_last="
+                f"{self.drop_last}); shrink the batch or the data mesh axis"
+            )
+        idx = self._epoch_indices()
+        if self.sort_window > 1:
+            # approximate length-sort inside windows to tighten buckets
+            lengths = np.array([
+                self.dataset[i][self.length_key].shape[0]
+                if isinstance(self.dataset[i], dict) else 0
+                for i in idx
+            ])
+            chunks = []
+            w = self.sort_window * self.batch_size
+            for s in range(0, len(idx), w):
+                window = idx[s:s + w]
+                order = np.argsort(lengths[s:s + w])
+                chunks.append(window[order])
+            idx = np.concatenate(chunks) if chunks else idx
+        for s in range(0, len(idx), self.batch_size):
+            chunk = idx[s:s + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            items = [self.dataset[int(i)] for i in chunk]
+            items = [it[1] if isinstance(it, tuple) else it for it in items]
+            yield self.collater(items)
+        self.epoch += 1

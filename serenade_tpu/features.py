@@ -1,0 +1,187 @@
+"""Per-utterance feature extraction pipeline (offline preprocessing core).
+
+The computational counterpart of reference bin/preprocess.py:399-611 /
+preprocess_new.py, factored out of the CLI so it is testable and reusable.
+The dense signal work (mel, loudness, F0) runs jitted on the accelerator;
+host code only does resampling, score alignment, and h5 writes.
+
+Content features: the flax ContentVec encoder when a converted checkpoint is
+available (modules/contentvec.py); otherwise extraction degrades to
+``hubert=None`` and the caller decides (the reference hard-depends on the HF
+download, preprocess.py:361-368 — offline environments need the explicit
+gate).
+
+Score MIDI: ground-truth from GTSinger JSON when present; the estimated
+score comes from the phoneme_midi transcriber when its checkpoint is
+available, else from YIN-F0 note segmentation (ops/midi.py) — same output
+contract (`est_lf0_score` log-Hz frames).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from serenade_tpu.ops.f0 import yin_f0, smooth_f0_median
+from serenade_tpu.ops.mel import logmelfilterbank, loudness_extract
+from serenade_tpu.ops.midi import (
+    f0_to_note_events,
+    midi_note_array_to_hz,
+    note_seq_to_frames,
+    notes_to_frames,
+)
+from serenade_tpu.utils.audio import resample, to_mono
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class FeatureConfig:
+    sampling_rate: int = 24000
+    fft_size: int = 512
+    hop_size: int = 240
+    win_length: int = 480
+    window: str = "hann"
+    num_mels: int = 80
+    fmin: float = 63.0
+    fmax: float = 12000.0
+    eps: float = 1e-6
+    log_base: float = 10.0
+    shiftms: float = 10.0
+
+    @classmethod
+    def from_dict(cls, d: Dict):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+def spk_id_from_utt(utt_id: str) -> str:
+    """GTSinger utt_id -> speaker key for the f0-range table
+    (reference preprocess.py:475-478 parsing)."""
+    try:
+        return utt_id.split("_")[3].split("-")[1]
+    except IndexError:
+        return utt_id
+
+
+def f0_range_for(utt_id: str, f0_table: Optional[Dict]) -> tuple:
+    spk = spk_id_from_utt(utt_id)
+    if f0_table and spk in f0_table:
+        return float(f0_table[spk]["minf0"]), float(f0_table[spk]["maxf0"])
+    logger.info("no f0 range for %s; using defaults", spk)
+    return 70.0, 1100.0  # reference preprocess.py:482-483 defaults
+
+
+def extract_features(
+    utt_id: str,
+    audio: np.ndarray,
+    fs: int,
+    config: FeatureConfig,
+    *,
+    f0_table: Optional[Dict] = None,
+    gt_note_seq: Optional[list] = None,
+    content_fn=None,
+    midi_transcribe_fn=None,
+    with_f0_fluc: bool = False,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Extract the full per-utterance feature dict (h5 key contract of
+    preprocess.py:566-611: wave,hubert,logmel,loud,gt_lf0_score,
+    est_lf0_score,f0,vuv,midi[,f0_fluc])."""
+    import jax.numpy as jnp
+
+    audio = to_mono(np.asarray(audio))
+    if np.abs(audio).max() > 1.0:
+        raise ValueError(f"{utt_id}: audio not normalized to [-1, 1]")
+    if fs != config.sampling_rate:
+        audio = resample(audio, fs, config.sampling_rate)
+    # length alignment pad (reference preprocess.py:430-432)
+    audio = np.pad(audio, (0, config.fft_size), mode="reflect")
+
+    logmel = np.asarray(logmelfilterbank(
+        jnp.asarray(audio), config.sampling_rate, fft_size=config.fft_size,
+        hop_size=config.hop_size, win_length=config.win_length,
+        num_mels=config.num_mels, fmin=config.fmin, fmax=config.fmax,
+        eps=config.eps, log_base=config.log_base,
+    ))
+    loud = np.asarray(loudness_extract(
+        jnp.asarray(audio), config.sampling_rate, config.hop_size
+    ))[:, None]
+
+    minf0, maxf0 = f0_range_for(utt_id, f0_table)
+    f0, vuv = yin_f0(
+        jnp.asarray(audio), fs=config.sampling_rate, f0_floor=minf0,
+        f0_ceil=maxf0, frame_period_ms=config.shiftms,
+    )
+    f0 = np.asarray(smooth_f0_median(f0))[:, None]
+    vuv = (f0 != 0).astype(np.float32)
+
+    # content features
+    if content_fn is not None:
+        audio16k = resample(audio, config.sampling_rate, 16000)
+        hubert = np.asarray(content_fn(audio16k))
+    else:
+        hubert = None
+
+    # estimated score MIDI
+    total_seconds = audio.shape[-1] / config.sampling_rate
+    if midi_transcribe_fn is not None:
+        notes, intervals = midi_transcribe_fn(audio, config.sampling_rate)
+    else:
+        notes, intervals = f0_to_note_events(
+            f0[:, 0], frame_shift_s=config.shiftms / 1000.0
+        )
+    if not notes:
+        logger.info("skipping %s: no MIDI information", utt_id)
+        return None
+    midi = notes_to_frames(notes, intervals, total_seconds,
+                           shift_ms=config.shiftms)
+    est_lf0_score = midi_note_array_to_hz(midi, log_f0=True)[:, None]
+
+    # ground-truth score MIDI
+    if gt_note_seq is not None:
+        gt_midi = note_seq_to_frames(gt_note_seq, config.shiftms / 1000.0)
+        gt_lf0_score = midi_note_array_to_hz(gt_midi, log_f0=True)[:, None]
+    else:
+        gt_lf0_score = est_lf0_score.copy()
+
+    feats = {
+        "wave": audio.astype(np.float32),
+        "logmel": logmel.astype(np.float32),
+        "loud": loud.astype(np.float32),
+        "f0": f0.astype(np.float32),
+        "vuv": vuv.astype(np.float32),
+        "midi": midi[:, None].astype(np.float32),
+        "est_lf0_score": est_lf0_score.astype(np.float32),
+        "gt_lf0_score": gt_lf0_score.astype(np.float32),
+    }
+    if hubert is not None:
+        feats["hubert"] = hubert.astype(np.float32)
+
+    if with_f0_fluc:
+        feats["f0_fluc"] = compute_f0_fluctuation(
+            f0[:, 0], maxf0, config.shiftms
+        )[:, None].astype(np.float32)
+
+    # truncate every frame stream to the common min length
+    # (reference preprocess.py:545-553)
+    frame_keys = [k for k in feats if k != "wave"]
+    min_len = min(feats[k].shape[0] for k in frame_keys)
+    for k in frame_keys:
+        feats[k] = feats[k][:min_len]
+    return feats
+
+
+def compute_f0_fluctuation(f0: np.ndarray, maxf0: float,
+                           shiftms: float = 10.0) -> np.ndarray:
+    """Spline-smoothed F0 residual (reference preprocess_new.py:538-550)."""
+    from scipy.interpolate import UnivariateSpline
+
+    t = np.arange(len(f0)) * shiftms / 1000.0
+    f0_normed = np.asarray(f0, np.float64) / maxf0
+    spline = UnivariateSpline(t, f0_normed, s=10)
+    return (f0_normed - spline(t)).astype(np.float32)

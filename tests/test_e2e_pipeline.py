@@ -1,0 +1,175 @@
+"""End-to-end slice test (SURVEY §7.3): synthetic wavs → feature dumps →
+scaler statistics → a few training steps → checkpoint → decode to mel.
+
+Runs the real CLIs (monkeypatched argv) with a tiny model config on the
+virtual CPU mesh.  A fake 16-d content extractor stands in for ContentVec
+(whose pretrained weights don't exist offline)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from serenade_tpu.features import FeatureConfig, extract_features
+from serenade_tpu.utils.audio import write_wav
+from serenade_tpu.utils.h5 import read_hdf5, write_hdf5
+
+SR = 24000
+CONTENT_DIM = 16
+
+TINY_CONFIG = dict(
+    sampling_rate=SR,
+    fft_size=512,
+    hop_size=240,
+    win_length=480,
+    shiftms=10,
+    num_mels=16,
+    fmin=63,
+    fmax=11000,
+    eps=1.0e-6,
+    model_type="Serenade",
+    model_params=dict(
+        input_dim=CONTENT_DIM,
+        output_dim=16,
+        encoder_channels=16,  # prior loss ties encoder output to logmel
+        decoder_channels=32,
+        gst_embed_dim=16,
+        decoder_attention_head_dim=16,
+        dtype="float32",
+    ),
+    trainer_type="SSCTrainer",
+    collater_type="SSCCollater",
+    score_type="est_lf0_score",
+    logmel_type="logmel",
+    batch_size=1,  # global batch = 1 * data_axis(2) = 2 of the 3 utts
+    optimizer_type="AdamW",
+    optimizer_params=dict(lr=1.0e-4),
+    grad_norm=1.0,
+    scheduler_type="MultiStepLR",
+    scheduler_params=dict(gamma=0.5, milestones=[100]),
+    train_max_steps=2,
+    save_interval_steps=1000,
+    eval_interval_steps=1000,
+    log_interval_steps=1,
+    num_save_intermediate_results=1,
+)
+
+
+def fake_content_fn(audio16k):
+    """Deterministic 16-d pseudo-content at 10 ms frames."""
+    n = len(audio16k) // 160
+    rng = np.random.default_rng(abs(int(audio16k[:100].sum() * 1e6)) % 2**31)
+    return rng.normal(size=(n, CONTENT_DIM)).astype(np.float32)
+
+
+def synth_wav(path, freq, dur=1.2):
+    t = np.arange(int(SR * dur)) / SR
+    vibrato = 1.0 + 0.01 * np.sin(2 * np.pi * 5 * t)
+    wav = 0.4 * np.sin(2 * np.pi * freq * vibrato * t)
+    write_wav(path, wav.astype(np.float32), SR)
+
+
+UTTS = [
+    ("EN_s1_a_Breathy_Group_1", 220.0),
+    ("EN_s1_b_Falsetto_Group_1", 330.0),
+    ("EN_s1_c_Pharyngeal_Group_1", 262.0),
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    wavdir = root / "wav"
+    dumpdir = root / "dump"
+    wavdir.mkdir()
+    dumpdir.mkdir()
+
+    fc = FeatureConfig.from_dict(TINY_CONFIG)
+    for utt, freq in UTTS:
+        wav_path = wavdir / f"{utt}.wav"
+        synth_wav(str(wav_path), freq)
+        from serenade_tpu.utils.audio import read_wav
+
+        audio, fs = read_wav(str(wav_path))
+        feats = extract_features(
+            utt, audio, fs, fc, content_fn=fake_content_fn,
+        )
+        assert feats is not None, f"feature extraction dropped {utt}"
+        for k, v in feats.items():
+            write_hdf5(str(dumpdir / f"{utt}.h5"), k, v)
+
+    cfg_path = root / "config.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(TINY_CONFIG, f)
+    return root
+
+
+def test_feature_dump_contract(workdir):
+    h5 = str(workdir / "dump" / f"{UTTS[0][0]}.h5")
+    keys = ["wave", "hubert", "logmel", "loud", "gt_lf0_score",
+            "est_lf0_score", "f0", "vuv", "midi"]
+    arrays = {k: read_hdf5(h5, k) for k in keys}
+    frame_lens = {k: len(v) for k, v in arrays.items() if k != "wave"}
+    assert len(set(frame_lens.values())) == 1, frame_lens
+    assert arrays["logmel"].shape[1] == TINY_CONFIG["num_mels"]
+    assert arrays["hubert"].shape[1] == CONTENT_DIM
+    # sine at 220 Hz: F0 should be detected around it
+    f0 = arrays["f0"][:, 0]
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 30
+    assert abs(np.median(voiced) - 220.0) < 8.0
+    # est score should quantize near A3 = 57
+    midi = arrays["midi"][:, 0]
+    assert abs(np.median(midi[midi > 0]) - 57) <= 1
+
+
+def _run_cli(main_fn, argv):
+    old = sys.argv
+    sys.argv = ["prog"] + argv
+    try:
+        main_fn()
+    finally:
+        sys.argv = old
+
+
+def test_stats_train_decode(workdir):
+    from serenade_tpu.bin.compute_statistics import main as stats_main
+    from serenade_tpu.bin.ssc_train import main as train_main
+    from serenade_tpu.bin.ssc_decode import main as decode_main
+    from serenade_tpu.checkpoint import find_latest_checkpoint
+
+    dump = str(workdir / "dump")
+    statsdir = str(workdir / "stats")
+    expdir = str(workdir / "exp")
+    outdir = str(workdir / "decoded")
+    cfg = str(workdir / "config.yml")
+
+    _run_cli(stats_main, ["--rootdir", dump, "--dumpdir", statsdir,
+                          "--config", cfg])
+    stats_path = os.path.join(statsdir, "stats.joblib")
+    assert os.path.exists(stats_path)
+
+    _run_cli(train_main, [
+        "--train-dumpdir", dump, "--dev-dumpdir", dump,
+        "--stats", stats_path, "--outdir", expdir, "--config", cfg,
+        "--data-axis", "2",  # 2-device dp on the virtual CPU mesh
+    ])
+    ckpt = find_latest_checkpoint(expdir)
+    assert ckpt is not None
+    assert os.path.exists(os.path.join(expdir, "config.yml"))
+
+    _run_cli(decode_main, [
+        "--dumpdir", dump, "--stats", stats_path, "--outdir", outdir,
+        "--checkpoint", ckpt, "--n-timesteps", "2",
+    ])
+    decoded = [f for f in os.listdir(outdir) if f.endswith(".h5")]
+    assert decoded, "no decoded outputs written"
+    one = os.path.join(outdir, decoded[0])
+    mel = read_hdf5(one, "mel")
+    lf0 = read_hdf5(one, "lf0")
+    assert mel is not None and mel.shape[1] == TINY_CONFIG["num_mels"]
+    assert lf0 is not None and (lf0 > 0).any()
+    assert np.isfinite(mel).all()

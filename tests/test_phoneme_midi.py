@@ -1,0 +1,134 @@
+"""Phoneme/MIDI transcriber parity vs a torch twin of the reference layout
+(modules/phoneme_midi/subnetworks.py naming), plus decoder unit tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from serenade_tpu.modules.phoneme_midi.decoding import (
+    decode_notes,
+    peak_select,
+)
+
+N_MELS = 20
+MODEL_SIZE = 32  # model_complexity 2
+
+
+def _torch_modules():
+    import torch
+    from torch import nn
+
+    class ConvStack(nn.Module):
+        def __init__(self, input_features, output_features, dilated=False):
+            super().__init__()
+            first = (
+                nn.Conv2d(1, output_features // 16, (3, 3), padding=(2, 1),
+                          dilation=(2, 1))
+                if dilated else
+                nn.Conv2d(1, output_features // 16, (3, 3), padding=1)
+            )
+            self.cnn = nn.Sequential(
+                first,
+                nn.BatchNorm2d(output_features // 16), nn.ReLU(),
+                nn.Conv2d(output_features // 16, output_features // 16,
+                          (3, 3), padding=1),
+                nn.BatchNorm2d(output_features // 16), nn.ReLU(),
+                nn.MaxPool2d((1, 2)), nn.Dropout(0.25),
+                nn.Conv2d(output_features // 16, output_features // 8,
+                          (3, 3), padding=1),
+                nn.BatchNorm2d(output_features // 8), nn.ReLU(),
+                nn.MaxPool2d((1, 2)), nn.Dropout(0.25),
+            )
+            self.fc = nn.Sequential(
+                nn.Linear((output_features // 8) * (input_features // 4),
+                          output_features),
+                nn.Dropout(0.5),
+            )
+
+        def forward(self, data):
+            x = self.cnn(data)
+            x = x.transpose(1, 2).flatten(-2)
+            return self.fc(x)
+
+    class BiLSTM(nn.Module):
+        def __init__(self, input_features, recurrent_features):
+            super().__init__()
+            self.rnn = nn.LSTM(input_features, recurrent_features,
+                               batch_first=True, bidirectional=True)
+
+        def forward(self, x):
+            return self.rnn(x)[0]
+
+    class Phone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_stack = ConvStack(N_MELS, MODEL_SIZE)
+            self.rnn = BiLSTM(MODEL_SIZE, MODEL_SIZE // 2)
+            self.fc = nn.Linear(MODEL_SIZE, 39)
+
+        def forward(self, x):
+            return self.fc(self.rnn(self.conv_stack(x)))
+
+    class Transcriber(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lang_model = Phone()
+            self.lang_conv_stack = ConvStack(38, MODEL_SIZE)
+            self.lang_rnn = BiLSTM(MODEL_SIZE, MODEL_SIZE // 2)
+            self.pitch_conv_stack = ConvStack(N_MELS, MODEL_SIZE, dilated=True)
+            self.pitch_rnn = BiLSTM(MODEL_SIZE, MODEL_SIZE // 2)
+            self.combined_rnn = BiLSTM(MODEL_SIZE * 2, MODEL_SIZE // 2)
+            self.combined_fc = nn.Linear(MODEL_SIZE, 3)
+
+        def forward(self, mel):  # mel: (B, T, n_mels)
+            lang_logits = self.lang_model(mel.unsqueeze(1))
+            lang = self.lang_conv_stack(lang_logits[..., :38].unsqueeze(1))
+            lang = self.lang_rnn(lang)
+            pitch = self.pitch_conv_stack(mel.unsqueeze(1))
+            pitch = self.pitch_rnn(pitch)
+            x = self.combined_rnn(torch.cat([pitch, lang], dim=2))
+            return self.combined_fc(x)
+
+    torch.manual_seed(0)
+    return Transcriber().eval()
+
+
+def test_transcriber_matches_torch():
+    torch = pytest.importorskip("torch")
+    from serenade_tpu.modules.phoneme_midi.convert import (
+        convert_transcription_model,
+    )
+    from serenade_tpu.modules.phoneme_midi.model import TranscriptionModel
+
+    ref = _torch_modules()
+    mel = np.random.default_rng(0).normal(size=(1, 40, N_MELS)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(mel)).numpy()
+
+    params = convert_transcription_model(ref.state_dict(), {})
+    model = TranscriptionModel(n_mels=N_MELS, model_size=MODEL_SIZE)
+    got = np.asarray(model.apply(params, jnp.asarray(mel)))
+    np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_peak_select():
+    pred = np.array([0.0, 0.2, 0.9, 0.7, 0.1, 0.0, 0.8, 0.85, 0.2])
+    peaks = peak_select(pred, 0.5)
+    assert peaks[2] == 0.9 and peaks[7] == 0.85
+    assert peaks.sum() == pytest.approx(0.9 + 0.85)
+
+
+def test_decode_notes_simple():
+    T = 60
+    onsets = np.zeros(T)
+    onsets[5] = 0.9
+    onsets[35] = 0.9
+    offsets = np.zeros(T)
+    offsets[30] = 0.8
+    frames = np.ones(T)
+    f0 = np.full(T, 220.0)
+    pitches, intervals = decode_notes(onsets, f0, "median", offsets=offsets,
+                                      frames=frames)
+    assert len(pitches) == 2
+    assert abs(pitches[0] - 57.0) < 0.01  # A3
+    assert intervals[0][0] == 5
