@@ -1,0 +1,238 @@
+"""serenade-postprocessing: WORLD re-analysis + SiFiGAN re-synthesis.
+
+Counterpart of reference bin/ssc_postprocessing.py:75-241 (hydra CLI):
+for every converted wav, re-analyze with the WORLD-class ops (F0 via YIN
+with voice-type ranges, CheapTrick envelope, band aperiodicity), read the
+`lf0` target written by decode, mel-cepstrum-code the envelope
+(sp2mc), build continuous F0 + sine excitation + dense dilation factors,
+and synthesize `*_sifigan.wav` with the SiFiGAN generator.
+
+Config: a plain YAML with the reference's hydra key surface
+(bin/sifigan_config/ssc_postprocessing.yaml — sample_rate, frame_period,
+mcep_dim, aux_feats, dense_factors, sine params, generator params).
+argparse replaces hydra; `--config` + `key=value` overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+
+import numpy as np
+import yaml
+
+from serenade_tpu.utils.audio import read_wav, resample, to_mono, write_wav
+from serenade_tpu.utils.h5 import read_hdf5
+
+logger = logging.getLogger(__name__)
+
+# voice-type F0 ranges (reference ssc_postprocessing.py:121-137)
+VOICE_RANGES = {
+    "Soprano": (261, 1046),
+    "Alto": (196, 700),
+    "Tenor": (130, 440),
+    "Bass": (82, 330),
+}
+DEFAULT_RANGE = (80, 1100)
+
+DEFAULT_CONFIG = dict(
+    sample_rate=24000,
+    frame_period=5.0,
+    mcep_dim=39,
+    mcap_dim=19,
+    aux_feats=["mcep", "bap"],
+    dense_factors=[0.5, 1, 4, 8],
+    df_f0_type="cf0",
+    sine_amp=0.1,
+    noise_amp=0.003,
+    sine_f0_type="cf0",
+    signal_types=["sine"],
+    seed=100,
+    generator=dict(
+        in_channels=43,
+        out_channels=1,
+        channels=512,
+        kernel_size=7,
+        upsample_scales=[5, 4, 3, 2],
+        upsample_kernel_sizes=[10, 8, 6, 4],
+    ),
+)
+
+
+def convert_continuous_f0(f0: np.ndarray):
+    """Linear interpolation through unvoiced gaps with edge extension
+    (reference ssc_postprocessing.py:51-72). Returns (uv, cont_f0, ok)."""
+    f0 = np.asarray(f0, np.float64).reshape(-1)
+    uv = (f0 != 0).astype(np.float32)
+    if (f0 == 0).all():
+        logger.warning("all F0 values are zero")
+        return uv, f0, False
+    nz = np.nonzero(f0)[0]
+    cont = f0.copy()
+    cont[: nz[0]] = f0[nz[0]]
+    cont[nz[-1]:] = f0[nz[-1]]
+    nz2 = np.nonzero(cont)[0]
+    cont = np.interp(np.arange(len(cont)), nz2, cont[nz2])
+    return uv, cont, True
+
+
+def voice_range_for(path: str):
+    for name, rng in VOICE_RANGES.items():
+        if name in path:
+            return rng
+    logger.warning("unknown voice type for %s", path)
+    return DEFAULT_RANGE
+
+
+def main():
+    p = argparse.ArgumentParser(description="SiFiGAN post-processing")
+    p.add_argument("--config", default=None, help="yaml config")
+    p.add_argument("--in-dir", required=True)
+    p.add_argument("--stats", default=None,
+                   help="joblib scaler for aux features (sifigan training "
+                        "stats); identity normalization when absent")
+    p.add_argument("--checkpoint-path", default=None,
+                   help="SiFiGAN torch checkpoint (converted on the fly); "
+                        "random init when absent (smoke/testing only)")
+    p.add_argument("--verbose", type=int, default=1)
+    args = p.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose > 0 else logging.WARN,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s",
+    )
+
+    config = dict(DEFAULT_CONFIG)
+    if args.config:
+        with open(args.config) as f:
+            config.update(yaml.safe_load(f) or {})
+
+    import jax
+    import jax.numpy as jnp
+
+    from serenade_tpu.ops.f0 import smooth_f0_median, yin_f0
+    from serenade_tpu.ops.sptk import ALPHA, sp2mc
+    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick
+    from serenade_tpu.sifigan import (
+        SiFiGANGenerator, SignalGenerator, dilated_factor,
+    )
+    from serenade_tpu.sifigan.features import dense_factors_per_level
+
+    sr = int(config["sample_rate"])
+    fp = float(config["frame_period"])
+    hop = int(sr * fp / 1000.0)
+
+    gen_cfg = dict(config["generator"])
+    gen_cfg.pop("_target_", None)
+    model = SiFiGANGenerator(
+        in_channels=gen_cfg.get("in_channels", 43),
+        out_channels=gen_cfg.get("out_channels", 1),
+        channels=gen_cfg.get("channels", 512),
+        kernel_size=gen_cfg.get("kernel_size", 7),
+        upsample_scales=tuple(gen_cfg.get("upsample_scales", (5, 4, 3, 2))),
+        upsample_kernel_sizes=tuple(
+            gen_cfg.get("upsample_kernel_sizes", (10, 8, 6, 4))
+        ),
+    )
+    params = None
+    if args.checkpoint_path and os.path.exists(args.checkpoint_path):
+        from serenade_tpu.sifigan.convert import load_sifigan_checkpoint
+
+        params = load_sifigan_checkpoint(args.checkpoint_path, model)
+
+    scaler = None
+    if args.stats and os.path.exists(args.stats):
+        import joblib
+
+        scaler = joblib.load(args.stats)
+
+    signal_gen = SignalGenerator(
+        sample_rate=sr, hop_size=hop, sine_amp=config["sine_amp"],
+        noise_amp=config["noise_amp"], signal_types=config["signal_types"],
+        seed=config["seed"],
+    )
+
+    wav_paths = [
+        w for w in glob.glob(os.path.join(args.in_dir, "**", "*.wav"),
+                             recursive=True)
+        if "_reference" not in w and "_gt" not in w and "_sifigan" not in w
+    ]
+    logger.info("processing %d wavs from %s", len(wav_paths), args.in_dir)
+
+    infer = None
+    for wav_file in wav_paths:
+        logger.info("processing %s", wav_file)
+        f0_floor, f0_ceil = voice_range_for(wav_file)
+        x, in_sr = read_wav(wav_file)
+        x = to_mono(x)
+        if in_sr != sr:
+            x = resample(x, in_sr, sr)
+
+        h5_path = wav_file.replace(".wav", ".h5")
+        lf0 = read_hdf5(h5_path, "lf0")
+        if lf0 is None:
+            logger.warning("no lf0 h5 beside %s; skipping", wav_file)
+            continue
+        lf0 = np.asarray(lf0).reshape(-1)
+
+        # WORLD-class re-analysis on device
+        f0_cvt, _ = yin_f0(jnp.asarray(x), fs=sr, f0_floor=float(f0_floor),
+                           f0_ceil=float(f0_ceil), frame_period_ms=fp)
+        f0_cvt = np.asarray(smooth_f0_median(f0_cvt))
+        T = len(f0_cvt)
+        if len(lf0) != T:
+            grid = np.linspace(0, len(lf0) - 1, T)
+            lf0 = np.maximum(np.interp(grid, np.arange(len(lf0)), lf0), 0.0)
+
+        sp = np.asarray(cheaptrick(
+            jnp.asarray(x), jnp.asarray(lf0.astype(np.float32)), fs=sr,
+            frame_period_ms=fp,
+        ))
+        bap = np.asarray(band_aperiodicity(
+            jnp.asarray(x), jnp.asarray(lf0.astype(np.float32)), fs=sr,
+            frame_period_ms=fp,
+        ))
+        mcep = sp2mc(sp, order=int(config["mcep_dim"]), alpha=ALPHA[sr])
+
+        uv, cf0, ok = convert_continuous_f0(lf0)
+        if not ok:
+            continue
+
+        feats = {
+            "f0": lf0[:, None], "cf0": cf0[:, None], "uv": uv[:, None],
+            "mcep": mcep, "bap": bap,
+        }
+        cols = []
+        for name in config["aux_feats"]:
+            v = feats[name]
+            if scaler is not None and name in scaler:
+                v = scaler[name].transform(v)
+            cols.append(v)
+        c = np.concatenate(cols, axis=1).astype(np.float32)
+
+        df_f0 = cf0 if config["df_f0_type"] == "cf0" else lf0
+        dfs = dense_factors_per_level(
+            df_f0, sr, config["dense_factors"],
+            model.upsample_scales,
+        )
+        sine_f0 = cf0 if config["sine_f0_type"] == "cf0" else lf0
+        in_signal = signal_gen(sine_f0)
+
+        c_j = jnp.asarray(c)[None]
+        sine_j = jnp.asarray(in_signal)[None]
+        dfs_j = [jnp.asarray(d)[None] for d in dfs]
+        if params is None:
+            params = model.init(jax.random.key(0), sine_j, c_j, dfs_j)
+            logger.warning("using RANDOM SiFiGAN weights (no checkpoint)")
+        if infer is None:
+            infer = jax.jit(lambda p, s, c, d: model.apply(p, s, c, d)[0])
+        y = np.asarray(jax.device_get(infer(params, sine_j, c_j, dfs_j)))
+        out_path = wav_file.replace(".wav", "_sifigan.wav")
+        write_wav(out_path, y[0, :, 0], sr)
+        logger.info("wrote %s", out_path)
+
+
+if __name__ == "__main__":
+    main()
