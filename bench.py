@@ -1,8 +1,9 @@
 """End-of-round benchmark: single-utterance SSC conversion RTF on one chip.
 
-Measures the hot path of `serenade-decode` (reference ssc_decode.py:428-438):
-content encoding + GST + 10-step Euler CFM over the packed
-reference+source sequence, on the flagship full-size model in bfloat16.
+Measures the full hot path of `serenade-decode` (reference
+ssc_decode.py:428-455): content encoding + GST + 10-step Euler CFM over the
+packed reference+source sequence + HiFiGAN vocoding to the waveform, on the
+flagship full-size model in bfloat16.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the north-star ratio target/value (BASELINE.md: e2e
@@ -28,8 +29,10 @@ RTF_TARGET = 0.05        # BASELINE.md north star
 
 def main():
     from serenade_tpu.models import Serenade
+    from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
 
     model = Serenade(dtype=jnp.bfloat16)
+    vocoder = HiFiGANGenerator(dtype=jnp.bfloat16)
     b, ts, tr = 1, SRC_FRAMES, REF_FRAMES
     ks = jax.random.split(jax.random.key(0), 10)
     src = dict(
@@ -59,23 +62,29 @@ def main():
         )
     )(init_batch)
 
+    voc_params = jax.jit(
+        lambda: vocoder.init(jax.random.key(7), jnp.zeros((1, 64, 80)))
+    )()
+
     @jax.jit
-    def convert(params, src, ref, key):
-        return model.apply(
+    def convert(params, voc_params, src, ref, key):
+        mel = model.apply(
             params, src["x"], src["lengths"], src["midi"], src["loud"],
             ref["ref_x"], ref["ref_lengths"], ref["ref_logmel"],
             ref["ref_midi"], ref["ref_loud"], rng=key,
             n_timesteps=N_TIMESTEPS, method="inference",
         )
+        return vocoder.apply(voc_params, mel)
 
     # warmup/compile
-    convert(params, src, ref, ks[8]).block_until_ready()
+    convert(params, voc_params, src, ref, ks[8]).block_until_ready()
 
     n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
-        mel = convert(params, src, ref, jax.random.fold_in(ks[9], i))
-    mel.block_until_ready()
+        wav = convert(params, voc_params, src, ref,
+                      jax.random.fold_in(ks[9], i))
+    wav.block_until_ready()
     elapsed = (time.perf_counter() - t0) / n_iters
 
     audio_seconds = int(src["lengths"][0]) * FRAME_MS / 1000.0
@@ -83,7 +92,7 @@ def main():
     print(json.dumps({
         "metric": "ssc_conversion_rtf_1chip",
         "value": round(rtf, 5),
-        "unit": "rtf (wall_sec / audio_sec, 10-step CFM, bf16)",
+        "unit": "rtf (wall_sec / audio_sec; 10-step CFM + HiFiGAN, bf16)",
         "vs_baseline": round(RTF_TARGET / rtf, 3),
     }))
 

@@ -1,0 +1,199 @@
+#!/usr/bin/env bash
+# GTSinger singing style conversion recipe (TPU build).
+#
+# Same 9-stage pipeline as the reference recipe
+# (/root/reference/egs/gtsinger/ssc1/run.sh:46-315); stages communicate only
+# through the filesystem (h5 dumps, stats.joblib, orbax checkpoints, wavs).
+#
+#   0  data preparation (wav.scp + splits)
+#   1  feature extraction (sharded over n_jobs)
+#   2  scaler statistics
+#   3  training
+#   4  decode dev/test
+#   5  decode the TRAIN set (inputs for cyclic fine-tuning)
+#   6  re-extract features of converted audio + inject cyclic_logmel
+#   7  cyclic fine-tuning from the stage-3 checkpoint
+#   8  decode with the cyclic model
+#   9  SiFiGAN post-processing
+
+set -euo pipefail
+
+stage=0
+stop_stage=100
+n_jobs=2                 # feature-extraction shards
+conf=conf/serenade.yaml
+cyclic_conf=conf/serenade_cyclic.yaml
+f0_path=conf/f0.yaml
+ref_dict=conf/refstyles.json
+db_root=downloads/gtsinger
+expdir=exp/serenade
+dumpdir=dump
+contentvec_ckpt=pt_models/contentvec.pt
+midi_model_ckpt=pt_models/midi_model.pt
+pretrain=""
+resume=""
+checkpoint=""
+model_axis=1
+variant=""            # "" or "new" (SerenadeNew / -modded CLIs)
+skip_gtmidi=false     # true => no GT score MIDI (datasets without JSON scores)
+
+. ./utils/parse_options.sh
+
+suffix=""
+[ -n "${variant}" ] && suffix="_${variant}"
+
+train_set=train
+dev_set=dev
+eval_set=test
+
+if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
+    echo "stage 0: data preparation"
+    mkdir -p data
+    python local/create_wav_scp.py --db-root "${db_root}" --out data/all_wav.scp
+    python local/create_gtsinger_splits.py --scp data/all_wav.scp --outdir data
+fi
+
+if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
+    echo "stage 1: feature extraction (${n_jobs} shards)"
+    for split in ${train_set} ${dev_set} ${eval_set}; do
+        mkdir -p "${dumpdir}/${split}"
+        python utils/split_scp.py "data/${split}/wav.scp" "${n_jobs}"
+        pids=()
+        for job in $(seq 1 "${n_jobs}"); do
+            (
+                extra=()
+                [ -f "${contentvec_ckpt}" ] && extra+=(--contentvec-ckpt "${contentvec_ckpt}")
+                [ -f "${contentvec_ckpt}" ] || extra+=(--allow-missing-hubert true)
+                [ -f "${midi_model_ckpt}" ] && extra+=(--midi-model-ckpt "${midi_model_ckpt}")
+                python -m serenade_tpu.bin.preprocess${suffix} \
+                    --wav-scp "data/${split}/wav.${job}.scp" \
+                    --dumpdir "${dumpdir}/${split}" \
+                    --midi-path "data/midi.csv" \
+                    --f0-path "${f0_path}" \
+                    --skip-gtmidi "${skip_gtmidi}" \
+                    --config "${conf}" \
+                    "${extra[@]}" \
+                    > "${dumpdir}/${split}/preprocessing.${job}.log" 2>&1
+            ) &
+            pids+=($!)
+        done
+        fail=0; for p in "${pids[@]}"; do wait "$p" || fail=1; done
+        [ "${fail}" -eq 0 ] || { echo "feature extraction failed for ${split}"; exit 1; }
+    done
+fi
+
+if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
+    echo "stage 2: scaler statistics"
+    python -m serenade_tpu.bin.compute_statistics \
+        --rootdir "${dumpdir}/${train_set}" \
+        --dumpdir "${dumpdir}" \
+        --config "${conf}"
+fi
+
+if [ "${stage}" -le 3 ] && [ "${stop_stage}" -ge 3 ]; then
+    echo "stage 3: training"
+    mkdir -p "${expdir}"
+    python -m serenade_tpu.bin.ssc_train${suffix} \
+        --train-dumpdir "${dumpdir}/${train_set}" \
+        --dev-dumpdir "${dumpdir}/${dev_set}" \
+        --stats "${dumpdir}/stats.joblib" \
+        --outdir "${expdir}" \
+        --config "${conf}" \
+        --model-axis "${model_axis}" \
+        ${pretrain:+--init-checkpoint "${pretrain}"} \
+        ${resume:+--resume "${resume}"} \
+        | tee "${expdir}/train.log"
+fi
+
+latest_ckpt () {
+    python - "$1" <<'PY'
+import sys
+from serenade_tpu.checkpoint import find_latest_checkpoint
+print(find_latest_checkpoint(sys.argv[1]) or "")
+PY
+}
+
+if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
+    echo "stage 4: decode dev/test"
+    ckpt="${checkpoint:-$(latest_ckpt ${expdir})}"
+    for split in ${dev_set} ${eval_set}; do
+        python -m serenade_tpu.bin.ssc_decode${suffix} \
+            --dumpdir "${dumpdir}/${split}" \
+            --stats "${dumpdir}/stats.joblib" \
+            --ref-dict "${ref_dict}" \
+            --outdir "${expdir}/decoded/${split}" \
+            --checkpoint "${ckpt}" \
+            > "${expdir}/decoded/decode.${split}.log" 2>&1 || \
+            { cat "${expdir}/decoded/decode.${split}.log"; exit 1; }
+    done
+fi
+
+if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
+    echo "stage 5: decode the train set (cyclic data)"
+    ckpt="${checkpoint:-$(latest_ckpt ${expdir})}"
+    python -m serenade_tpu.bin.ssc_decode${suffix} \
+        --dumpdir "${dumpdir}/${train_set}" \
+        --stats "${dumpdir}/stats.joblib" \
+        --outdir "${expdir}/decoded/${train_set}" \
+        --checkpoint "${ckpt}"
+fi
+
+if [ "${stage}" -le 6 ] && [ "${stop_stage}" -ge 6 ]; then
+    echo "stage 6: features of converted audio + cyclic_logmel injection"
+    mkdir -p "${dumpdir}/${train_set}_cyclic" data/${train_set}_cyclic
+    python local/create_wav_scp.py \
+        --db-root "${expdir}/decoded/${train_set}" \
+        --out "data/${train_set}_cyclic/wav.scp" --flat
+    extra=()
+    [ -f "${contentvec_ckpt}" ] && extra+=(--contentvec-ckpt "${contentvec_ckpt}")
+    [ -f "${contentvec_ckpt}" ] || extra+=(--allow-missing-hubert true)
+    python -m serenade_tpu.bin.preprocess${suffix} \
+        --wav-scp "data/${train_set}_cyclic/wav.scp" \
+        --dumpdir "${dumpdir}/${train_set}_cyclic" \
+        --f0-path "${f0_path}" \
+        --skip-gtmidi true \
+        --config "${conf}" \
+        "${extra[@]}"
+    python local/create_cyclic_dump.py \
+        --src-dumpdir "${dumpdir}/${train_set}" \
+        --cyclic-dumpdir "${dumpdir}/${train_set}_cyclic"
+fi
+
+if [ "${stage}" -le 7 ] && [ "${stop_stage}" -ge 7 ]; then
+    echo "stage 7: cyclic fine-tuning"
+    ckpt="${checkpoint:-$(latest_ckpt ${expdir})}"
+    python -m serenade_tpu.bin.ssc_train${suffix} \
+        --train-dumpdir "${dumpdir}/${train_set}_cyclic" \
+        --dev-dumpdir "${dumpdir}/${dev_set}" \
+        --stats "${dumpdir}/stats.joblib" \
+        --outdir "${expdir}_cyclic" \
+        --config "${cyclic_conf}" \
+        --model-axis "${model_axis}" \
+        --init-checkpoint "${ckpt}" \
+        | tee "${expdir}_cyclic/train.log"
+fi
+
+if [ "${stage}" -le 8 ] && [ "${stop_stage}" -ge 8 ]; then
+    echo "stage 8: decode with the cyclic model"
+    ckpt="${checkpoint:-$(latest_ckpt ${expdir}_cyclic)}"
+    for split in ${dev_set} ${eval_set}; do
+        python -m serenade_tpu.bin.ssc_decode${suffix} \
+            --dumpdir "${dumpdir}/${split}" \
+            --stats "${dumpdir}/stats.joblib" \
+            --ref-dict "${ref_dict}" \
+            --outdir "${expdir}_cyclic/decoded/${split}" \
+            --checkpoint "${ckpt}"
+    done
+fi
+
+if [ "${stage}" -le 9 ] && [ "${stop_stage}" -ge 9 ]; then
+    echo "stage 9: SiFiGAN post-processing"
+    for split in ${dev_set} ${eval_set}; do
+        python -m serenade_tpu.bin.ssc_postprocessing \
+            --in-dir "${expdir}_cyclic/decoded/${split}" \
+            --checkpoint-path pt_models/sifigan/checkpoint.pkl \
+            --stats pt_models/sifigan/stats.joblib || true
+    done
+fi
+
+echo "recipe finished"

@@ -15,7 +15,6 @@ import os
 import joblib
 
 from serenade_tpu.config import load_config
-from serenade_tpu.datasets.feats_dataset import FeatsDataset
 from serenade_tpu.utils.scalers import MinMaxScaler, StandardScaler
 
 
@@ -33,12 +32,12 @@ def main():
     )
     config = load_config(args.config)
 
-    dataset = FeatsDataset(
-        args.rootdir,
-        scaler=None,
-        score_type=config.get("score_type", "est_lf0_score"),
-        logmel_type="logmel",
-    )
+    from serenade_tpu.utils.h5 import find_files
+
+    files = sorted(find_files(args.rootdir, "*.h5"))
+    if not files:
+        raise SystemExit(f"no h5 dumps under {args.rootdir}")
+    score_type = config.get("score_type", "est_lf0_score")
 
     scaler = {
         "hubert": StandardScaler(),
@@ -46,12 +45,24 @@ def main():
         "score": MinMaxScaler(),
         "loud": MinMaxScaler(),
     }
-    for i in range(len(dataset)):
-        item = dataset[i]
-        scaler["hubert"].partial_fit(item["hubert"])
-        scaler["logmel"].partial_fit(item["logmel"])
-        scaler["score"].partial_fit(item["score"])
-        scaler["loud"].partial_fit(item["loud"])
+    key_map = {"hubert": "hubert", "logmel": "logmel", "score": score_type,
+               "loud": "loud"}
+    seen = {k: 0 for k in scaler}
+    import h5py
+
+    for path in files:
+        with h5py.File(path, "r") as f:
+            for name, h5key in key_map.items():
+                if h5key not in f:
+                    continue  # e.g. dumps without content features
+                scaler[name].partial_fit(f[h5key][()])
+                seen[name] += 1
+    for name, count in seen.items():
+        if count == 0:
+            logging.warning("no %r found in any dump; scaler left unfitted",
+                            name)
+        else:
+            logging.info("fitted %s over %d utterances", name, count)
 
     os.makedirs(args.dumpdir, exist_ok=True)
     out = os.path.join(args.dumpdir, "stats.joblib")

@@ -48,6 +48,9 @@ def build_argparser():
     p.add_argument("--midi-model-ckpt", default=None,
                    help="phoneme_midi transcriber checkpoint (optional)")
     p.add_argument("--allow-missing-hubert", type=str2bool, default=False)
+    p.add_argument("--f0-backend", choices=("jax", "native"), default="jax",
+                   help="YIN backend: jitted JAX op or the native C++ "
+                        "library (CPU preprocessing hosts)")
     p.add_argument("--verbose", type=int, default=1)
     return p
 
@@ -66,6 +69,9 @@ def load_gt_note_map(midi_path):
     with .json extension holds the note sequence (preprocess.py:371,449-457)."""
     mapping = {}
     if midi_path is None:
+        return mapping
+    if not os.path.exists(midi_path):
+        logging.warning("midi map %s not found; GT score disabled", midi_path)
         return mapping
     with open(midi_path) as f:
         for line in f:
@@ -98,8 +104,14 @@ def make_content_fn(ckpt_path):
     infer = jax.jit(lambda w: model.apply(params, w))
 
     def content_fn(audio16k):
-        out = infer(jnp.asarray(audio16k, jnp.float32)[None])
-        return np.asarray(out[0])
+        # bucket to 2 s multiples: one compile per bucket, not per length
+        n = len(audio16k)
+        bucket = 32000
+        padded = ((n + bucket - 1) // bucket) * bucket
+        wav = np.pad(np.asarray(audio16k, np.float32), (0, padded - n))
+        out = infer(jnp.asarray(wav)[None])
+        n_frames = (n - 400) // 160 + 1  # conv stack receptive field
+        return np.asarray(out[0])[:max(n_frames, 1)]
 
     return content_fn
 
@@ -157,6 +169,7 @@ def run(args, with_f0_fluc: bool):
             content_fn=content_fn,
             midi_transcribe_fn=midi_fn,
             with_f0_fluc=with_f0_fluc,
+            f0_backend=args.f0_backend,
         )
         if feats is None:
             continue

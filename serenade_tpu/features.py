@@ -88,6 +88,7 @@ def extract_features(
     content_fn=None,
     midi_transcribe_fn=None,
     with_f0_fluc: bool = False,
+    f0_backend: str = "jax",
 ) -> Optional[Dict[str, np.ndarray]]:
     """Extract the full per-utterance feature dict (h5 key contract of
     preprocess.py:566-611: wave,hubert,logmel,loud,gt_lf0_score,
@@ -102,22 +103,40 @@ def extract_features(
     # length alignment pad (reference preprocess.py:430-432)
     audio = np.pad(audio, (0, config.fft_size), mode="reflect")
 
+    # Bucket the audio length so the jitted signal ops compile once per
+    # bucket instead of once per utterance (XLA shape specialization);
+    # padded frames are sliced off below.
+    n_frames = 1 + len(audio) // config.hop_size
+    bucket = 128 * config.hop_size
+    padded_len = ((len(audio) + bucket - 1) // bucket) * bucket
+    audio_b = np.pad(audio, (0, padded_len - len(audio)))
+
     logmel = np.asarray(logmelfilterbank(
-        jnp.asarray(audio), config.sampling_rate, fft_size=config.fft_size,
+        jnp.asarray(audio_b), config.sampling_rate, fft_size=config.fft_size,
         hop_size=config.hop_size, win_length=config.win_length,
         num_mels=config.num_mels, fmin=config.fmin, fmax=config.fmax,
         eps=config.eps, log_base=config.log_base,
-    ))
+    ))[:n_frames]
     loud = np.asarray(loudness_extract(
-        jnp.asarray(audio), config.sampling_rate, config.hop_size
-    ))[:, None]
+        jnp.asarray(audio_b), config.sampling_rate, config.hop_size
+    ))[:n_frames, None]
 
     minf0, maxf0 = f0_range_for(utt_id, f0_table)
-    f0, vuv = yin_f0(
-        jnp.asarray(audio), fs=config.sampling_rate, f0_floor=minf0,
-        f0_ceil=maxf0, frame_period_ms=config.shiftms,
-    )
-    f0 = np.asarray(smooth_f0_median(f0))[:, None]
+    if f0_backend == "native":
+        from serenade_tpu.native import yin_f0_native
+
+        f0_raw, _ = yin_f0_native(
+            audio_b, fs=config.sampling_rate, f0_floor=minf0,
+            f0_ceil=maxf0, frame_period_ms=config.shiftms,
+        )
+        f0 = np.asarray(smooth_f0_median(jnp.asarray(f0_raw)))
+    else:
+        f0_raw, _ = yin_f0(
+            jnp.asarray(audio_b), fs=config.sampling_rate, f0_floor=minf0,
+            f0_ceil=maxf0, frame_period_ms=config.shiftms,
+        )
+        f0 = np.asarray(smooth_f0_median(f0_raw))
+    f0 = f0[:n_frames, None]
     vuv = (f0 != 0).astype(np.float32)
 
     # content features

@@ -1,0 +1,108 @@
+"""ctypes bindings for the native host-side DSP library (native/).
+
+The library is the CPU-host counterpart of the JAX signal ops — the role
+pyworld/pysptk's C code plays in the reference (SURVEY §0).  It builds on
+first use if the `.so` is missing (g++ is part of the toolchain); callers
+that can't build fall back to the JAX ops transparently via
+``native_available()``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libserenade_native.so"))
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                           check=True, capture_output=True)
+        except Exception:
+            logger.warning("could not build native library", exc_info=True)
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        logger.warning("could not load %s", _LIB_PATH, exc_info=True)
+        return None
+
+    lib.sn_yin_f0.restype = ctypes.c_int
+    lib.sn_yin_f0.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.sn_freqt.restype = None
+    lib.sn_freqt.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def yin_f0_native(
+    audio: np.ndarray,
+    fs: int = 24000,
+    f0_floor: float = 60.0,
+    f0_ceil: float = 1100.0,
+    frame_period_ms: float = 10.0,
+    threshold: float = 0.12,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native YIN; same contract as serenade_tpu.ops.f0.yin_f0."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    audio = np.ascontiguousarray(audio, np.float32)
+    hop = int(fs * frame_period_ms / 1000.0)
+    n_frames = 1 + len(audio) // hop
+    f0 = np.zeros(n_frames, np.float32)
+    vuv = np.zeros(n_frames, np.float32)
+    ret = lib.sn_yin_f0(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(audio)), fs, f0_floor, f0_ceil, frame_period_ms,
+        threshold,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        vuv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if ret != n_frames:
+        raise RuntimeError(f"sn_yin_f0 failed (ret={ret})")
+    return f0, vuv
+
+
+def freqt_native(c: np.ndarray, order: int, alpha: float) -> np.ndarray:
+    """Native SPTK freqt; same contract as serenade_tpu.ops.sptk.freqt."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    c = np.ascontiguousarray(c, np.float64)
+    squeeze = c.ndim == 1
+    if squeeze:
+        c = c[None]
+    n_frames, in_len = c.shape
+    out = np.zeros((n_frames, order + 1), np.float64)
+    lib.sn_freqt(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_frames, in_len, order, alpha,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out[0] if squeeze else out

@@ -78,6 +78,10 @@ def multi_head_attention(
         backend = "flash" if (on_tpu and tq >= 1024 and tq == tk and d % 128 == 0) else "xla"
 
     if backend == "flash":
+        from serenade_tpu.ops.flash_pallas import flash_attention_pallas
+
+        out = flash_attention_pallas(qh, kh, vh, key_mask, scale)
+    elif backend == "flash_scan":
         from serenade_tpu.ops.flash import flash_attention
 
         out = flash_attention(qh, kh, vh, key_mask=key_mask, scale=scale)
