@@ -72,6 +72,11 @@ class SSCTrainer:
         self.total_train_loss = defaultdict(float)
         self._writer = writer
         self._last_log_time = time.time()
+        # jax.profiler trace capture (SURVEY §5.1: strict superset of the
+        # reference's ad-hoc RTF/peak-memory logging)
+        self.profile_dir = config.get("profile_dir")
+        self.profile_steps = tuple(config.get("profile_steps", (10, 15)))
+        self._profiling = False
 
         if writer is None and _is_main_process():
             try:
@@ -103,8 +108,22 @@ class SSCTrainer:
             model_batch = shard_batch(model_batch, self.mesh)
         return model_batch
 
+    def _maybe_profile(self):
+        if not self.profile_dir:
+            return
+        start, stop = self.profile_steps
+        if self.steps == start and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+            logger.info("profiler trace started (steps %d-%d)", start, stop)
+        elif self.steps >= stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("profiler trace written to %s", self.profile_dir)
+
     def _train_epoch(self, max_steps: int):
         for batch in self.train_iter:
+            self._maybe_profile()
             self.rng, step_key = jax.random.split(self.rng)
             self.state, metrics = self.train_step(
                 self.state, self._prep_batch(batch), step_key
