@@ -29,15 +29,19 @@ def make_eval_fn(model, dev_batch, *, outdir: str, scaler=None,
                               "louds": "loud", "lens": "lengths"}
     batch = {rename.get(k, k): np.asarray(v) for k, v in dev_batch.items()}
 
+    with_fluc = "f0_fluc" in batch
+
     @jax.jit
     def infer(params, key):
-        return model.apply(
-            params,
-            batch["x"], batch["lengths"], batch["midi"], batch["loud"],
-            batch["x"], batch["lengths"], batch["logmel"], batch["midi"],
-            batch["loud"],
-            rng=key, n_timesteps=n_timesteps, method="inference",
-        )
+        args = [batch["x"], batch["lengths"], batch["midi"], batch["loud"]]
+        if with_fluc:
+            args.append(batch["f0_fluc"])
+        args += [batch["x"], batch["lengths"], batch["logmel"],
+                 batch["midi"], batch["loud"]]
+        if with_fluc:
+            args.append(batch["f0_fluc"])
+        return model.apply(params, *args, rng=key, n_timesteps=n_timesteps,
+                           method="inference")
 
     def eval_fn(state, steps: int):
         dirname = os.path.join(outdir, "predictions", f"{steps}steps")
