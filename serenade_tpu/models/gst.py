@@ -64,6 +64,38 @@ class MaskedGRU(nn.Module):
         return carry
 
 
+class MaskedGroupNorm2d(nn.Module):
+    """GroupNorm over (time, freq, C/group) with padded time excluded —
+    keeps the style embedding invariant to bucket padding (the reference's
+    BatchNorm2d statistics include padding)."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t_len):
+        b, t, f, c = x.shape
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+        xf = x.astype(jnp.float32).reshape(b, t, f, g, c // g)
+        m = (jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+             < t_len[:, None]).astype(jnp.float32)[:, :, None, None, None]
+        denom = jnp.maximum(
+            jnp.sum(m, axis=(1, 2, 3, 4), keepdims=True) * f * (c // g), 1.0
+        )
+        mean = jnp.sum(xf * m, axis=(1, 2, 4), keepdims=True) / denom
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 2, 4),
+                      keepdims=True) / denom
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(b, t, f, c) * scale + bias
+        return y.astype(self.dtype)
+
+
 class ReferenceEncoder(nn.Module):
     idim: int = 80
     conv_chans: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
@@ -93,12 +125,12 @@ class ReferenceEncoder(nn.Module):
                 param_dtype=self.param_dtype,
                 name=f"conv{i}",
             )(x)
-            x = nn.GroupNorm(
+            t_len = (t_len + self.stride - 1) // self.stride  # ceil-div per level
+            x = MaskedGroupNorm2d(
                 num_groups=min(8, ch), dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"norm{i}",
-            )(x)
+            )(x, t_len)
             x = nn.relu(x)
-            t_len = (t_len + self.stride - 1) // self.stride  # ceil-div per level
         bt = x.shape[1]
         feats = x.reshape(b, bt, -1)  # (B, T', freq'*ch)
         step_mask = (
