@@ -46,6 +46,10 @@ def build_argparser():
                    help="json mapping style name -> reference dump h5")
     p.add_argument("--outdir", required=True)
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="batch conversions with matching length buckets "
+                        "(>1 exploits the packed-sequence batched inference "
+                        "the reference cannot do, serenade.py:208-210)")
     p.add_argument("--n-timesteps", type=int, default=10)
     p.add_argument("--temperature", type=float, default=0.667)
     p.add_argument("--seed", type=int, default=0)
@@ -169,63 +173,100 @@ def run(variant_new: bool):
         with open(args.ref_dict) as f:
             ref_dict = json.load(f)
 
-    key = jax.random.key(args.seed)
+    # ------------------------------------------------------------------
+    # collect conversion work items, grouped by (src-bucket, ref-bucket)
+    # so each group shares one compiled program and can batch
+    # ------------------------------------------------------------------
+    from collections import defaultdict
+
+    sr_out = int(config["sampling_rate"])
+    ref_cache = {}
+    groups = defaultdict(list)
     for idx in range(len(dataset)):
         utt_id, item = dataset[idx]
-        logging.info("decoding %s", utt_id)
-        t_src = item["hubert"].shape[0]
-        Ts = bucket_length(t_src)
-        src = {
-            "x": jnp.asarray(_pad2(item["hubert"], Ts))[None],
-            "lengths": jnp.asarray([t_src]),
-            "midi": jnp.asarray(_pad2(item["score"], Ts))[None],
-            "loud": jnp.asarray(_pad2(item["loud"], Ts))[None],
-        }
-        if variant_new:
-            src["f0_fluc"] = jnp.asarray(_pad2(item["f0_fluc"], Ts))[None]
-
         write_wav(os.path.join(args.outdir, f"{utt_id}_gt.wav"),
-                  item["wave"], int(config["sampling_rate"]))
-
+                  item["wave"], sr_out)
         utt_refs = ref_dict or get_random_ref_style(args.dumpdir, utt_id)
         for style, ref_h5 in utt_refs.items():
             if style in utt_id:
                 continue  # avoid reconstruction (reference ssc_decode.py:381)
-            ref_raw = _norm_ref(scaler, ref_h5, with_fluc=variant_new)
-            t_ref = ref_raw["hubert"].shape[0]
-            Tr = bucket_length(t_ref)
-            ref = {
-                "x": jnp.asarray(_pad2(ref_raw["hubert"], Tr))[None],
-                "lengths": jnp.asarray([t_ref]),
-                "logmel": jnp.asarray(_pad2(ref_raw["logmel"], Tr))[None],
-                "midi": jnp.asarray(_pad2(ref_raw["score"], Tr))[None],
-                "loud": jnp.asarray(_pad2(ref_raw["loud"], Tr))[None],
-            }
-            if variant_new:
-                ref["f0_fluc"] = jnp.asarray(_pad2(ref_raw["f0_fluc"], Tr))[None]
-
-            write_wav(os.path.join(args.outdir, f"00_{style}_reference.wav"),
-                      ref_raw["wave"], int(config["sampling_rate"]))
-
-            shifted_lf0 = linear_midi_shift(
-                item["lf0"][:, 0], ref_raw["f0"].reshape(-1)
+            if ref_h5 not in ref_cache:
+                ref_cache[ref_h5] = _norm_ref(scaler, ref_h5,
+                                              with_fluc=variant_new)
+                write_wav(
+                    os.path.join(args.outdir, f"00_{style}_reference.wav"),
+                    ref_cache[ref_h5]["wave"], sr_out,
+                )
+            t_src = item["hubert"].shape[0]
+            t_ref = ref_cache[ref_h5]["hubert"].shape[0]
+            groups[(bucket_length(t_src), bucket_length(t_ref))].append(
+                (utt_id, item, style, ref_h5)
             )
 
+    def stack_src(items, Ts):
+        out = {
+            "x": jnp.asarray(np.stack(
+                [_pad2(it["hubert"], Ts) for _, it, _, _ in items])),
+            "lengths": jnp.asarray(
+                [it["hubert"].shape[0] for _, it, _, _ in items]),
+            "midi": jnp.asarray(np.stack(
+                [_pad2(it["score"], Ts) for _, it, _, _ in items])),
+            "loud": jnp.asarray(np.stack(
+                [_pad2(it["loud"], Ts) for _, it, _, _ in items])),
+        }
+        if variant_new:
+            out["f0_fluc"] = jnp.asarray(np.stack(
+                [_pad2(it["f0_fluc"], Ts) for _, it, _, _ in items]))
+        return out
+
+    def stack_ref(items, Tr):
+        refs = [ref_cache[h5] for _, _, _, h5 in items]
+        out = {
+            "x": jnp.asarray(np.stack([_pad2(r["hubert"], Tr) for r in refs])),
+            "lengths": jnp.asarray([r["hubert"].shape[0] for r in refs]),
+            "logmel": jnp.asarray(np.stack(
+                [_pad2(r["logmel"], Tr) for r in refs])),
+            "midi": jnp.asarray(np.stack(
+                [_pad2(r["score"], Tr) for r in refs])),
+            "loud": jnp.asarray(np.stack([_pad2(r["loud"], Tr) for r in refs])),
+        }
+        if variant_new:
+            out["f0_fluc"] = jnp.asarray(np.stack(
+                [_pad2(r["f0_fluc"], Tr) for r in refs]))
+        return out
+
+    key = jax.random.key(args.seed)
+    bs = max(1, args.batch_size)
+    for (Ts, Tr), work in groups.items():
+        for chunk_start in range(0, len(work), bs):
+            chunk = work[chunk_start:chunk_start + bs]
+            src = stack_src(chunk, Ts)
+            ref = stack_ref(chunk, Tr)
             key, sub = jax.random.split(key)
             start = time.time()
-            mel = np.asarray(jax.device_get(infer(params, src, ref, sub)))
-            mel = mel[0, :t_src]
-            outname = f"{utt_id}_{style}"
-            write_hdf5(os.path.join(args.outdir, f"{outname}.h5"), "lf0",
-                       shifted_lf0.astype(np.float32))
-            if vocoder is not None:
-                wav, sr = vocoder.decode(mel)
-                write_wav(os.path.join(args.outdir, f"{outname}.wav"), wav, sr)
-                rtf = (time.time() - start) / (len(wav) / sr)
-                logging.info("%s done (RTF %.3f)", outname, rtf)
-            else:
-                write_hdf5(os.path.join(args.outdir, f"{outname}.h5"),
-                           "mel", mel.astype(np.float32))
+            mels = np.asarray(jax.device_get(infer(params, src, ref, sub)))
+            for i, (utt_id, item, style, ref_h5) in enumerate(chunk):
+                t_src = item["hubert"].shape[0]
+                mel = mels[i, :t_src]
+                shifted_lf0 = linear_midi_shift(
+                    item["lf0"][:, 0], ref_cache[ref_h5]["f0"].reshape(-1)
+                )
+                outname = f"{utt_id}_{style}"
+                write_hdf5(os.path.join(args.outdir, f"{outname}.h5"), "lf0",
+                           shifted_lf0.astype(np.float32))
+                if vocoder is not None:
+                    wav, sr = vocoder.decode(mel)
+                    write_wav(os.path.join(args.outdir, f"{outname}.wav"),
+                              wav, sr)
+                else:
+                    write_hdf5(os.path.join(args.outdir, f"{outname}.h5"),
+                               "mel", mel.astype(np.float32))
+            elapsed = time.time() - start
+            audio_sec = sum(
+                it["hubert"].shape[0] for _, it, _, _ in chunk
+            ) * float(config.get("shiftms", 10)) / 1000.0
+            logging.info("batch of %d decoded (RTF %.4f)", len(chunk),
+                         elapsed / max(audio_sec, 1e-6))
 
 
 def main():
