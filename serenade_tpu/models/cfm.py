@@ -32,11 +32,15 @@ class CFM(nn.Module):
     decoder_channels: Tuple[int, ...] = (512, 512)
     decoder_attention_head_dim: int = 512
     dropout: float = 0.05
+    remat: bool = False  # rematerialize the estimator in backward (memory↓)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.estimator = Decoder(
+        decoder_cls = (
+            nn.remat(Decoder, static_argnums=(6,)) if self.remat else Decoder
+        )
+        self.estimator = decoder_cls(
             in_channels=self.in_channels,
             out_channels=self.out_channels,
             channels=self.decoder_channels,
@@ -76,7 +80,7 @@ class CFM(nn.Module):
         u = x1f - (1.0 - self.sigma_min) * z
 
         v = self.estimator(y.astype(self.dtype), mask, mu, t[:, 0, 0], spk,
-                           deterministic=deterministic)
+                           deterministic)
 
         norm_mask = mask_l if mask_l is not None else mask
         err = jnp.square((v - u) * norm_mask)
@@ -102,7 +106,7 @@ class CFM(nn.Module):
         def euler_step(est, x, t_pair):
             t0, t1 = t_pair
             v = est(x.astype(dtype), mask, mu,
-                    jnp.broadcast_to(t0, (b,)), spk, deterministic=True)
+                    jnp.broadcast_to(t0, (b,)), spk, True)
             return x + (t1 - t0) * v.astype(jnp.float32), ()
 
         scan = nn.scan(

@@ -50,6 +50,7 @@ class Serenade(nn.Module):
     cfg_prob: float = 0.1           # declared-but-unused in the reference too
     dropout: float = 0.05
     fluc_channels: int = 0          # extra F0-fluctuation channels (SerenadeNew)
+    remat: bool = False             # rematerialize the UNet (memory for batch)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -76,6 +77,7 @@ class Serenade(nn.Module):
             decoder_channels=(self.decoder_channels, self.decoder_channels),
             decoder_attention_head_dim=self.decoder_attention_head_dim,
             dropout=self.dropout,
+            remat=self.remat,
             dtype=self.dtype,
         )
 

@@ -46,7 +46,7 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale  # (bq, bk)
-    key_mask = mask_ref[0]  # (bk,)
+    key_mask = mask_ref[0, 0]  # (bk,)
     s = s + (1.0 - key_mask.astype(jnp.float32))[None, :] * _NEG_INF
 
     m_prev = m_scr[:, :1]                      # (bq, 1)
@@ -93,11 +93,14 @@ def _flash_forward(q, k, v, key_mask, scale: float, block_q: int,
     nq, nk = tq_p // block_q, tk_p // block_k
 
     grid = (b, h, nq, nk)
+    # (B, 1, Tk) layout keeps the mask's trailing-two block dims legal for
+    # the TPU lowering at any batch size
+    key_mask3 = key_mask[:, None, :]
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda b_, h_, qi, ki: (b_, ki),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h_, qi, ki: (b_, 0, ki),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, h_, qi, ki: (b_, h_, qi, 0),
@@ -119,7 +122,7 @@ def _flash_forward(q, k, v, key_mask, scale: float, block_q: int,
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(key_mask, q, k, v)
+    )(key_mask3, q, k, v)
     return out[:, :, :tq, :]
 
 
