@@ -1,0 +1,180 @@
+"""High-level conversion API: one object, one call per conversion.
+
+The serving-side face of the framework (the reference's equivalent flow is
+spread across ssc_decode.py's main loop).  Loads a trained experiment
+directory (config.yml + latest checkpoint + scaler + optional vocoder /
+ContentVec checkpoints) and exposes:
+
+* ``convert_features(src_feats, ref_feats)`` — dicts of (already extracted)
+  feature arrays → mel (+ waveform when a vocoder is loaded);
+* ``convert_wav(src_wav, ref_wav, sr)`` — raw audio end to end (requires a
+  ContentVec checkpoint for content features).
+
+All compute is jitted and bucketed: repeated calls with similar lengths
+reuse compiled programs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class Converter:
+    def __init__(
+        self,
+        expdir: str,
+        stats: str,
+        checkpoint: Optional[str] = None,
+        contentvec_ckpt: Optional[str] = None,
+        n_timesteps: int = 10,
+        temperature: float = 0.667,
+        seed: int = 0,
+    ):
+        import jax
+        import joblib
+
+        import serenade_tpu.models  # noqa: F401 (register)
+        from serenade_tpu.checkpoint import (
+            find_latest_checkpoint, restore_params_only,
+        )
+        from serenade_tpu.config import load_config, resolve
+
+        self._jax = jax
+        self.config = load_config(os.path.join(expdir, "config.yml"))
+        ckpt = checkpoint or find_latest_checkpoint(expdir)
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint under {expdir}")
+        model_cls = resolve("model", self.config["model_type"])
+        self.model = model_cls(**self.config.get("model_params", {}))
+        self.params = restore_params_only(ckpt)
+        self.scaler = joblib.load(stats)
+        self.n_timesteps = n_timesteps
+        self.temperature = temperature
+        self._key = jax.random.key(seed)
+
+        self.vocoder = None
+        voc = self.config.get("vocoder") or {}
+        if voc.get("checkpoint") and os.path.exists(voc["checkpoint"]):
+            from serenade_tpu.vocoder import Vocoder
+
+            self.vocoder = Vocoder(
+                voc["checkpoint"], voc["config"], voc["stats"],
+                trg_stats={"mean": self.scaler["logmel"].mean_,
+                           "scale": self.scaler["logmel"].scale_},
+            )
+
+        self._content_fn = None
+        if contentvec_ckpt:
+            from serenade_tpu.bin.preprocess import make_content_fn
+
+            self._content_fn = make_content_fn(contentvec_ckpt)
+
+        self._infer = jax.jit(self._infer_impl)
+
+    # ------------------------------------------------------------------
+
+    def _infer_impl(self, params, src, ref, key):
+        return self.model.apply(
+            params, src["x"], src["lengths"], src["midi"], src["loud"],
+            ref["x"], ref["lengths"], ref["logmel"], ref["midi"],
+            ref["loud"], rng=key, n_timesteps=self.n_timesteps,
+            temperature=self.temperature, method="inference",
+        )
+
+    def _normalize_src(self, feats: Dict[str, np.ndarray]):
+        s = self.scaler
+        return {
+            "hubert": (feats["hubert"] - s["hubert"].mean_) / s["hubert"].scale_,
+            "score": (feats["score"] - s["score"].data_min_)
+            / (s["score"].data_max_ - s["score"].data_min_),
+            "loud": (feats["loud"] - s["loud"].data_min_)
+            / (s["loud"].data_max_ - s["loud"].data_min_),
+        }
+
+    def _normalize_ref(self, feats: Dict[str, np.ndarray]):
+        out = self._normalize_src(feats)
+        s = self.scaler
+        out["logmel"] = (
+            feats["logmel"] - s["logmel"].mean_
+        ) / s["logmel"].scale_
+        return out
+
+    @staticmethod
+    def _pack(feats: Dict[str, np.ndarray], with_mel: bool):
+        import jax.numpy as jnp
+
+        from serenade_tpu.collaters.ssc import bucket_length, pad_to
+
+        t = feats["hubert"].shape[0]
+        T = bucket_length(t)
+
+        def pad(a):
+            a = np.asarray(a, np.float32)
+            if a.ndim == 1:
+                a = a[:, None]
+            return jnp.asarray(pad_to(a, T))[None]
+
+        out = {
+            "x": pad(feats["hubert"]),
+            "lengths": jnp.asarray([t]),
+            "midi": pad(feats["score"]),
+            "loud": pad(feats["loud"]),
+        }
+        if with_mel:
+            out["logmel"] = pad(feats["logmel"])
+        return out, t
+
+    # ------------------------------------------------------------------
+
+    def convert_features(
+        self, src_feats: Dict[str, np.ndarray],
+        ref_feats: Dict[str, np.ndarray],
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[int]]:
+        """Normalized conversion from extracted features.
+
+        src_feats needs hubert/score/loud; ref_feats additionally logmel
+        (all un-normalized, as stored in the h5 dumps).
+
+        Returns (mel, wav or None, sr or None).
+        """
+        import jax
+
+        src, t_src = self._pack(self._normalize_src(src_feats), False)
+        ref, _ = self._pack(self._normalize_ref(ref_feats), True)
+        self._key, sub = jax.random.split(self._key)
+        mel = np.asarray(jax.device_get(
+            self._infer(self.params, src, ref, sub)
+        ))[0, :t_src]
+        if self.vocoder is not None:
+            wav, sr = self.vocoder.decode(mel)
+            return mel, wav, sr
+        return mel, None, None
+
+    def convert_wav(self, src_wav: np.ndarray, ref_wav: np.ndarray,
+                    sr: int) -> Tuple[np.ndarray, Optional[np.ndarray],
+                                      Optional[int]]:
+        """Raw-audio conversion (extracts features on the fly; requires a
+        ContentVec checkpoint)."""
+        if self._content_fn is None:
+            raise RuntimeError(
+                "convert_wav requires contentvec_ckpt; use convert_features "
+                "with precomputed dumps otherwise"
+            )
+        from serenade_tpu.features import FeatureConfig, extract_features
+
+        fc = FeatureConfig.from_dict(self.config)
+        feats = {}
+        for name, wav in (("src", src_wav), ("ref", ref_wav)):
+            f = extract_features(name, wav, sr, fc,
+                                 content_fn=self._content_fn)
+            if f is None:
+                raise ValueError(f"feature extraction failed for {name}")
+            f["score"] = f["est_lf0_score"]
+            feats[name] = f
+        return self.convert_features(feats["src"], feats["ref"])
