@@ -115,9 +115,7 @@ def main():
     from serenade_tpu.ops.f0 import smooth_f0_median, yin_f0
     from serenade_tpu.ops.sptk import ALPHA, sp2mc
     from serenade_tpu.ops.world import band_aperiodicity, cheaptrick
-    from serenade_tpu.sifigan import (
-        SiFiGANGenerator, SignalGenerator, dilated_factor,
-    )
+    from serenade_tpu.sifigan import SiFiGANGenerator, SignalGenerator
     from serenade_tpu.sifigan.features import dense_factors_per_level
 
     sr = int(config["sample_rate"])

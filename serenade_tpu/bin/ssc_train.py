@@ -13,12 +13,10 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import sys
 
 import numpy as np
 
 from serenade_tpu.config import dump_config, load_config, resolve
-from serenade_tpu.utils.types import str2bool
 
 DEFAULT_DATASET = "FeatsDataset"
 DEFAULT_VARIANT_SUFFIX = ""

@@ -20,9 +20,7 @@ contract (`est_lf0_score` log-Hz frames).
 from __future__ import annotations
 
 import dataclasses
-import json
 import logging
-import os
 from typing import Dict, Optional
 
 import numpy as np

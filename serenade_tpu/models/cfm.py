@@ -14,12 +14,11 @@ deterministic jitted train step.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from serenade_tpu.models.unet import Decoder
 

@@ -16,7 +16,7 @@ Re-design of reference modules/gst/style_encoder.py:16-276 (GST-Tacotron):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ Design notes (TPU-first, not a port):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -9,10 +9,9 @@ conv →80, CFM(160→80) conditioned on a GST style vector.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from serenade_tpu.config import register

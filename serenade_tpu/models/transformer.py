@@ -19,8 +19,6 @@ Faithful structural notes (verified against the reference defaults):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ self-attention (see transformer.py docstring).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,13 +14,10 @@ on disk.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from serenade_tpu.models.layers import LayerNorm, conv1d
+from serenade_tpu.models.layers import LayerNorm
 
 
 # HuBERT-base feature extractor: (dim, kernel, stride) per conv layer

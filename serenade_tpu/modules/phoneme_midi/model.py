@@ -15,8 +15,6 @@ inference mode with converted running statistics.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

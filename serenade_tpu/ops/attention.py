@@ -16,7 +16,6 @@ positions here receive -inf bias: real masking.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -14,11 +14,9 @@ periodic Hann window zero-padded to fft_size.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 
 @functools.lru_cache(maxsize=None)

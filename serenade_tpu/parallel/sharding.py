@@ -11,8 +11,6 @@ collectives in model code.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

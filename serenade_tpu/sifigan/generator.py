@@ -23,7 +23,7 @@ does the same indexing on GPU).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

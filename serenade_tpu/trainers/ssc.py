@@ -14,13 +14,11 @@ on host at interval boundaries only.  "Rank 0" gating maps to
 from __future__ import annotations
 
 import logging
-import os
 import time
 from collections import defaultdict
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
-import numpy as np
 
 from serenade_tpu.checkpoint import (
     find_latest_checkpoint,

@@ -13,7 +13,7 @@ from __future__ import annotations
 import fnmatch
 import logging
 import os
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import h5py
 import numpy as np

@@ -20,7 +20,7 @@ training; the SSC pipeline itself only loads the generator
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

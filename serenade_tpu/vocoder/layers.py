@@ -9,13 +9,13 @@ shipped path, the rest load/convert for compatibility.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from serenade_tpu.models.layers import Conv1d, ConvTranspose1d, conv1d
+from serenade_tpu.models.layers import Conv1d, ConvTranspose1d
 
 
 def leaky_relu_01(x):

@@ -10,12 +10,10 @@ own training stats) and per-utterance RTF logging.
 from __future__ import annotations
 
 import logging
-import os
 import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import yaml
 
