@@ -48,7 +48,7 @@ def build_argparser():
     p.add_argument("--midi-model-ckpt", default=None,
                    help="phoneme_midi transcriber checkpoint (optional)")
     p.add_argument("--allow-missing-hubert", type=str2bool, default=False)
-    p.add_argument("--f0-backend", choices=("jax", "native"), default="jax",
+    p.add_argument("--f0-backend", choices=("viterbi", "jax", "native"), default="viterbi",
                    help="YIN backend: jitted JAX op or the native C++ "
                         "library (CPU preprocessing hosts)")
     p.add_argument("--verbose", type=int, default=1)

@@ -25,7 +25,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from serenade_tpu.ops.f0 import yin_f0, smooth_f0_median
+from serenade_tpu.ops.f0 import smooth_f0_median, yin_f0, yin_f0_viterbi
 from serenade_tpu.ops.mel import logmelfilterbank, loudness_extract
 from serenade_tpu.ops.midi import (
     f0_to_note_events,
@@ -86,7 +86,7 @@ def extract_features(
     content_fn=None,
     midi_transcribe_fn=None,
     with_f0_fluc: bool = False,
-    f0_backend: str = "jax",
+    f0_backend: str = "viterbi",
 ) -> Optional[Dict[str, np.ndarray]]:
     """Extract the full per-utterance feature dict (h5 key contract of
     preprocess.py:566-611: wave,hubert,logmel,loud,gt_lf0_score,
@@ -128,6 +128,12 @@ def extract_features(
             f0_ceil=maxf0, frame_period_ms=config.shiftms,
         )
         f0 = np.asarray(smooth_f0_median(jnp.asarray(f0_raw)))
+    elif f0_backend == "viterbi":
+        f0_raw, _ = yin_f0_viterbi(
+            jnp.asarray(audio_b), fs=config.sampling_rate, f0_floor=minf0,
+            f0_ceil=maxf0, frame_period_ms=config.shiftms,
+        )
+        f0 = np.asarray(smooth_f0_median(f0_raw))
     else:
         f0_raw, _ = yin_f0(
             jnp.asarray(audio_b), fs=config.sampling_rate, f0_floor=minf0,

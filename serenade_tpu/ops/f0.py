@@ -129,6 +129,169 @@ def yin_f0(
     return f0, vuv
 
 
+def _cmnd_matrix(audio, fs, f0_floor, f0_ceil, frame_period_ms, win_length):
+    """Shared YIN front half: returns (cmnd (N,L), min_lag, max_lag, energy)."""
+    hop = int(fs * frame_period_ms / 1000.0)
+    max_lag = int(np.ceil(fs / f0_floor)) + 1
+    min_lag = max(int(np.floor(fs / f0_ceil)), 2)
+    W = win_length or _next_pow2(max_lag * 2)
+
+    frame_len = W + max_lag
+    n_frames = 1 + audio.shape[0] // hop
+    pad = frame_len
+    x = jnp.pad(audio.astype(jnp.float32), (pad // 2, pad), mode="constant")
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(frame_len)[None, :]
+    frames = x[idx]
+
+    nfft = _next_pow2(frame_len + W)
+    head = frames[:, :W]
+    fa = jnp.fft.rfft(head, nfft)
+    fb = jnp.fft.rfft(frames, nfft)
+    corr = jnp.fft.irfft(jnp.conj(fa) * fb, nfft)[:, :max_lag]
+
+    sq = jnp.square(frames)
+    csum = jnp.concatenate(
+        [jnp.zeros((n_frames, 1), jnp.float32), jnp.cumsum(sq, axis=1)],
+        axis=1,
+    )
+    taus = jnp.arange(max_lag)
+    p_tau = csum[:, taus + W] - csum[:, taus]
+    p_0 = p_tau[:, :1]
+    d = p_0 + p_tau - 2.0 * corr
+    cum = jnp.cumsum(d[:, 1:], axis=1)
+    tau_idx = jnp.arange(1, max_lag, dtype=jnp.float32)
+    cmnd = jnp.concatenate(
+        [jnp.ones((n_frames, 1), jnp.float32),
+         d[:, 1:] * tau_idx / jnp.maximum(cum, 1e-12)],
+        axis=1,
+    )
+    return cmnd, min_lag, max_lag, p_0[:, 0] / W
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "f0_floor", "f0_ceil", "frame_period_ms",
+                     "win_length", "n_candidates"),
+)
+def yin_f0_viterbi(
+    audio,
+    fs: int = 24000,
+    f0_floor: float = 60.0,
+    f0_ceil: float = 1100.0,
+    frame_period_ms: float = 10.0,
+    win_length: int | None = None,
+    n_candidates: int = 5,
+    voiced_bias: float = 0.35,
+    transition_octave_cost: float = 6.0,
+    switch_cost: float = 0.4,
+    lag_octave_penalty: float = 0.02,
+):
+    """YIN + Viterbi continuity decoding (pYIN-style).
+
+    Per frame the K best CMND dips become voiced candidates plus one
+    unvoiced state; the Viterbi path minimizes dip depth + octave-jump
+    transition cost — suppressing the octave errors plain peak-picking
+    makes on breathy/weak phonation.  Fully jittable (`lax.scan` over
+    frames with a (K+1)-state trellis).
+
+    Returns (f0, vuv) like ``yin_f0``.
+    """
+    cmnd, min_lag, max_lag, energy = _cmnd_matrix(
+        audio, fs, f0_floor, f0_ceil, frame_period_ms, win_length
+    )
+    n_frames, L = cmnd.shape
+    taus = jnp.arange(L)
+    band = (taus >= min_lag) & (taus < max_lag - 1)
+    c_band = jnp.where(band[None, :], cmnd, jnp.inf)
+
+    # Parabolic interpolation of the dip depth at EVERY lag: a non-integer
+    # true period (54.5 samples at 440 Hz/24 kHz) leaves a shallow grid dip
+    # at tau0 while 2*tau0 lands on-grid and dips deeper — interpolated
+    # minima remove that discretization bias before candidate selection.
+    ym1 = jnp.pad(cmnd[:, :-1], ((0, 0), (1, 0)), constant_values=jnp.inf)
+    yp1 = jnp.pad(cmnd[:, 1:], ((0, 0), (0, 1)), constant_values=jnp.inf)
+    y0 = cmnd
+    denom_all = ym1 - 2.0 * y0 + yp1
+    safe_denom = jnp.where(jnp.abs(denom_all) > 1e-12, denom_all, 1.0)
+    delta_all = jnp.clip(0.5 * (ym1 - yp1) / safe_denom, -1.0, 1.0)
+    interp_all = jnp.maximum(y0 - 0.125 * jnp.square(ym1 - yp1) / safe_denom,
+                             0.0)
+    is_min = (c_band <= jnp.where(jnp.isinf(ym1), jnp.inf, ym1)) & \
+             (c_band < jnp.where(jnp.isinf(yp1), jnp.inf, yp1))
+    # YIN's smallest-lag preference: dips at tau0, 2*tau0, ... are all ~0
+    # for periodic signals; a mild per-octave lag penalty breaks the tie
+    # toward the true period without overriding genuinely deeper dips
+    lag_pen = lag_octave_penalty * jnp.log2(
+        jnp.maximum(taus.astype(jnp.float32), 1.0) / float(min_lag)
+    )
+    score = jnp.where(is_min & band[None, :], interp_all + lag_pen[None, :],
+                      jnp.inf)
+    neg_vals, cand_tau = jax.lax.top_k(-score, n_candidates)
+    cand_cost = -neg_vals  # (N, K) penalized dip depth (inf where absent)
+
+    t0 = jnp.clip(cand_tau, min_lag, max_lag - 2)
+    tau_star = t0.astype(jnp.float32) + jnp.take_along_axis(
+        delta_all, t0, axis=1
+    )
+    cand_f0 = fs / jnp.maximum(tau_star, 1.0)  # (N, K)
+    log_f0 = jnp.log2(jnp.maximum(cand_f0, 1.0))
+
+    valid = jnp.isfinite(cand_cost) & (energy[:, None] > 1e-7)
+    emission = jnp.where(valid, cand_cost, 1e6)  # voiced states
+    # unvoiced state: fixed emission = voiced_bias (a dip must beat it)
+    emission = jnp.concatenate(
+        [emission, jnp.full((n_frames, 1), voiced_bias)], axis=1
+    )  # (N, K+1)
+    logf = jnp.concatenate(
+        [log_f0, jnp.zeros((n_frames, 1))], axis=1
+    )
+    is_voiced_state = jnp.concatenate(
+        [jnp.ones((n_frames, n_candidates)), jnp.zeros((n_frames, 1))],
+        axis=1,
+    )
+
+    def transition(prev_logf, prev_voiced, cur_logf, cur_voiced):
+        # (K+1, K+1) cost from prev state i to cur state j
+        jump = jnp.abs(cur_logf[None, :] - prev_logf[:, None])
+        both_voiced = prev_voiced[:, None] * cur_voiced[None, :]
+        switch = (prev_voiced[:, None] - cur_voiced[None, :]) ** 2
+        return transition_octave_cost * jump * both_voiced + switch_cost * switch
+
+    def step(carry, xs):
+        cost_prev, lf_prev, v_prev = carry
+        em, lf, vo = xs
+        trans = transition(lf_prev, v_prev, lf, vo)
+        total = cost_prev[:, None] + trans + em[None, :]
+        best_prev = jnp.argmin(total, axis=0)
+        cost = jnp.min(total, axis=0)
+        return (cost, lf, vo), best_prev
+
+    init = (emission[0], logf[0], is_voiced_state[0])
+    (final_cost, _, _), backptrs = jax.lax.scan(
+        step, init, (emission[1:], logf[1:], is_voiced_state[1:])
+    )
+
+    # backtrace
+    last = jnp.argmin(final_cost)
+
+    def back(state, bp):
+        prev = bp[state]
+        return prev, state
+
+    # reverse scan emits the state at frame i+1 for backptrs[i]; the final
+    # carry is the state at frame 0
+    first, states_tail = jax.lax.scan(back, last, backptrs, reverse=True)
+    states = jnp.concatenate([jnp.array([first]), states_tail])
+
+    f0 = jnp.take_along_axis(
+        jnp.concatenate([cand_f0, jnp.zeros((n_frames, 1))], axis=1),
+        states[:, None], axis=1,
+    )[:, 0]
+    voiced = states < n_candidates
+    f0 = jnp.where(voiced & (f0 >= f0_floor) & (f0 <= f0_ceil), f0, 0.0)
+    return f0, (f0 > 0).astype(jnp.float32)
+
+
 def smooth_f0_median(f0, width: int = 5):
     """Median smoothing over voiced runs (0s preserved)."""
     pad = width // 2
