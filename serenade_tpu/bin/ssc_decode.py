@@ -150,8 +150,22 @@ def run(variant_new: bool):
     logging.info("decoding %d utterances", len(dataset))
 
     model_cls = resolve("model", config["model_type"])
-    model = model_cls(**config.get("model_params", {}))
-    params = restore_params_only(args.checkpoint)
+    model_params = dict(config.get("model_params", {}))
+    if args.checkpoint.endswith(".pkl"):
+        # reference torch checkpoint: convert on the fly; the GST must run
+        # the checkpoint's BatchNorm running statistics exactly
+        from serenade_tpu.models.convert_serenade import (
+            convert_serenade, load_torch_serenade_checkpoint,
+        )
+
+        model_params["gst_norm_type"] = "frozen_batch"
+        params = convert_serenade(
+            load_torch_serenade_checkpoint(args.checkpoint)
+        )
+        logging.info("converted torch checkpoint %s", args.checkpoint)
+    else:
+        params = restore_params_only(args.checkpoint)
+    model = model_cls(**model_params)
 
     @jax.jit
     def infer(params, src, ref, key):

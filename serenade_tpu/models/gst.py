@@ -96,12 +96,38 @@ class MaskedGroupNorm2d(nn.Module):
         return y.astype(self.dtype)
 
 
+class FrozenBatchNorm2d(nn.Module):
+    """Inference-mode BatchNorm2d: affine transform with running stats.
+    Used in torch-checkpoint-compatibility mode (`norm_type='frozen_batch'`)
+    where converted running statistics must be applied exactly."""
+
+    features: int
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mean = self.param("mean", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        var = self.param("var", nn.initializers.ones, (self.features,),
+                         self.param_dtype)
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        inv = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        return x * inv + (bias - mean * scale
+                          * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+
+
 class ReferenceEncoder(nn.Module):
     idim: int = 80
     conv_chans: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
     kernel_size: int = 3
     stride: int = 2
     gru_units: int = 128
+    norm_type: str = "masked_group"  # or "frozen_batch" (torch-ckpt compat)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -126,10 +152,16 @@ class ReferenceEncoder(nn.Module):
                 name=f"conv{i}",
             )(x)
             t_len = (t_len + self.stride - 1) // self.stride  # ceil-div per level
-            x = MaskedGroupNorm2d(
-                num_groups=min(8, ch), dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"norm{i}",
-            )(x, t_len)
+            if self.norm_type == "frozen_batch":
+                x = FrozenBatchNorm2d(
+                    ch, dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"norm{i}",
+                )(x)
+            else:
+                x = MaskedGroupNorm2d(
+                    num_groups=min(8, ch), dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"norm{i}",
+                )(x, t_len)
             x = nn.relu(x)
         bt = x.shape[1]
         feats = x.reshape(b, bt, -1)  # (B, T', freq'*ch)
@@ -183,6 +215,7 @@ class StyleEncoder(nn.Module):
     gst_heads: int = 4
     conv_chans: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
     gru_units: int = 128
+    norm_type: str = "masked_group"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -192,6 +225,7 @@ class StyleEncoder(nn.Module):
             idim=self.idim,
             conv_chans=self.conv_chans,
             gru_units=self.gru_units,
+            norm_type=self.norm_type,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="ref_enc",

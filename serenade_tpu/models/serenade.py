@@ -51,6 +51,7 @@ class Serenade(nn.Module):
     dropout: float = 0.05
     fluc_channels: int = 0          # extra F0-fluctuation channels (SerenadeNew)
     remat: bool = False             # rematerialize the UNet (memory for batch)
+    gst_norm_type: str = "masked_group"  # "frozen_batch" for torch-ckpt compat
     dtype: Any = jnp.bfloat16
 
     @property
@@ -68,6 +69,7 @@ class Serenade(nn.Module):
             gst_tokens=50,
             gst_token_dim=self.gst_embed_dim,
             conv_chans=(128, 128, 256, 256, 512, 512),
+            norm_type=self.gst_norm_type,
             dtype=self.dtype,
         )
         self.cfm_decoder = CFM(

@@ -62,7 +62,9 @@ class GEGLU(nn.Module):
         proj = nn.Dense(self.features * 2, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="proj")(x)
         value, gate = jnp.split(proj, 2, axis=-1)
-        return value * jax.nn.gelu(gate)
+        # exact (erf) GELU — diffusers GEGLU uses F.gelu, not the tanh approx
+        return value * jax.nn.gelu(gate.astype(jnp.float32),
+                                   approximate=False).astype(gate.dtype)
 
 
 class FeedForward(nn.Module):

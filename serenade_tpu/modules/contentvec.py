@@ -44,7 +44,7 @@ class FeatureExtractor(nn.Module):
             if i == 0:
                 h = nn.GroupNorm(num_groups=dim, dtype=self.dtype,
                                  param_dtype=self.param_dtype, name="gn")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
         return h
 
 
@@ -67,7 +67,7 @@ class TransformerLayer(nn.Module):
                       name="ln1")(x + h)
         h = nn.Dense(self.ffn_dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc2")(h)
         return LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
@@ -107,7 +107,7 @@ class ContentVecEncoder(nn.Module):
                       name="pos_conv")(h)
         if self.pos_conv_kernel % 2 == 0:
             pos = pos[:, :-1, :]
-        h = h + nn.gelu(pos)
+        h = h + nn.gelu(pos, approximate=False)
         h = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                       name="enc_ln")(h)
         for i in range(self.num_layers):
