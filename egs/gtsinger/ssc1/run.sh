@@ -27,6 +27,8 @@ f0_path=conf/f0.yaml
 ref_dict=conf/refstyles.json
 db_root=downloads/gtsinger
 expdir=exp/serenade
+tag=""               # experiment tag: expdir becomes exp/<tag>
+skip_extract_train=false   # stage 1: skip the train split (inference-only runs)
 dumpdir=dump
 contentvec_ckpt=pt_models/contentvec.pt
 midi_model_ckpt=pt_models/midi_model.pt
@@ -41,6 +43,7 @@ skip_gtmidi=false     # true => no GT score MIDI (datasets without JSON scores)
 
 suffix=""
 [ -n "${variant}" ] && suffix="_${variant}"
+[ -n "${tag}" ] && expdir="exp/${tag}"
 
 train_set=train
 dev_set=dev
@@ -56,6 +59,10 @@ fi
 if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
     echo "stage 1: feature extraction (${n_jobs} shards)"
     for split in ${train_set} ${dev_set} ${eval_set}; do
+        if [ "${split}" = "${train_set}" ] && [ "${skip_extract_train}" = "true" ]; then
+            echo "skipping feature extraction for ${split}"
+            continue
+        fi
         mkdir -p "${dumpdir}/${split}"
         python utils/split_scp.py "data/${split}/wav.scp" "${n_jobs}"
         pids=()

@@ -156,6 +156,40 @@ class Converter:
             return mel, wav, sr
         return mel, None, None
 
+    def convert_features_long(
+        self, src_feats: Dict[str, np.ndarray],
+        ref_feats: Dict[str, np.ndarray],
+        chunk_frames: int = 2048, overlap_frames: int = 256,
+    ):
+        """Long-form conversion: overlapped chunks crossfaded into one mel
+        (sources may exceed the 3000-frame training cap).  Returns
+        (mel, wav or None, sr or None)."""
+        from serenade_tpu.ops.longform import convert_in_chunks
+
+        keys = ("hubert", "score", "loud")
+        frame_feats = {k: np.asarray(src_feats[k]) for k in keys}
+
+        def convert_chunk(chunk):
+            return self._convert_mel_only(chunk, ref_feats)
+
+        mel = convert_in_chunks(frame_feats, convert_chunk,
+                                chunk_frames=chunk_frames,
+                                overlap_frames=overlap_frames)
+        if self.vocoder is not None:
+            wav, sr = self.vocoder.decode(mel)
+            return mel, wav, sr
+        return mel, None, None
+
+    def _convert_mel_only(self, src_feats, ref_feats):
+        import jax
+
+        src, t_src = self._pack(self._normalize_src(src_feats), False)
+        ref, _ = self._pack(self._normalize_ref(ref_feats), True)
+        self._key, sub = jax.random.split(self._key)
+        return np.asarray(jax.device_get(
+            self._infer(self.params, src, ref, sub)
+        ))[0, :t_src]
+
     def convert_wav(self, src_wav: np.ndarray, ref_wav: np.ndarray,
                     sr: int) -> Tuple[np.ndarray, Optional[np.ndarray],
                                       Optional[int]]:
