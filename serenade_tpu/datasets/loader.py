@@ -47,6 +47,7 @@ class ShardedBatchLoader:
         self.sort_window = sort_window
         self.length_key = length_key
         self.epoch = 0
+        self.prefetch = 2  # background-thread batch prefetch depth (0 = off)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -66,6 +67,43 @@ class ShardedBatchLoader:
         return idx[self.process_index::self.process_count]
 
     def __iter__(self) -> Iterator:
+        """Iterate batches; with ``prefetch > 0`` the h5 reads + collation
+        run in a background thread so host IO overlaps the device step
+        (the role DataLoader workers play in the reference,
+        conf/serenade.yaml:54 — single extra thread suffices since the
+        jitted step dominates)."""
+        if self.prefetch <= 0:
+            yield from self._iter_sync()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        errbox = []
+
+        def worker():
+            try:
+                for batch in self._iter_sync():
+                    q.put(batch)
+            except BaseException as e:  # surface in the consumer thread
+                errbox.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if errbox:
+            raise errbox[0]
+
+    def _iter_sync(self) -> Iterator:
         if len(self) == 0:
             raise ValueError(
                 f"loader would yield zero batches: shard has "
