@@ -202,6 +202,14 @@ def main():
             "f0": lf0[:, None], "cf0": cf0[:, None], "uv": uv[:, None],
             "mcep": mcep, "bap": bap,
         }
+        if "mcap" in config["aux_feats"]:
+            # mel-cepstral aperiodicity (reference ssc_postprocessing.py:170)
+            from serenade_tpu.ops.world import aperiodicity_spectrum
+
+            ap_full = aperiodicity_spectrum(bap, sr, (sp.shape[1] - 1) * 2)
+            feats["mcap"] = sp2mc(np.maximum(ap_full, 1e-10),
+                                  order=int(config["mcap_dim"]),
+                                  alpha=ALPHA[sr])
         cols = []
         for name in config["aux_feats"]:
             v = feats[name]
