@@ -43,6 +43,7 @@ class Serenade(nn.Module):
     input_dim: int = 768            # ContentVec features
     output_dim: int = 80            # log-mel
     encoder_channels: int = 80
+    encoder_hidden_dim: int = 512
     decoder_channels: int = 512
     gst_embed_dim: int = 256
     decoder_attention_head_dim: int = 512
@@ -52,6 +53,9 @@ class Serenade(nn.Module):
     fluc_channels: int = 0          # extra F0-fluctuation channels (SerenadeNew)
     remat: bool = False             # rematerialize the UNet (memory for batch)
     gst_norm_type: str = "masked_group"  # "frozen_batch" for torch-ckpt compat
+    gst_tokens: int = 50
+    gst_conv_chans: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+    gst_gru_units: int = 128
     dtype: Any = jnp.bfloat16
 
     @property
@@ -61,14 +65,16 @@ class Serenade(nn.Module):
 
     def setup(self):
         self.encoder = Conv1dResnet(
-            out_dim=self.encoder_channels, hidden_dim=512, num_layers=2,
+            out_dim=self.encoder_channels, hidden_dim=self.encoder_hidden_dim,
+            num_layers=2,
             dtype=self.dtype,
         )
         self.gst = StyleEncoder(
             idim=self.output_dim,
-            gst_tokens=50,
+            gst_tokens=self.gst_tokens,
             gst_token_dim=self.gst_embed_dim,
-            conv_chans=(128, 128, 256, 256, 512, 512),
+            conv_chans=tuple(self.gst_conv_chans),
+            gru_units=self.gst_gru_units,
             norm_type=self.gst_norm_type,
             dtype=self.dtype,
         )

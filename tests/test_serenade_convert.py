@@ -83,7 +83,7 @@ def _build_torch_twin():
             return state[-1]
 
     class STL(nn.Module):
-        def __init__(self, heads=2):
+        def __init__(self, heads=4):
             super().__init__()
             self.heads = heads
             tok_dim = GST_DIM // heads
@@ -170,7 +170,7 @@ def _build_torch_twin():
             return self.speaker_projection(out, spk)
 
     class TX(nn.Module):
-        def __init__(self, dim, heads=2, head_dim=HEAD_DIM):
+        def __init__(self, dim, heads=4, head_dim=HEAD_DIM):
             super().__init__()
             inner = heads * head_dim
             self.heads, self.head_dim = heads, head_dim
@@ -305,7 +305,7 @@ def test_converter_full_parity():
     with torch.no_grad():
         gst_ref = twin.gst(torch.from_numpy(mel)).numpy()
     gst_mod = StyleEncoder(idim=MEL, gst_tokens=10, gst_token_dim=GST_DIM,
-                           gst_heads=2, conv_chans=GST_CHANS,
+                           gst_heads=4, conv_chans=GST_CHANS,
                            gru_units=GRU_UNITS, norm_type="frozen_batch")
     gst_got = np.asarray(gst_mod.apply(
         {"params": params["params"]["gst"]}, jnp.asarray(mel)))
@@ -325,7 +325,7 @@ def test_converter_full_parity():
         ).numpy()
     dec = Decoder(in_channels=UNET_IN, out_channels=MEL,
                   channels=(DEC_CH, DEC_CH), attention_head_dim=HEAD_DIM,
-                  num_heads=2, dropout=0.0)
+                  num_heads=4, dropout=0.0)
     est_got = np.asarray(dec.apply(
         {"params": params["params"]["cfm_decoder"]["estimator"]},
         jnp.asarray(xt.transpose(0, 2, 1)),
