@@ -128,6 +128,9 @@ class ReferenceEncoder(nn.Module):
     stride: int = 2
     gru_units: int = 128
     norm_type: str = "masked_group"  # or "frozen_batch" (torch-ckpt compat)
+    pooling: str = "gru"  # or "attention": masked attention pooling — no
+    #                        sequential scan, the SURVEY §7.4 latency-cliff
+    #                        alternative (parity default stays GRU)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -168,6 +171,17 @@ class ReferenceEncoder(nn.Module):
         step_mask = (
             jax.lax.broadcasted_iota(jnp.int32, (b, bt), 1) < t_len[:, None]
         ).astype(jnp.float32)
+        if self.pooling == "attention":
+            # masked single-query attention pooling: O(T') parallel ops
+            # instead of a sequential scan
+            h = nn.Dense(self.gru_units, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="pool_proj")(feats)
+            logits = nn.Dense(1, dtype=jnp.float32,
+                              param_dtype=self.param_dtype,
+                              name="pool_score")(feats)[..., 0]
+            logits = jnp.where(step_mask > 0, logits, -1e30)
+            w = jax.nn.softmax(logits, axis=1)
+            return jnp.einsum("bt,btc->bc", w.astype(h.dtype), h)
         return MaskedGRU(self.gru_units, param_dtype=self.param_dtype)(
             feats, step_mask
         )
@@ -216,6 +230,7 @@ class StyleEncoder(nn.Module):
     conv_chans: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
     gru_units: int = 128
     norm_type: str = "masked_group"
+    pooling: str = "gru"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -226,6 +241,7 @@ class StyleEncoder(nn.Module):
             conv_chans=self.conv_chans,
             gru_units=self.gru_units,
             norm_type=self.norm_type,
+            pooling=self.pooling,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="ref_enc",

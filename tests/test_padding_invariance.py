@@ -72,3 +72,24 @@ def test_training_loss_invariant_to_bucket_size():
     l64 = prior_loss(batch64)
     l128 = prior_loss(make(128))
     assert abs(l64 - l128) < 2e-4, (l64, l128)
+
+
+def test_gst_attention_pooling_variant():
+    """Attention-pooling GST: valid shapes, padding-invariant, differs from
+    the GRU path (it's a distinct architecture behind a flag)."""
+    from serenade_tpu.models.gst import StyleEncoder
+    import jax
+
+    mel = jax.random.normal(jax.random.key(0), (2, 128, 8))
+    lengths = jnp.array([128, 70])
+    kwargs = dict(idim=8, gst_tokens=10, gst_token_dim=16,
+                  conv_chans=(4, 4, 8, 8, 16, 16), gru_units=8)
+    m = StyleEncoder(**kwargs, pooling="attention")
+    params = jax.jit(lambda x: m.init(jax.random.key(1), x, lengths))(mel)
+    out = m.apply(params, mel, lengths)
+    assert out.shape == (2, 16)
+    # padding invariance
+    mel_pad = jnp.pad(mel, ((0, 0), (0, 64), (0, 0)))
+    out_pad = m.apply(params, mel_pad, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_pad),
+                               atol=2e-4)
