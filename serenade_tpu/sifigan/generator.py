@@ -144,6 +144,32 @@ class SiFiGANGenerator(nn.Module):
                    dtype=self.dtype, param_dtype=self.param_dtype,
                    name="input_conv")(c.astype(self.dtype))
 
+        # upsample stacks; with share_upsamples the SAME module instances
+        # serve both networks (flax shares params on reuse)
+        sn_ups = [
+            ConvTranspose1d(
+                self.channels // (2 ** (i + 1)), kernel_size=k_up, stride=s,
+                padding=s // 2 + s % 2, output_padding=s % 2,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"sn_up{i}",
+            )
+            for i, (s, k_up) in enumerate(
+                zip(self.upsample_scales, self.upsample_kernel_sizes))
+        ]
+        if self.share_upsamples:
+            fn_ups = sn_ups
+        else:
+            fn_ups = [
+                ConvTranspose1d(
+                    self.channels // (2 ** (i + 1)), kernel_size=k_up,
+                    stride=s, padding=s // 2 + s % 2, output_padding=s % 2,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name=f"fn_up{i}",
+                )
+                for i, (s, k_up) in enumerate(
+                    zip(self.upsample_scales, self.upsample_kernel_sizes))
+            ]
+
         # ----- source network -----
         e = h
         source_feats = []
@@ -152,12 +178,7 @@ class SiFiGANGenerator(nn.Module):
         ):
             ch = self.channels // (2 ** (i + 1))
             e = leaky_relu_01(e)
-            e = ConvTranspose1d(
-                ch, kernel_size=k_up, stride=s,
-                padding=s // 2 + s % 2, output_padding=s % 2,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"sn_up{i}",
-            )(e)
+            e = sn_ups[i](e)
             # sine embedding: strided conv downsampling the excitation to
             # this level's rate
             stride = total // cum_scales[i]
@@ -190,18 +211,7 @@ class SiFiGANGenerator(nn.Module):
         ):
             ch = self.channels // (2 ** (i + 1))
             x = leaky_relu_01(x)
-            if self.share_upsamples:
-                # reuse the source upsample params via module sharing
-                raise NotImplementedError(
-                    "share_upsamples not supported (shipped config uses "
-                    "separate stacks, sifigan.yaml:24)"
-                )
-            x = ConvTranspose1d(
-                ch, kernel_size=k_up, stride=s,
-                padding=s // 2 + s % 2, output_padding=s % 2,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"fn_up{i}",
-            )(x)
+            x = fn_ups[i](x)
             x = x + source_feats[i][:, : x.shape[1], :]
             acc = None
             for j, (k_res, dils) in enumerate(

@@ -67,3 +67,26 @@ def test_generator_shapes():
     assert y.shape == (1, Tf * total, 1)
     assert excitation.shape == (1, Tf * total, 1)
     assert np.all(np.abs(np.asarray(y)) <= 1.0)
+
+
+def test_generator_share_upsamples():
+    kwargs = dict(
+        in_channels=7, channels=16, upsample_scales=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        source_resblock_dilations=((1,), (1, 2)),
+        filter_resblock_kernel_sizes=(3,),
+        filter_resblock_dilations=((1, 3),),
+    )
+    Tf, total = 10, 8
+    c = jnp.zeros((1, Tf, 7))
+    sine = jnp.zeros((1, Tf * total, 1))
+    dfs = [jnp.ones((1, Tf * 4)), jnp.ones((1, Tf * 8))]
+
+    def n_params(share):
+        m = SiFiGANGenerator(**kwargs, share_upsamples=share)
+        p = jax.jit(lambda: m.init(jax.random.key(0), sine, c, dfs))()
+        y, _ = m.apply(p, sine, c, dfs)
+        assert y.shape == (1, Tf * total, 1)
+        return sum(x.size for x in jax.tree_util.tree_leaves(p))
+
+    assert n_params(True) < n_params(False)  # shared stacks save params
