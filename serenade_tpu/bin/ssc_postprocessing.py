@@ -124,6 +124,8 @@ def main():
 
     gen_cfg = dict(config["generator"])
     gen_cfg.pop("_target_", None)
+    sn_cfg = dict(gen_cfg.get("source_network_params", {}))
+    fn_cfg = dict(gen_cfg.get("filter_network_params", {}))
     model = SiFiGANGenerator(
         in_channels=gen_cfg.get("in_channels", 43),
         out_channels=gen_cfg.get("out_channels", 1),
@@ -133,6 +135,20 @@ def main():
         upsample_kernel_sizes=tuple(
             gen_cfg.get("upsample_kernel_sizes", (10, 8, 6, 4))
         ),
+        source_resblock_kernel_size=sn_cfg.get("resblock_kernel_size", 3),
+        source_resblock_dilations=tuple(
+            tuple(d) for d in sn_cfg.get(
+                "resblock_dilations",
+                ((1,), (1, 2), (1, 2, 4), (1, 2, 4, 8)))),
+        source_use_additional_convs=sn_cfg.get("use_additional_convs", True),
+        filter_resblock_kernel_sizes=tuple(
+            fn_cfg.get("resblock_kernel_sizes", (3, 5, 7))),
+        filter_resblock_dilations=tuple(
+            tuple(d) for d in fn_cfg.get(
+                "resblock_dilations", ((1, 3, 5),) * 3)),
+        filter_use_additional_convs=fn_cfg.get("use_additional_convs", False),
+        share_upsamples=gen_cfg.get("share_upsamples", False),
+        share_downsamples=gen_cfg.get("share_downsamples", False),
     )
     params = None
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):

@@ -2,23 +2,30 @@
 
 TPU-native implementation of the architecture the reference instantiates
 from the external ``sifigan`` package (bin/sifigan_config/generator/
-sifigan.yaml; Yoneyama et al., "Source-Filter HiFi-GAN", ICASSP 2023):
+sifigan.yaml; Yoneyama et al., "Source-Filter HiFi-GAN", ICASSP 2023).
+Topology mirrors the official package so released checkpoints convert 1:1
+(see convert.py):
 
-* **Source network**: mel-cepstrum conditioning is upsampled level by level
-  (ConvTranspose), a downsampled embedding of the sine excitation signal is
-  added at each level, and a *quasi-periodic* residual block — dilated
-  convs whose per-timestep dilation follows the pitch (dense dilation
-  factors) — shapes the harmonic structure.  A 1×1 conv head emits the
-  excitation waveform (used by the training regularization loss).
-* **Filter network**: its own upsample stack (share flags supported) whose
-  features are summed with the source network's representation at each
-  resolution, refined by multi-kernel HiFiGAN residual blocks (averaged),
-  then projected to the waveform with tanh.
+* **Sine embedding**: the excitation sine (waveform rate) is embedded by a
+  conv (``sn_emb``) and progressively downsampled by strided convs
+  (``sn_down{i}``) to every intermediate resolution.
+* **Source network**: the shared ``input_conv`` features are upsampled level
+  by level (ConvTranspose ``sn_up{i}``), the matching sine embedding is
+  added, and a *quasi-periodic* residual block (``sn_block{i}``) — three
+  1×1 convs over {past, current, future} taps whose per-timestep offset
+  follows the pitch — shapes the harmonic structure.  ``sn_output_conv``
+  emits the excitation waveform (training regularization target).
+* **Filter network**: the finest source features are downsampled back
+  through ``fn_down{i}`` and injected at every resolution of the filter's
+  own upsample stack (``fn_up{i}``), refined by multi-kernel HiFiGAN
+  residual blocks (averaged), then projected to the waveform with tanh.
 
-The pitch-dependent conv is a gather formulation: taps read
-``x[t + j * round(d(t) * dilation)]`` — per-frame dynamic dilation with
-static shapes, which XLA lowers to vectorized gathers (the CUDA package
-does the same indexing on GPU).
+The pitch-dependent taps are a gather formulation: ``x[t ± round(d(t) *
+dilation)]`` — per-frame dynamic dilation with static shapes, which XLA
+lowers to vectorized gathers (the CUDA package does equivalent indexing).
+
+Reference call site: serenade/bin/ssc_postprocessing.py:92-99,225-237
+(``model(in_signal, c, dfs)`` → (waveform, excitation)).
 """
 
 from __future__ import annotations
@@ -33,31 +40,40 @@ from serenade_tpu.models.layers import Conv1d, ConvTranspose1d
 from serenade_tpu.vocoder.layers import HiFiGANResidualBlock, leaky_relu_01
 
 
-def pitch_dependent_conv(x, d, kernels, bias, dilation: int):
-    """Time-varying dilated conv (k=3): taps at t - D(t), t, t + D(t) with
-    D(t) = round(d(t) * dilation).
+def pd_gather(x, d, dilation: int):
+    """Pitch-dependent past/future taps: ``x[t ∓ round(d(t) * dilation)]``
+    with indices clamped to the valid range (boundary samples replicate,
+    matching the torch package's clamp convention).
 
     Args:
         x: (B, T, C).
         d: (B, T) dense dilation factor (level-native samples).
-        kernels: (3, C, Cout).
-        bias: (Cout,) or None.
+
+    Returns:
+        (x_past, x_future), each (B, T, C).
     """
     b, t, c = x.shape
     D = jnp.rint(d * dilation).astype(jnp.int32)
     pos = jnp.arange(t)[None, :]
-    left = jnp.clip(pos - D, 0, t - 1)
-    right = jnp.clip(pos + D, 0, t - 1)
+    past = jnp.clip(pos - D, 0, t - 1)
+    future = jnp.clip(pos + D, 0, t - 1)
 
     def gather(xb, idx):
         return jnp.take_along_axis(xb, idx[..., None], axis=0)
 
-    x_l = jax.vmap(gather)(x, left)
-    x_r = jax.vmap(gather)(x, right)
+    return jax.vmap(gather)(x, past), jax.vmap(gather)(x, future)
+
+
+def pitch_dependent_conv(x, d, kernels, bias, dilation: int):
+    """Time-varying dilated conv (k=3): taps at t - D(t), t, t + D(t) with
+    D(t) = round(d(t) * dilation).  ``kernels`` is (3, C, Cout) ordered
+    (past, current, future); equivalent to the package's three 1×1 convs.
+    """
+    x_p, x_f = pd_gather(x, d, dilation)
     y = (
-        jnp.einsum("btc,cd->btd", x_l, kernels[0])
+        jnp.einsum("btc,cd->btd", x_p, kernels[0])
         + jnp.einsum("btc,cd->btd", x, kernels[1])
-        + jnp.einsum("btc,cd->btd", x_r, kernels[2])
+        + jnp.einsum("btc,cd->btd", x_f, kernels[2])
     )
     if bias is not None:
         y = y + bias
@@ -65,8 +81,10 @@ def pitch_dependent_conv(x, d, kernels, bias, dilation: int):
 
 
 class QPResidualBlock(nn.Module):
-    """Adaptive (pitch-dependent) residual block: per dilation —
-    LReLU → PD-conv(dil) [→ LReLU → conv(k3, dil=1)] → +residual."""
+    """Adaptive (pitch-dependent) residual block.  Per dilation:
+    h = LReLU(x); y = convC(h) + convP(h[t-D]) + convF(h[t+D]);
+    [y = convA(LReLU(y))]; x = x + y — the package's AdaptiveResidualBlock
+    (convsC/convsP/convsF 1×1 + optional convsA k=3)."""
 
     channels: int
     dilations: Tuple[int, ...]
@@ -78,25 +96,22 @@ class QPResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, d):
         assert self.kernel_size == 3, "QP conv implemented for k=3"
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         for i, dil in enumerate(self.dilations):
             h = leaky_relu_01(x)
-            kernels = self.param(
-                f"pdconv{i}_kernel",
-                nn.initializers.he_normal(in_axis=(0, 1), out_axis=2),
-                (3, self.channels, self.channels), self.param_dtype,
-            )
-            bias = self.param(f"pdconv{i}_bias", nn.initializers.zeros,
-                              (self.channels,), self.param_dtype)
-            h = pitch_dependent_conv(
-                h.astype(self.dtype), d,
-                kernels.astype(self.dtype), bias.astype(self.dtype), dil,
+            h_p, h_f = pd_gather(h, d, dil)
+            y = (
+                Conv1d(self.channels, kernel_size=1, name=f"convC{i}",
+                       **common)(h)
+                + Conv1d(self.channels, kernel_size=1, name=f"convP{i}",
+                         **common)(h_p)
+                + Conv1d(self.channels, kernel_size=1, name=f"convF{i}",
+                         **common)(h_f)
             )
             if self.use_additional_convs:
-                h = leaky_relu_01(h)
-                h = Conv1d(self.channels, kernel_size=3, dtype=self.dtype,
-                           param_dtype=self.param_dtype,
-                           name=f"conv{i}")(h)
-            x = x + h
+                y = Conv1d(self.channels, kernel_size=3, name=f"convA{i}",
+                           **common)(leaky_relu_01(y))
+            x = x + y
         return x
 
 
@@ -115,6 +130,7 @@ class SiFiGANGenerator(nn.Module):
     filter_resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
     filter_use_additional_convs: bool = False
     share_upsamples: bool = False
+    share_downsamples: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -128,107 +144,104 @@ class SiFiGANGenerator(nn.Module):
             dfs: list over levels of (B, T_level) dense dilation factors.
 
         Returns:
-            (B, T_frames * prod(scales), out_channels) waveform, plus the
-            source-network excitation output (same length) for training
-            regularization.
+            (waveform, excitation), each (B, T_frames * prod(scales),
+            out_channels).  The excitation is the source network's output
+            used by the training regularization loss.
         """
         n_up = len(self.upsample_scales)
-        cum_scales = []
-        cum = 1
-        for s in self.upsample_scales:
-            cum *= s
-            cum_scales.append(cum)
-        total = cum_scales[-1]
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         h = Conv1d(self.channels, kernel_size=self.kernel_size,
-                   dtype=self.dtype, param_dtype=self.param_dtype,
-                   name="input_conv")(c.astype(self.dtype))
+                   name="input_conv", **common)(c.astype(self.dtype))
 
-        # upsample stacks; with share_upsamples the SAME module instances
-        # serve both networks (flax shares params on reuse)
-        sn_ups = [
-            ConvTranspose1d(
-                self.channels // (2 ** (i + 1)), kernel_size=k_up, stride=s,
-                padding=s // 2 + s % 2, output_padding=s % 2,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"sn_up{i}",
+        def up(i, tag):
+            return ConvTranspose1d(
+                self.channels // (2 ** (i + 1)),
+                kernel_size=self.upsample_kernel_sizes[i],
+                stride=self.upsample_scales[i],
+                padding=self.upsample_scales[i] // 2
+                + self.upsample_scales[i] % 2,
+                output_padding=self.upsample_scales[i] % 2,
+                name=f"{tag}_up{i}", **common,
             )
-            for i, (s, k_up) in enumerate(
-                zip(self.upsample_scales, self.upsample_kernel_sizes))
-        ]
-        if self.share_upsamples:
-            fn_ups = sn_ups
-        else:
-            fn_ups = [
-                ConvTranspose1d(
-                    self.channels // (2 ** (i + 1)), kernel_size=k_up,
-                    stride=s, padding=s // 2 + s % 2, output_padding=s % 2,
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"fn_up{i}",
-                )
-                for i, (s, k_up) in enumerate(
-                    zip(self.upsample_scales, self.upsample_kernel_sizes))
-            ]
+
+        def down(i, tag):
+            # downsamples[i] runs at the (n_up-1-i)-th level's geometry:
+            # stride/kernel of the mirrored upsample, channels doubling
+            j = n_up - 1 - i
+            s = self.upsample_scales[j]
+            return Conv1d(
+                self.channels // (2 ** j),
+                kernel_size=self.upsample_kernel_sizes[j], stride=s,
+                padding=s // 2 + s % 2, name=f"{tag}_down{i}", **common,
+            )
+
+        sn_ups = [up(i, "sn") for i in range(n_up)]
+        fn_ups = sn_ups if self.share_upsamples else [
+            up(i, "fn") for i in range(n_up)]
+        sn_downs = [down(i, "sn") for i in range(n_up - 1)]
+        fn_downs = sn_downs if self.share_downsamples else [
+            down(i, "fn") for i in range(n_up - 1)]
+
+        # ----- sine embedding at every resolution -----
+        x = Conv1d(self.channels // (2 ** n_up),
+                   kernel_size=self.kernel_size, name="sn_emb",
+                   **common)(sine.astype(self.dtype))
+        embs = [x]
+        for i in range(n_up - 1):
+            x = leaky_relu_01(sn_downs[i](x))
+            embs.append(x)
 
         # ----- source network -----
         e = h
-        source_feats = []
-        for i, (s, k_up) in enumerate(
-            zip(self.upsample_scales, self.upsample_kernel_sizes)
-        ):
-            ch = self.channels // (2 ** (i + 1))
+        for i in range(n_up):
             e = leaky_relu_01(e)
             e = sn_ups[i](e)
-            # sine embedding: strided conv downsampling the excitation to
-            # this level's rate
-            stride = total // cum_scales[i]
-            k_down = 2 * stride + 1
-            emb = Conv1d(ch, kernel_size=k_down, stride=stride,
-                         padding=stride, dtype=self.dtype,
-                         param_dtype=self.param_dtype,
-                         name=f"sn_sine_down{i}")(sine.astype(self.dtype))
-            e = e + emb[:, : e.shape[1], :]
+            emb = embs[n_up - 1 - i]
+            t = min(e.shape[1], emb.shape[1])
+            e = e[:, :t, :] + emb[:, :t, :]
             e = QPResidualBlock(
-                channels=ch,
+                channels=self.channels // (2 ** (i + 1)),
                 dilations=tuple(self.source_resblock_dilations[i]),
                 kernel_size=self.source_resblock_kernel_size,
                 use_additional_convs=self.source_use_additional_convs,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"sn_block{i}",
+                name=f"sn_block{i}", **common,
             )(e, dfs[i][:, : e.shape[1]])
-            source_feats.append(e)
 
         excitation = Conv1d(
             self.out_channels, kernel_size=self.kernel_size,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            name="sn_output_conv",
-        )(leaky_relu_01(source_feats[-1]))
+            name="sn_output_conv", **common,
+        )(e)
 
-        # ----- filter network -----
+        # ----- filter network: inject downsampled source features -----
+        fembs = [e]
+        for i in range(n_up - 1):
+            e = leaky_relu_01(fn_downs[i](e))
+            fembs.append(e)
+
         x = h
-        for i, (s, k_up) in enumerate(
-            zip(self.upsample_scales, self.upsample_kernel_sizes)
-        ):
-            ch = self.channels // (2 ** (i + 1))
+        for i in range(n_up):
             x = leaky_relu_01(x)
             x = fn_ups[i](x)
-            x = x + source_feats[i][:, : x.shape[1], :]
+            emb = fembs[n_up - 1 - i]
+            t = min(x.shape[1], emb.shape[1])
+            x = x[:, :t, :] + emb[:, :t, :]
             acc = None
             for j, (k_res, dils) in enumerate(
                 zip(self.filter_resblock_kernel_sizes,
                     self.filter_resblock_dilations)
             ):
                 hh = HiFiGANResidualBlock(
-                    kernel_size=k_res, channels=ch, dilations=tuple(dils),
+                    kernel_size=k_res,
+                    channels=self.channels // (2 ** (i + 1)),
+                    dilations=tuple(dils),
                     use_additional_convs=self.filter_use_additional_convs,
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"fn_block{i}_{j}",
+                    name=f"fn_block{i}_{j}", **common,
                 )(x)
                 acc = hh if acc is None else acc + hh
             x = acc / len(self.filter_resblock_kernel_sizes)
 
         x = leaky_relu_01(x)
         x = Conv1d(self.out_channels, kernel_size=self.kernel_size,
-                   dtype=self.dtype, param_dtype=self.param_dtype,
-                   name="output_conv")(x)
+                   name="fn_output_conv", **common)(x)
         return jnp.tanh(x), excitation
