@@ -25,11 +25,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_init_distributed() -> None:
     """Initialize JAX multi-process runtime when launched under a cluster
-    (no-op for single-process; safe to call repeatedly)."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    (no-op for single-process; safe to call repeatedly).
+
+    Order matters: the env check comes FIRST — ``jax.process_count()`` (or
+    any device query) initializes the backend, after which
+    ``jax.distributed.initialize`` is a no-op-too-late.  When the
+    coordinator env is unset this function must not touch any jax API that
+    freezes the backend.
+    """
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coord:
+        return
+    try:
+        already = jax._src.distributed.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift fallback
+        already = False
+    if already:
+        return
+    # On SLURM/OpenMPI/TPU pods jax auto-detects process topology; for a
+    # plain launcher (utils/launch_hosts.sh) it comes from env.
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nproc) if nproc else None,
+        process_id=int(pid) if pid else None,
+    )
 
 
 def make_mesh(

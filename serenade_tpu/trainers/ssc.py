@@ -68,6 +68,7 @@ class SSCTrainer:
         self.epochs = 0
         self.finish_train = False
         self.total_train_loss = defaultdict(float)
+        self._pending = []
         self._writer = writer
         self._last_log_time = time.time()
         # jax.profiler trace capture (SURVEY §5.1: strict superset of the
@@ -136,9 +137,10 @@ class SSCTrainer:
                 return
 
     def _accumulate(self, metrics):
-        # fetch lazily: jax arrays resolve at log time, keeping the device
-        # queue full between intervals
-        self._pending = metrics
+        # hold unfetched device scalars; materialize only at the log
+        # boundary so no step blocks on the previous step's metrics and the
+        # device dispatch queue stays full between intervals
+        self._pending.append(metrics)
 
     # ------------------------------------------------------------------
     # intervals
@@ -146,11 +148,12 @@ class SSCTrainer:
 
     def _check_log_interval(self):
         interval = int(self.config.get("log_interval_steps", 500))
-        metrics = jax.device_get(self._pending)
-        for k, v in metrics.items():
-            self.total_train_loss[k] += float(v)
         if self.steps % interval:
             return
+        for m in jax.device_get(self._pending):
+            for k, v in m.items():
+                self.total_train_loss[k] += float(v)
+        self._pending = []
         elapsed = time.time() - self._last_log_time
         self._last_log_time = time.time()
         if not _is_main_process():

@@ -100,3 +100,75 @@ def test_tp_matches_single_device():
         np.asarray(p_tp["params"]["w1"]), np.asarray(p_single["params"]["w1"]),
         atol=5e-4,
     )
+
+
+def test_full_model_step_tp_matches_replicated():
+    """VERDICT #9: the FULL Serenade train step under a dp×tp mesh matches
+    the single-device run, and the UNet's big kernels are actually sharded
+    on 'model' (not silently replicated)."""
+    from serenade_tpu.models import Serenade
+
+    model = Serenade(
+        input_dim=32, output_dim=8, encoder_channels=8,
+        decoder_channels=256, gst_embed_dim=32,
+        decoder_attention_head_dim=64, dtype=jnp.float32,
+    )
+    b, t = 4, 32
+    ks = jax.random.split(jax.random.key(0), 5)
+    batch = dict(
+        x=jax.random.normal(ks[0], (b, t, 32)),
+        lengths=jnp.array([t, t - 8, t, t // 2]),
+        logmel=jax.random.normal(ks[1], (b, t, 8)),
+        midi=jax.random.uniform(ks[2], (b, t, 1)),
+        loud=jax.random.uniform(ks[3], (b, t, 1)),
+    )
+    params = jax.jit(
+        lambda bt: model.init(
+            {"params": jax.random.key(1)}, bt["x"], bt["lengths"],
+            bt["logmel"], bt["midi"], bt["loud"], rng=jax.random.key(2),
+            deterministic=True,
+        )
+    )(batch)
+    # SGD, not Adam: Adam's first steps are ~sign(grad)*lr, so f32
+    # reduction-order noise on near-zero grads flips whole-lr updates and
+    # masks real numerics; SGD keeps the diff at noise scale.
+    tx, _ = build_optimizer(dict(CONFIG, optimizer_type="SGD",
+                                 optimizer_params={"lr": 1e-2}))
+
+    def run(params, batch, mesh=None):
+        if mesh is not None:
+            params = shard_params(params, mesh)
+            batch = shard_batch(batch, mesh)
+        state = create_train_state(params, tx)
+        step = build_train_step(model, tx, donate=False)
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.key(7))
+        return state, metrics
+
+    state_1, m_1 = run(params, batch)
+
+    mesh = make_mesh(data=2, model=2)
+    # prove real partitioning before running
+    shardings = infer_param_shardings(params, mesh)
+    tp_specs = [
+        s.spec for s in jax.tree_util.tree_leaves(shardings)
+        if "model" in str(s.spec)
+    ]
+    assert len(tp_specs) >= 4, "no big kernel got a 'model' sharding"
+    state_2, m_2 = run(params, batch, mesh)
+
+    # live arrays really sharded (not just requested)
+    flat = jax.tree_util.tree_leaves_with_path(state_2.params)
+    live_tp = [p for p, leaf in flat
+               if "model" in str(getattr(leaf.sharding, "spec", ""))]
+    assert live_tp, "updated params lost their tp sharding"
+
+    assert float(m_2["train/loss"]) == pytest.approx(
+        float(m_1["train/loss"]), rel=1e-5)
+    p1 = jax.device_get(state_1.params)
+    p2 = jax.device_get(state_2.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        p1, p2,
+    )
