@@ -1,9 +1,20 @@
-# Job-backend selection (reference cmd.sh role).
+# Job-backend selection (reference cmd.sh:31-92 role).
 #
-# The TPU build runs stages as plain processes by default; on a cluster,
-# point these at your scheduler wrapper (e.g. "srun", "qsub -sync y ...").
-# Stages only communicate through the filesystem, so any launcher that
-# preserves the working directory works.
-export train_cmd=""
-export cuda_cmd=""
-export decode_cmd=""
+# Stages communicate only through the filesystem, so any launcher that
+# preserves the working directory works.  Pick a backend for array jobs
+# (feature extraction, decoding) by setting `backend` below or in the
+# environment; utils/launch.sh implements the run.pl/slurm.pl semantics.
+#
+#   local  — background subshells on this host (default)
+#   slurm  — one srun task per array element (run inside an allocation)
+#   ssh    — round-robin over ${job_hosts}
+backend="${backend:-local}"
+job_hosts="${job_hosts:-}"
+
+launch_opts=(--backend "${backend}")
+[ -n "${job_hosts}" ] && launch_opts+=(--hosts "${job_hosts}")
+
+export train_cmd="utils/launch.sh ${launch_opts[*]}"
+export decode_cmd="utils/launch.sh ${launch_opts[*]}"
+# multi-host training (TPU pod / CPU cluster): see utils/launch_hosts.sh
+export hosts_cmd="utils/launch_hosts.sh"

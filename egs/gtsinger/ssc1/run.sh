@@ -40,6 +40,7 @@ variant=""            # "" or "new" (SerenadeNew / -modded CLIs)
 skip_gtmidi=false     # true => no GT score MIDI (datasets without JSON scores)
 
 . ./utils/parse_options.sh
+. ./cmd.sh
 
 suffix=""
 [ -n "${variant}" ] && suffix="_${variant}"
@@ -65,27 +66,21 @@ if [ "${stage}" -le 1 ] && [ "${stop_stage}" -ge 1 ]; then
         fi
         mkdir -p "${dumpdir}/${split}"
         python utils/split_scp.py "data/${split}/wav.scp" "${n_jobs}"
-        pids=()
-        for job in $(seq 1 "${n_jobs}"); do
-            (
-                extra=()
-                [ -f "${contentvec_ckpt}" ] && extra+=(--contentvec-ckpt "${contentvec_ckpt}")
-                [ -f "${contentvec_ckpt}" ] || extra+=(--allow-missing-hubert true)
-                [ -f "${midi_model_ckpt}" ] && extra+=(--midi-model-ckpt "${midi_model_ckpt}")
-                python -m serenade_tpu.bin.preprocess${suffix} \
-                    --wav-scp "data/${split}/wav.${job}.scp" \
-                    --dumpdir "${dumpdir}/${split}" \
-                    --midi-path "data/midi.csv" \
-                    --f0-path "${f0_path}" \
-                    --skip-gtmidi "${skip_gtmidi}" \
-                    --config "${conf}" \
-                    "${extra[@]}" \
-                    > "${dumpdir}/${split}/preprocessing.${job}.log" 2>&1
-            ) &
-            pids+=($!)
-        done
-        fail=0; for p in "${pids[@]}"; do wait "$p" || fail=1; done
-        [ "${fail}" -eq 0 ] || { echo "feature extraction failed for ${split}"; exit 1; }
+        extra=()
+        [ -f "${contentvec_ckpt}" ] && extra+=(--contentvec-ckpt "${contentvec_ckpt}")
+        [ -f "${contentvec_ckpt}" ] || extra+=(--allow-missing-hubert true)
+        [ -f "${midi_model_ckpt}" ] && extra+=(--midi-model-ckpt "${midi_model_ckpt}")
+        ${train_cmd:-utils/launch.sh} --array "1:${n_jobs}" \
+            "${dumpdir}/${split}/preprocessing.JOB.log" \
+            python -m serenade_tpu.bin.preprocess${suffix} \
+                --wav-scp "data/${split}/wav.JOB.scp" \
+                --dumpdir "${dumpdir}/${split}" \
+                --midi-path "data/midi.csv" \
+                --f0-path "${f0_path}" \
+                --skip-gtmidi "${skip_gtmidi}" \
+                --config "${conf}" \
+                "${extra[@]}" \
+            || { echo "feature extraction failed for ${split}"; exit 1; }
     done
 fi
 

@@ -1,5 +1,14 @@
-"""ContentVec encoder parity: convert a randomly-initialized torch HF
-HubertModel (with the reference's stride hack) and compare outputs."""
+"""ContentVec encoder parity at the released checkpoint layout.
+
+The released model is ``lengyue233/content-vec-best`` loaded through
+``HubertModelWithFinalProj`` (reference bin/preprocess.py:41-50,361-368):
+a full-size HF HubertModel (768-d, 12 layers) plus a backward-compat
+``final_proj`` Linear(768→classifier_proj_size) that the feature path never
+applies.  The checkpoint itself can't be fetched here (zero egress), so the
+test constructs that exact state-dict skeleton — full-size shapes and key
+names, including ``final_proj.*`` and ``masked_spec_embed`` — with random
+values, and proves the converter handles it end to end.
+"""
 
 import numpy as np
 import jax.numpy as jnp
@@ -8,17 +17,36 @@ import pytest
 from serenade_tpu.modules.contentvec import ContentVecEncoder, convert_hf_hubert
 
 
+def _released_twin(torch, transformers):
+    """HubertModelWithFinalProj with the released full-size config."""
+    config = transformers.HubertConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, classifier_proj_size=256,
+        apply_spec_augment=False,
+    )
+
+    class HubertModelWithFinalProj(transformers.HubertModel):
+        def __init__(self, config):
+            super().__init__(config)
+            self.final_proj = torch.nn.Linear(
+                config.hidden_size, config.classifier_proj_size
+            )
+
+    torch.manual_seed(0)
+    return HubertModelWithFinalProj(config).eval()
+
+
 @pytest.mark.slow
 def test_matches_hf_hubert_with_stride_hack():
     torch = pytest.importorskip("torch")
     transformers = pytest.importorskip("transformers")
 
-    config = transformers.HubertConfig(
-        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
-        intermediate_size=3072, apply_spec_augment=False,
-    )
-    torch.manual_seed(0)
-    ref = transformers.HubertModel(config).eval()
+    ref = _released_twin(torch, transformers)
+    sd = ref.state_dict()
+    # the released layout really carries these extras; conversion must
+    # tolerate them (final_proj is never applied in the feature path)
+    assert any(k.startswith("final_proj.") for k in sd)
+    assert sd["final_proj.weight"].shape == (256, 768)
     # the reference's 20ms -> 10ms stride hack (preprocess.py:361-368)
     ref.feature_extractor.conv_layers[-1].conv.stride = (1,)
 

@@ -50,8 +50,8 @@ def test_recipe_stages_0_to_2(tmp_path):
     for sub in ("local", "utils", "conf"):
         os.symlink(os.path.join(os.path.abspath(RECIPE), sub),
                    work / sub)
-    os.symlink(os.path.join(os.path.abspath(RECIPE), "run.sh"),
-               work / "run.sh")
+    for f in ("run.sh", "cmd.sh", "path.sh"):
+        os.symlink(os.path.join(os.path.abspath(RECIPE), f), work / f)
 
     res = subprocess.run(
         ["bash", "run.sh", "--stage", "0", "--stop_stage", "2",
