@@ -1,11 +1,20 @@
-"""End-of-round benchmark: single-utterance SSC conversion RTF on one chip.
+"""End-of-round benchmark: the BASELINE.md config ladder on one chip.
 
-Measures the full hot path of `serenade-decode` (reference
-ssc_decode.py:428-455): content encoding + GST + 10-step Euler CFM over the
-packed reference+source sequence + HiFiGAN vocoding to the waveform, on the
-flagship full-size model in bfloat16.
+Headline: single-utterance SSC conversion RTF — the full hot path of
+`serenade-decode` (reference ssc_decode.py:428-455): content encoding + GST
++ 10-step Euler CFM over the packed reference+source sequence + HiFiGAN
+vocoding, flagship full-size model in bfloat16.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`details` carries the rest of the ladder (BASELINE.md "Targets" 1-5):
+  train_steps_per_sec / train_mfu   — full train step, eff. batch 16
+  vocoder_samples_per_sec           — HiFiGAN synthesis throughput
+  feature_frames_per_sec            — on-device mel+loudness+F0 extraction
+  batched_decode_audio_sec_per_sec  — batched full-corpus decode (config 4)
+  e2e_with_features_rtf             — conversion RTF including on-device
+                                      feature extraction (north-star claim)
+  flash_vs_xla                      — attention backend ms at decode shapes
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 ``vs_baseline`` is the north-star ratio target/value (BASELINE.md: e2e
 conversion RTF < 0.05 on v5e-8 — here measured per single chip), so
 vs_baseline > 1.0 beats the target.
@@ -31,18 +40,45 @@ import jax.numpy as jnp
 import numpy as np
 
 FRAME_MS = 10.0          # feature frame period (conf/serenade.yaml:8)
+SR = 24000
+HOP = 240
 SRC_FRAMES = 1024        # ~10.2 s source utterance
 REF_FRAMES = 512         # ~5.1 s style reference
 N_TIMESTEPS = 10         # reference flow_matching.py:40
 RTF_TARGET = 0.05        # BASELINE.md north star
 
+# bf16 peak per chip for MFU (TPU v5e ≈ 197 TFLOP/s; v4 ≈ 275; v6e ≈ 918)
+_PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v4": 275e12, "TPU v6 lite": 918e12}
 
-def main():
-    from serenade_tpu.models import Serenade
-    from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
 
-    model = Serenade(dtype=jnp.bfloat16)
-    vocoder = HiFiGANGenerator(dtype=jnp.bfloat16)
+def _barrier(out):
+    """Force completion by fetching a scalar from the result.  Through the
+    axon tunnel `block_until_ready` returns before the remote execution
+    finishes, but a host fetch cannot; the device executes in order, so
+    fetching from the LAST result is a barrier for the whole loop."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf[(0,) * leaf.ndim]).astype(jnp.float32))
+
+
+def _timeit(fn, n=10, warmup_rounds=2):
+    """Time fn(i) over n iterations (steady state).
+
+    ``fn`` MUST vary its dispatched arguments with ``i``: the axon stack
+    dedupes executions whose program and operands are identical, which
+    makes repeated identical calls measure ~0.
+    """
+    for r in range(warmup_rounds):
+        _barrier(fn(1000 * (r + 1)))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n):
+        out = fn(i)
+    _barrier(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_conversion(model, vocoder, params, voc_params):
+    """Headline: decode hot path RTF (BASELINE config 3)."""
     b, ts, tr = 1, SRC_FRAMES, REF_FRAMES
     ks = jax.random.split(jax.random.key(0), 10)
     src = dict(
@@ -59,25 +95,6 @@ def main():
         ref_loud=jax.random.uniform(ks[6], (b, tr, 1)),
     )
 
-    init_batch = dict(
-        x=src["x"], lengths=src["lengths"],
-        logmel=jax.random.normal(ks[7], (b, ts, 80)),
-        midi=src["midi"], loud=src["loud"],
-    )
-    params = jax.jit(
-        lambda bt: model.init(
-            {"params": jax.random.key(1)}, bt["x"], bt["lengths"],
-            bt["logmel"], bt["midi"], bt["loud"], rng=jax.random.key(2),
-            deterministic=True,
-        )
-    )(init_batch)
-
-    voc_params = jax.jit(
-        lambda: vocoder.init(jax.random.key(7), jnp.zeros((1, 64, 80)))
-    )()
-
-    # two programs (CFM sampler / vocoder) compile faster than one giant
-    # fused graph and are each cached persistently
     @jax.jit
     def convert(params, src, ref, key):
         return model.apply(
@@ -89,24 +106,290 @@ def main():
 
     vocode = jax.jit(lambda vp, mel: vocoder.apply(vp, mel))
 
-    # warmup/compile
-    vocode(voc_params, convert(params, src, ref, ks[8])).block_until_ready()
-
-    n_iters = 10
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        wav = vocode(voc_params,
-                     convert(params, src, ref, jax.random.fold_in(ks[9], i)))
-    wav.block_until_ready()
-    elapsed = (time.perf_counter() - t0) / n_iters
-
+    elapsed = _timeit(
+        lambda i: vocode(voc_params,
+                         convert(params, src, ref,
+                                 jax.random.fold_in(ks[8], i))), n=10)
     audio_seconds = int(src["lengths"][0]) * FRAME_MS / 1000.0
-    rtf = elapsed / audio_seconds
+    return elapsed / audio_seconds
+
+
+def bench_train(model_f32):
+    """Config 5: full train step (UNet+GST, grad+clip+AdamW) at the
+    reference effective batch 16; returns (steps/sec, MFU)."""
+    from serenade_tpu.trainers import (
+        build_optimizer, build_train_step, create_train_state,
+    )
+
+    b, t = 16, 512
+    ks = jax.random.split(jax.random.key(1), 5)
+    batch = dict(
+        x=jax.random.normal(ks[0], (b, t, 768)),
+        lengths=jnp.full((b,), t, jnp.int32).at[1:].set(t - 37),
+        logmel=jax.random.normal(ks[1], (b, t, 80)),
+        midi=jax.random.uniform(ks[2], (b, t, 1)),
+        loud=jax.random.uniform(ks[3], (b, t, 1)),
+    )
+    params = jax.jit(
+        lambda bt: model_f32.init(
+            {"params": jax.random.key(2)}, bt["x"], bt["lengths"],
+            bt["logmel"], bt["midi"], bt["loud"], rng=jax.random.key(3),
+            deterministic=True,
+        )
+    )(batch)
+    config = {
+        "optimizer_type": "AdamW", "optimizer_params": {"lr": 8e-4},
+        "scheduler_type": "MultiStepLR",
+        "scheduler_params": {"gamma": 0.5, "milestones": [100000]},
+        "grad_norm": 1.0,
+    }
+    tx, _ = build_optimizer(config)
+    state = create_train_state(params, tx)
+    step_fn = build_train_step(model_f32, tx, donate=False)
+
+    # XLA's own flop count for the whole step program
+    flops = None
+    try:
+        lowered = step_fn.lower(state, batch, jax.random.key(4))
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+
+    elapsed = _timeit(
+        lambda i: step_fn(state, batch, jax.random.fold_in(jax.random.key(5), i)),
+        n=10)
+    steps_per_sec = 1.0 / elapsed
+    mfu = None
+    if flops:
+        kind = jax.devices()[0].device_kind
+        peak = _PEAK_BF16.get(kind)
+        if peak:
+            mfu = flops * steps_per_sec / peak
+    return steps_per_sec, mfu, flops
+
+
+def bench_vocoder(vocoder, voc_params):
+    """Config 2-adjacent: HiFiGAN synthesis samples/sec/chip."""
+    mel = jax.random.normal(jax.random.key(6), (1, 2048, 80))
+    vocode = jax.jit(lambda vp, m: vocoder.apply(vp, m))
+    # i-dependent perturbation keeps every dispatch distinct (see _timeit)
+    elapsed = _timeit(
+        lambda i: vocode(voc_params, mel + jnp.float32(i) * 1e-6), n=10)
+    return 2048 * HOP / elapsed
+
+
+def _feature_fn():
+    """Jitted mel + loudness + YIN-Viterbi F0 from a raw waveform
+    (the on-device replacement for librosa+pyworld preprocessing)."""
+    from serenade_tpu.ops.f0 import yin_f0_viterbi
+    from serenade_tpu.ops.mel import logmelfilterbank, loudness_extract
+
+    @jax.jit
+    def fn(wav):
+        logmel = logmelfilterbank(wav, SR, fft_size=512, hop_size=HOP,
+                                  win_length=None, num_mels=80)
+        loud = loudness_extract(wav, SR, HOP)
+        f0, vuv = yin_f0_viterbi(wav, SR, f0_floor=80.0, f0_ceil=1000.0,
+                                 frame_period_ms=FRAME_MS)
+        return {"logmel": logmel, "loud": loud, "f0": f0, "vuv": vuv}
+
+    return fn
+
+
+def bench_features():
+    """Config 1: on-device mel+loudness+F0 extraction frames/sec."""
+    n = SR * 10  # 10 s utterance
+    wav = jnp.asarray(
+        0.3 * np.sin(2 * np.pi * 220.0 * np.arange(n) / SR), jnp.float32)
+    fn = _feature_fn()
+    elapsed = _timeit(lambda i: fn(wav + jnp.float32(i) * 1e-9), n=5)
+    frames = n // HOP
+    return frames / elapsed
+
+
+def bench_batched_decode(model, params):
+    """Config 4: batched full-corpus decode throughput (audio-sec/sec) —
+    the reference is locked to batch=1 (serenade.py:208-218); batching is
+    the TPU win."""
+    b, ts, tr = 8, SRC_FRAMES, REF_FRAMES
+    ks = jax.random.split(jax.random.key(7), 10)
+    lengths = jnp.full((b,), ts, jnp.int32).at[1:].set(ts - 100)
+
+    @jax.jit
+    def convert(params, key):
+        return model.apply(
+            params,
+            jax.random.normal(ks[0], (b, ts, 768)), lengths,
+            jax.random.uniform(ks[1], (b, ts, 1)),
+            jax.random.uniform(ks[2], (b, ts, 1)),
+            jax.random.normal(ks[3], (b, tr, 768)),
+            jnp.full((b,), tr - 16, jnp.int32),
+            jax.random.normal(ks[4], (b, tr, 80)),
+            jax.random.uniform(ks[5], (b, tr, 1)),
+            jax.random.uniform(ks[6], (b, tr, 1)),
+            rng=key, n_timesteps=N_TIMESTEPS, method="inference",
+        )
+
+    elapsed = _timeit(
+        lambda i: convert(params, jax.random.fold_in(ks[8], i)), n=5)
+    audio_sec = float(jnp.sum(lengths)) * FRAME_MS / 1000.0
+    return audio_sec / elapsed
+
+
+def bench_e2e_with_features(model, vocoder, params, voc_params):
+    """North-star claim: conversion RTF including on-device feature
+    extraction — mel/loudness/F0 run from the raw waveform inside the same
+    jitted program as the CFM sampler and vocoder (content features are
+    precomputed-shape inputs, as in the reference decode path which reads
+    them from h5)."""
+    n = SRC_FRAMES * HOP
+    wav = jnp.asarray(
+        0.3 * np.sin(2 * np.pi * 220.0 * np.arange(n) / SR), jnp.float32)
+    feat_fn = _feature_fn()
+
+    b, ts, tr = 1, SRC_FRAMES, REF_FRAMES
+    ks = jax.random.split(jax.random.key(8), 10)
+    x = jax.random.normal(ks[0], (b, ts, 768))
+    ref = (
+        jax.random.normal(ks[3], (b, tr, 768)),
+        jnp.array([tr - 16]),
+        jax.random.normal(ks[4], (b, tr, 80)),
+        jax.random.uniform(ks[5], (b, tr, 1)),
+        jax.random.uniform(ks[6], (b, tr, 1)),
+    )
+
+    def _fit(a):
+        """Pad/trim a per-frame stream to exactly SRC_FRAMES (static)."""
+        if a.shape[0] < SRC_FRAMES:
+            a = jnp.pad(a, (0, SRC_FRAMES - a.shape[0]))
+        return a[:SRC_FRAMES].reshape(1, SRC_FRAMES, 1)
+
+    @jax.jit
+    def full(params, voc_params, wav, key):
+        feats = feat_fn(wav)
+        midi = _fit(feats["f0"])
+        loud = _fit(feats["loud"])
+        mel = model.apply(
+            params, x, jnp.array([SRC_FRAMES - 24]), midi, loud, *ref,
+            rng=key, n_timesteps=N_TIMESTEPS, method="inference",
+        )
+        return vocoder.apply(voc_params, mel)
+
+    elapsed = _timeit(
+        lambda i: full(params, voc_params, wav,
+                       jax.random.fold_in(ks[9], i)), n=5)
+    return elapsed / (n / SR)
+
+
+def bench_flash_vs_xla():
+    """Flash-Pallas vs XLA attention at the decode shapes (ref+src packed
+    sequences, 4 heads x 512 head-dim — transformer.py config)."""
+    from serenade_tpu.ops.attention import multi_head_attention
+
+    out = {}
+    for t in (1536, 3072, 6144):
+        q = jax.random.normal(jax.random.key(9), (1, t, 2048), jnp.bfloat16)
+        mask = jnp.ones((1, t))
+        row = {}
+        for backend in ("xla", "flash"):
+            try:
+                f = jax.jit(lambda q, m, bk=backend: multi_head_attention(
+                    q, q, q, num_heads=4, key_mask=m, backend=bk))
+                # feed the output back as the query: every dispatch is a
+                # new operand AND the chain cannot be deduped or reordered
+                state = {"q": q}
+
+                def step(i, f=f, state=state):
+                    state["q"] = f(state["q"], mask)
+                    return state["q"]
+
+                row[backend] = round(_timeit(step, n=20) * 1e3, 3)
+            except Exception as e:  # pragma: no cover
+                row[backend] = f"error: {type(e).__name__}"
+        out[f"T{t}_ms"] = row
+    return out
+
+
+def main():
+    from serenade_tpu.models import Serenade
+    from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
+
+    details = {}
+    errors = {}
+
+    model = Serenade(dtype=jnp.bfloat16)
+    vocoder = HiFiGANGenerator(dtype=jnp.bfloat16)
+    init_batch_key = jax.random.split(jax.random.key(0), 10)
+    init_batch = dict(
+        x=jax.random.normal(init_batch_key[0], (1, SRC_FRAMES, 768)),
+        lengths=jnp.array([SRC_FRAMES - 24]),
+        logmel=jax.random.normal(init_batch_key[7], (1, SRC_FRAMES, 80)),
+        midi=jax.random.uniform(init_batch_key[1], (1, SRC_FRAMES, 1)),
+        loud=jax.random.uniform(init_batch_key[2], (1, SRC_FRAMES, 1)),
+    )
+    params = jax.jit(
+        lambda bt: model.init(
+            {"params": jax.random.key(1)}, bt["x"], bt["lengths"],
+            bt["logmel"], bt["midi"], bt["loud"], rng=jax.random.key(2),
+            deterministic=True,
+        )
+    )(init_batch)
+    voc_params = jax.jit(
+        lambda: vocoder.init(jax.random.key(7), jnp.zeros((1, 64, 80)))
+    )()
+
+    rtf = bench_conversion(model, vocoder, params, voc_params)
+
+    try:
+        sps, mfu, flops = bench_train(Serenade(dtype=jnp.bfloat16))
+        details["train_steps_per_sec_b16_T512"] = round(sps, 3)
+        if mfu is not None:
+            details["train_mfu"] = round(mfu, 4)
+        if flops is not None:
+            details["train_step_tflops"] = round(flops / 1e12, 3)
+    except Exception as e:
+        errors["train"] = f"{type(e).__name__}: {e}"
+
+    try:
+        details["vocoder_samples_per_sec"] = round(
+            bench_vocoder(vocoder, voc_params))
+    except Exception as e:
+        errors["vocoder"] = f"{type(e).__name__}: {e}"
+
+    try:
+        details["feature_frames_per_sec"] = round(bench_features())
+    except Exception as e:
+        errors["features"] = f"{type(e).__name__}: {e}"
+
+    try:
+        details["batched_decode_audio_sec_per_sec"] = round(
+            bench_batched_decode(model, params), 2)
+    except Exception as e:
+        errors["batched_decode"] = f"{type(e).__name__}: {e}"
+
+    try:
+        details["e2e_with_features_rtf"] = round(
+            bench_e2e_with_features(model, vocoder, params, voc_params), 5)
+    except Exception as e:
+        errors["e2e_features"] = f"{type(e).__name__}: {e}"
+
+    try:
+        details["flash_vs_xla"] = bench_flash_vs_xla()
+    except Exception as e:
+        errors["flash_vs_xla"] = f"{type(e).__name__}: {e}"
+
+    if errors:
+        details["errors"] = errors
+
     print(json.dumps({
         "metric": "ssc_conversion_rtf_1chip",
         "value": round(rtf, 5),
         "unit": "rtf (wall_sec / audio_sec; 10-step CFM + HiFiGAN, bf16)",
         "vs_baseline": round(RTF_TARGET / rtf, 3),
+        "details": details,
     }))
 
 

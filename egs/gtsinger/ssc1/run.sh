@@ -116,28 +116,36 @@ PY
 }
 
 if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
-    echo "stage 4: decode dev/test"
+    echo "stage 4: decode dev/test (${n_jobs} shards)"
     ckpt="${checkpoint:-$(latest_ckpt ${expdir})}"
     for split in ${dev_set} ${eval_set}; do
-        python -m serenade_tpu.bin.ssc_decode${suffix} \
-            --dumpdir "${dumpdir}/${split}" \
-            --stats "${dumpdir}/stats.joblib" \
-            --ref-dict "${ref_dict}" \
-            --outdir "${expdir}/decoded/${split}" \
-            --checkpoint "${ckpt}" \
-            > "${expdir}/decoded/decode.${split}.log" 2>&1 || \
-            { cat "${expdir}/decoded/decode.${split}.log"; exit 1; }
+        mkdir -p "${expdir}/decoded/${split}"
+        ${decode_cmd:-utils/launch.sh} --array "1:${n_jobs}" \
+            "${expdir}/decoded/decode.${split}.JOB.log" \
+            python -m serenade_tpu.bin.ssc_decode${suffix} \
+                --dumpdir "${dumpdir}/${split}" \
+                --stats "${dumpdir}/stats.joblib" \
+                --ref-dict "${ref_dict}" \
+                --outdir "${expdir}/decoded/${split}" \
+                --checkpoint "${ckpt}" \
+                --num-shards "${n_jobs}" --shard JOB \
+            || { cat "${expdir}/decoded/decode.${split}."*.log; exit 1; }
     done
 fi
 
 if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
-    echo "stage 5: decode the train set (cyclic data)"
+    echo "stage 5: decode the train set (cyclic data, ${n_jobs} shards)"
     ckpt="${checkpoint:-$(latest_ckpt ${expdir})}"
-    python -m serenade_tpu.bin.ssc_decode${suffix} \
-        --dumpdir "${dumpdir}/${train_set}" \
-        --stats "${dumpdir}/stats.joblib" \
-        --outdir "${expdir}/decoded/${train_set}" \
-        --checkpoint "${ckpt}"
+    mkdir -p "${expdir}/decoded/${train_set}"
+    ${decode_cmd:-utils/launch.sh} --array "1:${n_jobs}" \
+        "${expdir}/decoded/decode.${train_set}.JOB.log" \
+        python -m serenade_tpu.bin.ssc_decode${suffix} \
+            --dumpdir "${dumpdir}/${train_set}" \
+            --stats "${dumpdir}/stats.joblib" \
+            --outdir "${expdir}/decoded/${train_set}" \
+            --checkpoint "${ckpt}" \
+            --num-shards "${n_jobs}" --shard JOB \
+        || { cat "${expdir}/decoded/decode.${train_set}."*.log; exit 1; }
 fi
 
 if [ "${stage}" -le 6 ] && [ "${stop_stage}" -ge 6 ]; then
@@ -176,15 +184,20 @@ if [ "${stage}" -le 7 ] && [ "${stop_stage}" -ge 7 ]; then
 fi
 
 if [ "${stage}" -le 8 ] && [ "${stop_stage}" -ge 8 ]; then
-    echo "stage 8: decode with the cyclic model"
+    echo "stage 8: decode with the cyclic model (${n_jobs} shards)"
     ckpt="${checkpoint:-$(latest_ckpt ${expdir}_cyclic)}"
     for split in ${dev_set} ${eval_set}; do
-        python -m serenade_tpu.bin.ssc_decode${suffix} \
-            --dumpdir "${dumpdir}/${split}" \
-            --stats "${dumpdir}/stats.joblib" \
-            --ref-dict "${ref_dict}" \
-            --outdir "${expdir}_cyclic/decoded/${split}" \
-            --checkpoint "${ckpt}"
+        mkdir -p "${expdir}_cyclic/decoded/${split}"
+        ${decode_cmd:-utils/launch.sh} --array "1:${n_jobs}" \
+            "${expdir}_cyclic/decoded/decode.${split}.JOB.log" \
+            python -m serenade_tpu.bin.ssc_decode${suffix} \
+                --dumpdir "${dumpdir}/${split}" \
+                --stats "${dumpdir}/stats.joblib" \
+                --ref-dict "${ref_dict}" \
+                --outdir "${expdir}_cyclic/decoded/${split}" \
+                --checkpoint "${ckpt}" \
+                --num-shards "${n_jobs}" --shard JOB \
+            || { cat "${expdir}_cyclic/decoded/decode.${split}."*.log; exit 1; }
     done
 fi
 

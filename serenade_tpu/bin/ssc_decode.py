@@ -52,6 +52,11 @@ def build_argparser():
                         "the reference cannot do, serenade.py:208-210)")
     p.add_argument("--n-timesteps", type=int, default=10)
     p.add_argument("--temperature", type=float, default=0.667)
+    p.add_argument("--num-shards", type=int, default=1,
+                   help="partition the utterance list for array-job decode"
+                        " (reference n_jobs sharding)")
+    p.add_argument("--shard", type=int, default=1,
+                   help="1-based shard index (JOB)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", type=int, default=1)
     return p
@@ -147,7 +152,13 @@ def run(variant_new: bool):
         root_dir=args.dumpdir, scaler=scaler, score_type="est_lf0_score",
         return_utt_id=True,
     )
-    logging.info("decoding %d utterances", len(dataset))
+    utt_indices = list(range(len(dataset)))
+    if args.num_shards > 1:
+        utt_indices = utt_indices[args.shard - 1::args.num_shards]
+        logging.info("shard %d/%d: %d of %d utterances",
+                     args.shard, args.num_shards, len(utt_indices),
+                     len(dataset))
+    logging.info("decoding %d utterances", len(utt_indices))
 
     model_cls = resolve("model", config["model_type"])
     model_params = dict(config.get("model_params", {}))
@@ -196,7 +207,7 @@ def run(variant_new: bool):
     sr_out = int(config["sampling_rate"])
     ref_cache = {}
     groups = defaultdict(list)
-    for idx in range(len(dataset)):
+    for idx in utt_indices:
         utt_id, item = dataset[idx]
         write_wav(os.path.join(args.outdir, f"{utt_id}_gt.wav"),
                   item["wave"], sr_out)

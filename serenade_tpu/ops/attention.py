@@ -73,8 +73,12 @@ def multi_head_attention(
 
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        # flash wins once the (T, T) score matrix stops fitting in VMEM
-        backend = "flash" if (on_tpu and tq >= 1024 and tq == tk and d % 128 == 0) else "xla"
+        # Measured on v5e (bench.py flash_vs_xla, B=1 H=4 D=512 bf16):
+        #   T=1536: xla 1.76 ms / flash 2.01 ms
+        #   T=3072: xla 2.72 ms / flash 2.05 ms
+        #   T=6144: xla 44.1 ms / flash 3.75 ms  (XLA spills the (T,T) scores)
+        # → dispatch flash from T≈2048 up.
+        backend = "flash" if (on_tpu and tq >= 2048 and tq == tk and d % 128 == 0) else "xla"
 
     if backend == "flash":
         from serenade_tpu.ops.flash_pallas import flash_attention_pallas
