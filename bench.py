@@ -172,13 +172,15 @@ def bench_train(model_f32):
 
 
 def bench_vocoder(vocoder, voc_params):
-    """Config 2-adjacent: HiFiGAN synthesis samples/sec/chip."""
-    mel = jax.random.normal(jax.random.key(6), (1, 2048, 80))
+    """Config 2-adjacent: HiFiGAN synthesis samples/sec/chip at the
+    representative utterance length (SRC_FRAMES, ~10 s; longer audio goes
+    through ops/longform chunking)."""
+    mel = jax.random.normal(jax.random.key(6), (1, SRC_FRAMES, 80))
     vocode = jax.jit(lambda vp, m: vocoder.apply(vp, m))
     # i-dependent perturbation keeps every dispatch distinct (see _timeit)
     elapsed = _timeit(
         lambda i: vocode(voc_params, mel + jnp.float32(i) * 1e-6), n=10)
-    return 2048 * HOP / elapsed
+    return SRC_FRAMES * HOP / elapsed
 
 
 def _feature_fn():

@@ -19,6 +19,7 @@ Design notes (TPU-first, not a port):
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -36,13 +37,32 @@ def mish(x):
 # ---------------------------------------------------------------------------
 
 
-def conv1d(x, kernel, bias=None, *, stride: int = 1, dilation: int = 1,
-           padding: Tuple[int, int] = (0, 0)):
-    """1-D convolution on ``(B, T, Cin)`` with kernel ``(K, Cin, Cout)``.
+def default_conv_backend() -> str:
+    """'mm' (tap-sum matmuls) on TPU, 'lax' (conv_general_dilated) elsewhere.
 
-    Explicit padding (torch semantics).  Channels-last NHC layout keeps the
-    contraction on the lane axis so XLA lowers it onto the MXU.
+    Profiling on v5e (docs/perf notes; bench.py flash_vs_xla sibling run)
+    showed XLA's 1-D conv path reshaping (B, T, C) activations into 2-D
+    spatial tiles with layout copies around every conv and lowering the
+    interleaved leaky_relus to pad+reduce fusions — the HiFiGAN stack ran
+    ~10× above its memory-bound floor.  The tap-sum matmul formulation
+    keeps activations in the native (8,128)-tiled (T, C) layout, runs each
+    kernel tap on the MXU, and lets XLA fuse bias/activation into matmul
+    epilogues.  Override with SERENADE_CONV_BACKEND=mm|lax.
     """
+    forced = os.environ.get("SERENADE_CONV_BACKEND")
+    if forced in ("mm", "lax"):
+        return forced
+    return "lax" if jax.default_backend() in ("cpu", "gpu") else "mm"
+
+
+# Measured on v5e (HiFiGAN at 245k samples): mm 12.8 vs lax 9.4 M
+# samples/s. At very long extents (≥490k) lax alone is faster than mm
+# alone, but MIXING backends inside one model is slower than either
+# (layout transitions), so auto stays mm for the whole program; chunk
+# long-form audio instead (ops/longform.py).
+
+
+def _conv1d_lax(x, kernel, bias, stride, dilation, padding):
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHC", "HIO", "NHC"))
     y = lax.conv_general_dilated(
         x,
@@ -57,17 +77,44 @@ def conv1d(x, kernel, bias=None, *, stride: int = 1, dilation: int = 1,
     return y
 
 
-def conv_transpose1d(x, kernel, bias=None, *, stride: int = 2,
-                     padding: int = 1, output_padding: int = 0):
-    """Transposed 1-D conv matching torch ``ConvTranspose1d`` geometry.
+def _conv1d_mm(x, kernel, bias, stride, dilation, padding):
+    """y[t] = Σ_j x[t·stride + j·dilation] @ W[j] — K strided-slice matmuls
+    accumulated in f32."""
+    k, cin, cout = kernel.shape
+    if padding != (0, 0):
+        x = jnp.pad(x, ((0, 0), padding, (0, 0)))
+    b, t, _ = x.shape
+    span = (k - 1) * dilation + 1
+    t_out = (t - span) // stride + 1
+    acc = None
+    for j in range(k):
+        start = j * dilation
+        limit = start + (t_out - 1) * stride + 1
+        xs = lax.slice_in_dim(x, start, limit, stride, axis=1)
+        yj = jnp.einsum("btc,cd->btd", xs, kernel[j],
+                        preferred_element_type=jnp.float32)
+        acc = yj if acc is None else acc + yj
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)
+    return acc.astype(x.dtype)
 
-    ``out_len = (T - 1) * stride - 2 * padding + K + output_padding``.
-    Implemented as input dilation + regular convolution with the kernel
-    flipped — the canonical XLA lowering, which fuses cleanly.
 
-    Kernel layout is ``(K, Cin, Cout)`` (the torch ``(Cin, Cout, K)`` kernel
-    transposes into this in the checkpoint converter).
+def conv1d(x, kernel, bias=None, *, stride: int = 1, dilation: int = 1,
+           padding: Tuple[int, int] = (0, 0), backend: str = "auto"):
+    """1-D convolution on ``(B, T, Cin)`` with kernel ``(K, Cin, Cout)``.
+
+    Explicit padding (torch semantics), channels-last.  Two equivalent
+    lowerings: 'lax' (XLA conv op) and 'mm' (tap-sum matmuls — the fast
+    path on TPU, see ``default_conv_backend``).
     """
+    if backend == "auto":
+        backend = default_conv_backend()
+    if backend == "mm":
+        return _conv1d_mm(x, kernel, bias, stride, dilation, padding)
+    return _conv1d_lax(x, kernel, bias, stride, dilation, padding)
+
+
+def _conv_transpose1d_lax(x, kernel, bias, stride, padding, output_padding):
     k = kernel.shape[0]
     pad_lo = k - 1 - padding
     pad_hi = k - 1 - padding + output_padding
@@ -84,6 +131,60 @@ def conv_transpose1d(x, kernel, bias=None, *, stride: int = 2,
     if bias is not None:
         y = y + bias
     return y
+
+
+def _conv_transpose1d_mm(x, kernel, bias, stride, padding, output_padding):
+    """Phase (subpixel) decomposition: tap j contributes x @ W[j] at output
+    positions t·stride + j; group taps by phase j mod stride, pad-shift and
+    add within each phase, interleave phases by reshape.  K matmuls, no
+    input dilation, activations stay (8,128)-tiled."""
+    k, cin, cout = kernel.shape
+    b, t, _ = x.shape
+    s = stride
+    out_len = (t - 1) * s - 2 * padding + k + output_padding
+    full_len = (t - 1) * s + k          # uncropped grid
+    t_ph = (full_len + s - 1) // s      # per-phase length (common, padded)
+
+    taps = [jnp.einsum("btc,cd->btd", x, kernel[j],
+                       preferred_element_type=jnp.float32)
+            for j in range(k)]
+    phases = []
+    for p in range(s):
+        acc = None
+        for j in range(p, k, s):
+            m = j // s
+            yj = jnp.pad(taps[j], ((0, 0), (m, t_ph - t - m), (0, 0)))
+            acc = yj if acc is None else acc + yj
+        if acc is None:
+            acc = jnp.zeros((b, t_ph, cout), jnp.float32)
+        phases.append(acc)
+    # (B, t_ph, s, Cout) -> (B, t_ph*s, Cout): index u = t'*s + p
+    full = jnp.stack(phases, axis=2).reshape(b, t_ph * s, cout)
+    y = lax.slice_in_dim(full, padding, padding + out_len, axis=1)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv_transpose1d(x, kernel, bias=None, *, stride: int = 2,
+                     padding: int = 1, output_padding: int = 0,
+                     backend: str = "auto"):
+    """Transposed 1-D conv matching torch ``ConvTranspose1d`` geometry.
+
+    ``out_len = (T - 1) * stride - 2 * padding + K + output_padding``.
+    Two equivalent lowerings: 'lax' (input dilation + flipped conv) and
+    'mm' (subpixel phase decomposition — the fast path on TPU).
+
+    Kernel layout is ``(K, Cin, Cout)`` (the torch ``(Cin, Cout, K)`` kernel
+    transposes into this in the checkpoint converter).
+    """
+    if backend == "auto":
+        backend = default_conv_backend()
+    if backend == "mm":
+        return _conv_transpose1d_mm(x, kernel, bias, stride, padding,
+                                    output_padding)
+    return _conv_transpose1d_lax(x, kernel, bias, stride, padding,
+                                 output_padding)
 
 
 def reflect_pad_time(x, pad: int):
