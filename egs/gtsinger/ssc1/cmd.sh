@@ -10,11 +10,17 @@
 #   ssh    — round-robin over ${job_hosts}
 backend="${backend:-local}"
 job_hosts="${job_hosts:-}"
+# launch.sh reads hosts from the environment — survives unquoted
+# ${train_cmd} expansion (a quoted --hosts "h1 h2" would be word-split)
+export LAUNCH_HOSTS="${job_hosts}"
 
-launch_opts=(--backend "${backend}")
-[ -n "${job_hosts}" ] && launch_opts+=(--hosts "${job_hosts}")
-
-export train_cmd="utils/launch.sh ${launch_opts[*]}"
-export decode_cmd="utils/launch.sh ${launch_opts[*]}"
+export train_cmd="utils/launch.sh --backend ${backend}"
+# decode is device-bound: one TPU chip is process-exclusive, so local
+# decode shards run serially (cluster backends fan out across hosts)
+if [ "${backend}" = "local" ]; then
+    export decode_cmd="utils/launch.sh --backend local --max-parallel ${decode_parallel:-1}"
+else
+    export decode_cmd="utils/launch.sh --backend ${backend}"
+fi
 # multi-host training (TPU pod / CPU cluster): see utils/launch_hosts.sh
 export hosts_cmd="utils/launch_hosts.sh"

@@ -14,17 +14,24 @@
 # Backends:
 #   local  (default) background subshells on this host
 #   slurm  one `srun --ntasks=1` per element (inherits the allocation)
-#   ssh    round-robin elements over --hosts via ssh (cwd preserved)
+#   ssh    round-robin elements over hosts via ssh (cwd preserved)
+#
+# Hosts come from --hosts "h1 h2" or the LAUNCH_HOSTS env var (the env
+# form survives unquoted $train_cmd expansion in recipes).
+# --max-parallel N throttles concurrency (N=1 => serial — required for
+# device-bound jobs sharing one TPU chip).
 set -uo pipefail
 
 backend=local
-hosts=""
+hosts="${LAUNCH_HOSTS:-}"
 array="1:1"
+max_parallel=0
 while [ $# -gt 0 ]; do
     case "$1" in
         --backend) backend="$2"; shift 2 ;;
         --hosts) hosts="$2"; shift 2 ;;
         --array) array="$2"; shift 2 ;;
+        --max-parallel) max_parallel="$2"; shift 2 ;;
         --) shift; break ;;
         -*) echo "launch.sh: unknown option $1" >&2; exit 2 ;;
         *) break ;;
@@ -67,13 +74,22 @@ run_element() {
 
 pids=()
 jobs_idx=()
+fail=0
 for job in $(seq "${lo}" "${hi}"); do
+    if [ "${max_parallel}" -gt 0 ] && [ "${#pids[@]}" -ge "${max_parallel}" ]; then
+        # throttle: wait for the oldest in-flight element
+        if ! wait "${pids[0]}"; then
+            echo "launch.sh: element ${jobs_idx[0]} failed" \
+                 "(log: ${logfile//JOB/${jobs_idx[0]}})" >&2
+            fail=1
+        fi
+        pids=("${pids[@]:1}"); jobs_idx=("${jobs_idx[@]:1}")
+    fi
     run_element "${job}" "$@" &
     pids+=($!)
     jobs_idx+=("${job}")
 done
 
-fail=0
 for i in "${!pids[@]}"; do
     if ! wait "${pids[$i]}"; then
         echo "launch.sh: element ${jobs_idx[$i]} failed" \

@@ -218,10 +218,14 @@ def run(variant_new: bool):
             if ref_h5 not in ref_cache:
                 ref_cache[ref_h5] = _norm_ref(scaler, ref_h5,
                                               with_fluc=variant_new)
-                write_wav(
-                    os.path.join(args.outdir, f"00_{style}_reference.wav"),
-                    ref_cache[ref_h5]["wave"], sr_out,
-                )
+                # only shard 1 writes the shared reference wavs —
+                # concurrent shards would race on the same path
+                if args.shard == 1:
+                    write_wav(
+                        os.path.join(args.outdir,
+                                     f"00_{style}_reference.wav"),
+                        ref_cache[ref_h5]["wave"], sr_out,
+                    )
             t_src = item["hubert"].shape[0]
             t_ref = ref_cache[ref_h5]["hubert"].shape[0]
             groups[(bucket_length(t_src), bucket_length(t_ref))].append(

@@ -142,7 +142,9 @@ def _conv_transpose1d_mm(x, kernel, bias, stride, padding, output_padding):
     b, t, _ = x.shape
     s = stride
     out_len = (t - 1) * s - 2 * padding + k + output_padding
-    full_len = (t - 1) * s + k          # uncropped grid
+    # uncropped grid; output_padding may extend past the deconv support
+    # (those positions are zero, matching torch)
+    full_len = (t - 1) * s + k + max(output_padding - padding, 0)
     t_ph = (full_len + s - 1) // s      # per-phase length (common, padded)
 
     taps = [jnp.einsum("btc,cd->btd", x, kernel[j],

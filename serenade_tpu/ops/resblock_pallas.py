@@ -19,8 +19,13 @@ accumulation), and writes the center block_t rows.
 chain's total receptive margin) outside the kernel, and roll wrap-around
 garbage stays inside the margins that each stage invalidates anyway.
 
-Used by vocoder/layers.HiFiGANResidualBlock on TPU (reference architecture:
-serenade/vocoder/models/hifigan.py residual blocks).
+Status: an opt-in lever, NOT yet wired into vocoder/layers
+(HiFiGANResidualBlock lowers through the tap-sum matmul conv backend,
+whose measured advantage over this kernel is within tunnel measurement
+noise).  Wiring it in needs per-level VMEM budgeting — the stacked branch
+weights at C=512 exceed the 16 MB VMEM budget, so the top level must
+split by dilation group.  Reference architecture:
+serenade/vocoder/models/hifigan.py residual blocks.
 """
 
 from __future__ import annotations

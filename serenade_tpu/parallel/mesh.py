@@ -22,6 +22,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_distributed_initialized = False
+
 
 def maybe_init_distributed() -> None:
     """Initialize JAX multi-process runtime when launched under a cluster
@@ -33,24 +35,32 @@ def maybe_init_distributed() -> None:
     coordinator env is unset this function must not touch any jax API that
     freezes the backend.
     """
+    global _distributed_initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coord:
         return
-    try:
-        already = jax._src.distributed.global_state.client is not None
-    except Exception:  # pragma: no cover - private-API drift fallback
-        already = False
-    if already:
+    if _distributed_initialized:
         return
+    try:
+        if jax._src.distributed.global_state.client is not None:
+            _distributed_initialized = True
+            return
+    except Exception:  # pragma: no cover - private-API drift; flag below
+        pass
     # On SLURM/OpenMPI/TPU pods jax auto-detects process topology; for a
     # plain launcher (utils/launch_hosts.sh) it comes from env.
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
-    jax.distributed.initialize(
-        coordinator_address=coord,
-        num_processes=int(nproc) if nproc else None,
-        process_id=int(pid) if pid else None,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+        )
+    except RuntimeError as e:  # pragma: no cover
+        if "already initialized" not in str(e):
+            raise
+    _distributed_initialized = True
 
 
 def make_mesh(

@@ -45,6 +45,8 @@ def test_conv1d_mm_matches_lax(k, stride, dilation, pad):
     (8, 4, 2, 0),
     (3, 2, 1, 0),      # k < 2s edge
     (5, 1, 2, 0),      # stride 1 degenerate
+    (4, 2, 0, 1),      # output_padding overhangs the deconv support
+    (6, 3, 0, 2),      # same, stride 3
 ])
 def test_conv_transpose1d_mm_matches_lax(k, stride, pad, outpad):
     rng = np.random.default_rng(k * 100 + stride)

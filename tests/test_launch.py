@@ -31,3 +31,37 @@ def test_failure_propagates(tmp_path):
     )
     assert res.returncode != 0
     assert "element 2 failed" in res.stderr
+
+
+def test_max_parallel_serializes(tmp_path):
+    """--max-parallel 1 runs elements one at a time (device-bound jobs on
+    a process-exclusive TPU chip must not overlap)."""
+    log = tmp_path / "s.JOB.log"
+    marker = tmp_path / "running"
+    script = (
+        "test ! -e %s || exit 7; touch %s; sleep 0.3; rm %s" % (marker, marker, marker)
+    )
+    res = subprocess.run(
+        ["bash", LAUNCH, "--max-parallel", "1", "--array", "1:3", str(log),
+         "bash", "-c", script],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
+
+
+def test_hosts_from_env(tmp_path):
+    """LAUNCH_HOSTS env reaches the ssh backend (ssh to localhost may be
+    unavailable here, so just verify the option parse doesn't eat the
+    logfile: a bogus host must fail with the ssh error, not 'unknown
+    backend' or a mis-parsed command)."""
+    import os
+    log = tmp_path / "h.JOB.log"
+    env = dict(os.environ, LAUNCH_HOSTS="nonexistent-host-a nonexistent-host-b")
+    res = subprocess.run(
+        ["bash", LAUNCH, "--backend", "ssh", "--array", "1:2", str(log),
+         "echo", "hi"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert res.returncode != 0  # ssh fails, but through the right path
+    assert "element 1 failed" in res.stderr
+    assert (tmp_path / "h.1.log").exists()
