@@ -52,6 +52,10 @@ def build_argparser():
                         "the reference cannot do, serenade.py:208-210)")
     p.add_argument("--n-timesteps", type=int, default=10)
     p.add_argument("--temperature", type=float, default=0.667)
+    p.add_argument("--solver", default="euler",
+                   choices=("euler", "midpoint", "ab2"),
+                   help="CFM ODE solver (euler = reference parity; ab2 = "
+                        "2nd-order at the same cost)")
     p.add_argument("--num-shards", type=int, default=1,
                    help="partition the utterance list for array-job decode"
                         " (reference n_jobs sharding)")
@@ -190,7 +194,8 @@ def run(variant_new: bool):
             args_pos.append(ref["f0_fluc"])
         return model.apply(
             params, *args_pos, rng=key, n_timesteps=args.n_timesteps,
-            temperature=args.temperature, method="inference", **kwargs,
+            temperature=args.temperature, solver=args.solver,
+            method="inference", **kwargs,
         )
 
     ref_dict = None

@@ -87,12 +87,19 @@ class CFM(nn.Module):
         return loss, y
 
     def inference(self, mu, mask, spk, *, n_timesteps: int = 10,
-                  temperature: float = 0.667, rng=None):
-        """Euler-ODE sampling: z·τ → x1 over a uniform t grid.
+                  temperature: float = 0.667, rng=None,
+                  solver: str = "euler"):
+        """ODE sampling: z·τ → x1 over a uniform t grid.
 
-        The estimator body is compiled once and iterated with a lifted scan
-        (`nn.scan`), not unrolled in Python — compile time stays flat in
-        ``n_timesteps``.
+        Solvers (estimator body compiled once, iterated with a lifted
+        `nn.scan` — compile time stays flat in ``n_timesteps``):
+
+        * ``euler``    — fixed 10-step Euler, the reference's sampler
+          (flow_matching.py:40,79-93); 1 estimator eval per step.
+        * ``midpoint`` — 2nd-order RK; 2 evals per step (same accuracy as
+          euler at roughly half the steps).
+        * ``ab2``      — 2-step Adams-Bashforth: 2nd-order at **1 eval per
+          step** (Euler's cost), bootstrapped with one Euler step.
 
         Returns (B, T, out_channels) f32 mels (valid under ``mask``).
         """
@@ -102,16 +109,50 @@ class CFM(nn.Module):
         t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
         dtype = self.dtype
 
-        def euler_step(est, x, t_pair):
-            t0, t1 = t_pair
+        def f(est, x, t):
             v = est(x.astype(dtype), mask, mu,
-                    jnp.broadcast_to(t0, (b,)), spk, True)
-            return x + (t1 - t0) * v.astype(jnp.float32), ()
+                    jnp.broadcast_to(t, (b,)), spk, True)
+            return v.astype(jnp.float32)
 
-        scan = nn.scan(
-            euler_step,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-        )
-        x, _ = scan(self.estimator, z, (t_span[:-1], t_span[1:]))
-        return x
+        if solver == "euler":
+            def step(est, x, t_pair):
+                t0, t1 = t_pair
+                return x + (t1 - t0) * f(est, x, t0), ()
+
+            scan = nn.scan(step, variable_broadcast="params",
+                           split_rngs={"params": False})
+            x, _ = scan(self.estimator, z, (t_span[:-1], t_span[1:]))
+            return x
+
+        if solver == "midpoint":
+            def step(est, x, t_pair):
+                t0, t1 = t_pair
+                h = t1 - t0
+                v1 = f(est, x, t0)
+                v2 = f(est, x + 0.5 * h * v1, t0 + 0.5 * h)
+                return x + h * v2, ()
+
+            scan = nn.scan(step, variable_broadcast="params",
+                           split_rngs={"params": False})
+            x, _ = scan(self.estimator, z, (t_span[:-1], t_span[1:]))
+            return x
+
+        if solver == "ab2":
+            def step(est, carry, t_pair):
+                x, v_prev = carry
+                t0, t1 = t_pair
+                h = t1 - t0
+                v = f(est, x, t0)
+                return (x + h * (1.5 * v - 0.5 * v_prev), v), ()
+
+            # bootstrap: one Euler step carrying its slope
+            h0 = t_span[1] - t_span[0]
+            v0 = f(self.estimator, z, t_span[0])
+            x1 = z + h0 * v0
+            scan = nn.scan(step, variable_broadcast="params",
+                           split_rngs={"params": False})
+            (x, _), _ = scan(self.estimator, (x1, v0),
+                             (t_span[1:-1], t_span[2:]))
+            return x
+
+        raise ValueError(f"unknown solver '{solver}'")

@@ -172,6 +172,7 @@ class Serenade(nn.Module):
     def inference(self, x, lengths, midi, loud,
                   ref_x, ref_lengths, ref_logmel, ref_midi, ref_loud, *,
                   rng, n_timesteps: int = 10, temperature: float = 0.667,
+                  solver: str = "euler",
                   extras: Dict[str, Any] | None = None):
         """Style conversion (batched; see module docstring).
 
@@ -206,6 +207,6 @@ class Serenade(nn.Module):
 
         mel = self.cfm_decoder.inference(
             mu, mask, spk, n_timesteps=n_timesteps, temperature=temperature,
-            rng=rng,
+            rng=rng, solver=solver,
         )
         return unpack_suffix_time(mel, ref_lengths, Ts)

@@ -57,7 +57,8 @@ class SerenadeNew(Serenade):
     def inference(self, x, lengths, midi, loud, f0_fluc,
                   ref_x, ref_lengths, ref_logmel, ref_midi, ref_loud,
                   ref_f0_fluc, *, rng, n_timesteps: int = 10,
-                  temperature: float = 0.667, extras=None):
+                  temperature: float = 0.667, solver: str = "euler",
+                  extras=None):
         k_r1, k_r2, k_rest = jax.random.split(rng, 3)
         src_fluc = tile_to_length(ref_f0_fluc, f0_fluc.shape[1])
         T = src_fluc.shape[1]
@@ -72,6 +73,6 @@ class SerenadeNew(Serenade):
         return super().inference(
             x, lengths, midi, loud, ref_x, ref_lengths, ref_logmel,
             ref_midi, ref_loud, rng=k_rest, n_timesteps=n_timesteps,
-            temperature=temperature,
+            temperature=temperature, solver=solver,
             extras={"fluc": fluc, "ref_fluc": ref_fluc},
         )
