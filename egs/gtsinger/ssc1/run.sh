@@ -144,6 +144,7 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
             --stats "${dumpdir}/stats.joblib" \
             --outdir "${expdir}/decoded/${train_set}" \
             --checkpoint "${ckpt}" \
+            --batch-size 8 \
             --num-shards "${n_jobs}" --shard JOB \
         || { cat "${expdir}/decoded/decode.${train_set}."*.log; exit 1; }
 fi
