@@ -173,3 +173,16 @@ def test_stats_train_decode(workdir):
     assert mel is not None and mel.shape[1] == TINY_CONFIG["num_mels"]
     assert lf0 is not None and (lf0 > 0).any()
     assert np.isfinite(mel).all()
+
+    # sharded array-job decode (run.sh stages 4/5/8 --num-shards): the
+    # two shards' outputs must union to the unsharded set
+    sharded_out = outdir + "_sharded"
+    for shard in ("1", "2"):
+        _run_cli(decode_main, [
+            "--dumpdir", dump, "--stats", stats_path,
+            "--outdir", sharded_out, "--checkpoint", ckpt,
+            "--n-timesteps", "2", "--num-shards", "2", "--shard", shard,
+        ])
+    full = {f for f in os.listdir(outdir) if f.endswith(".h5")}
+    sharded = {f for f in os.listdir(sharded_out) if f.endswith(".h5")}
+    assert sharded == full, (sharded, full)

@@ -65,3 +65,14 @@ def test_hosts_from_env(tmp_path):
     assert res.returncode != 0  # ssh fails, but through the right path
     assert "element 1 failed" in res.stderr
     assert (tmp_path / "h.1.log").exists()
+
+
+def test_decode_shard_partition():
+    """--num-shards/--shard (1-based, JOB-substituted) partition the
+    utterance index set exactly: disjoint union = everything."""
+    n_utts, n_shards = 11, 3
+    all_idx = list(range(n_utts))
+    shards = [all_idx[s - 1::n_shards] for s in range(1, n_shards + 1)]
+    flat = sorted(i for s in shards for i in s)
+    assert flat == all_idx
+    assert all(set(a).isdisjoint(b) for a in shards for b in shards if a is not b)
