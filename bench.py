@@ -323,7 +323,7 @@ def main():
     errors = {}
 
     model = Serenade(dtype=jnp.bfloat16)
-    vocoder = HiFiGANGenerator(dtype=jnp.bfloat16)
+    vocoder = HiFiGANGenerator(dtype=jnp.bfloat16, resblock_backend="fused")
     init_batch_key = jax.random.split(jax.random.key(0), 10)
     init_batch = dict(
         x=jax.random.normal(init_batch_key[0], (1, SRC_FRAMES, 768)),

@@ -152,3 +152,23 @@ def resblock_branch_pallas(x, w1, b1, w2, b2, *, kernel_size: int,
         interpret=interpret,
     )(x_p, w1, b1, w2, b2)
     return out[:, :t, :]
+
+
+def fused_block_t(n_dil: int, k: int, c: int, budget_bytes: int = 10_000_000,
+                  max_block_t: int = 4096) -> int:
+    """Largest sublane-aligned tile that keeps the kernel's VMEM footprint
+    under budget (v5e VMEM is 16 MB/core; Mosaic's stack allocator keeps
+    roughly the k rolled taps plus a handful of f32 intermediates live).
+
+    Returns 0 when the branch cannot run usefully (callers fall back to
+    the conv lowering): C < 128 (Mosaic rejects lane-dim slices below one
+    128-lane tile in the HBM DMA) or VMEM-infeasible weight stacks
+    (e.g. C=256 with k=11 is 8.6 MB of weights alone).
+    """
+    if c < 128:
+        return 0
+    weights = 2 * n_dil * k * c * c * 2     # w1+w2, bf16
+    per_row = (k + 6) * c * 4               # live f32 (row, c) arrays
+    rows = (budget_bytes - weights) // per_row
+    block_t = int(min(max_block_t, (rows // 16) * 16))
+    return block_t if block_t >= 512 else 0

@@ -39,6 +39,7 @@ class HiFiGANGenerator(nn.Module):
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
     use_additional_convs: bool = True
+    resblock_backend: str = "conv"  # 'fused' = Pallas branch kernel (infer)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -66,6 +67,7 @@ class HiFiGANGenerator(nn.Module):
                 h = HiFiGANResidualBlock(
                     kernel_size=k_res, channels=ch, dilations=tuple(dils),
                     use_additional_convs=self.use_additional_convs,
+                    backend=self.resblock_backend,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"block_{i}_{j}",
                 )(x)

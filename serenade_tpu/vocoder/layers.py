@@ -64,34 +64,94 @@ class CausalConvTranspose1d(nn.Module):
         return y[:, : x.shape[1] * self.stride, :]
 
 
+class _ConvParams(nn.Module):
+    """Declares kernel/bias with Conv1d's exact naming and init — lets the
+    fused resblock path own the same param tree as the conv-by-conv path
+    (checkpoint compatibility either way)."""
+
+    kernel_size: int
+    cin: int
+    cout: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(in_axis=(0, 1), out_axis=2),
+            (self.kernel_size, self.cin, self.cout), self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.cout,),
+                          self.param_dtype)
+        return kernel, bias
+
+
 class HiFiGANResidualBlock(nn.Module):
     """Dilated conv pairs with residual adds (residual_block.py:143-258):
     per dilation d: LReLU(0.1) → k-conv(dil=d) [→ LReLU → k-conv(dil=1)]
-    → +residual."""
+    → +residual.
+
+    ``backend='fused'`` runs the whole branch in one Pallas kernel that
+    streams each tile through VMEM once (ops/resblock_pallas.py) —
+    inference-only (no custom VJP).  'conv' chains conv1d calls (autodiff
+    works; the conv backend picks mm/lax per platform).  Param trees are
+    identical across backends.
+    """
 
     kernel_size: int = 3
     channels: int = 512
     dilations: Tuple[int, ...] = (1, 3, 5)
     use_additional_convs: bool = True
+    backend: str = "conv"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        k, c = self.kernel_size, self.channels
+        w1, b1, w2, b2 = [], [], [], []
+        for i in range(len(self.dilations)):
+            kk, bb = _ConvParams(k, c, c, self.param_dtype,
+                                 name=f"conv1_{i}")()
+            w1.append(kk), b1.append(bb)
+            if self.use_additional_convs:
+                kk, bb = _ConvParams(k, c, c, self.param_dtype,
+                                     name=f"conv2_{i}")()
+                w2.append(kk), b2.append(bb)
+
+        if self.backend == "fused":
+            from serenade_tpu.ops.resblock_pallas import (
+                fused_block_t, resblock_branch_pallas,
+            )
+
+            n = len(self.dilations)
+            block_t = fused_block_t(n, k, c)
+            if block_t:
+                stack = lambda ws: jnp.stack(ws).astype(self.dtype)  # noqa: E731
+                if not self.use_additional_convs:
+                    w2 = [jnp.zeros_like(w1[0])] * n
+                    b2 = [jnp.zeros_like(b1[0])] * n
+                return resblock_branch_pallas(
+                    x.astype(self.dtype), stack(w1), stack(b1), stack(w2),
+                    stack(b2), kernel_size=k, dilations=tuple(self.dilations),
+                    use_additional_convs=self.use_additional_convs,
+                    block_t=block_t,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            # VMEM-infeasible branch (big C × big k): conv fallback below
+
+        from serenade_tpu.models.layers import conv1d
+
+        x = x.astype(self.dtype)
         for i, dilation in enumerate(self.dilations):
             h = leaky_relu_01(x)
-            h = Conv1d(
-                self.channels, kernel_size=self.kernel_size, dilation=dilation,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"conv1_{i}",
-            )(h)
+            h = conv1d(h, w1[i].astype(self.dtype), b1[i].astype(self.dtype),
+                       dilation=dilation,
+                       padding=((k - 1) // 2 * dilation,) * 2)
             if self.use_additional_convs:
                 h = leaky_relu_01(h)
-                h = Conv1d(
-                    self.channels, kernel_size=self.kernel_size, dilation=1,
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"conv2_{i}",
-                )(h)
+                h = conv1d(h, w2[i].astype(self.dtype),
+                           b2[i].astype(self.dtype), dilation=1,
+                           padding=((k - 1) // 2,) * 2)
             x = x + h
         return x
 

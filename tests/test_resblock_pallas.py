@@ -74,3 +74,23 @@ def test_fused_branch_edge_zeros_semantics():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got)[:, -4:], np.asarray(ref)[:, -4:],
                                atol=1e-5)
+
+
+def test_generator_fused_backend_matches_conv():
+    """HiFiGANGenerator output is invariant to resblock backend (identical
+    param tree; fused = Pallas interpret on CPU)."""
+    from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
+
+    kwargs = dict(channels=32, upsample_scales=(8, 2),
+                  upsample_kernel_sizes=(16, 4),
+                  resblock_kernel_sizes=(3, 7),
+                  resblock_dilations=((1, 3), (1, 3)))
+    mel = jnp.asarray(np.random.default_rng(3).normal(size=(1, 24, 80)),
+                      jnp.float32)
+    m_conv = HiFiGANGenerator(**kwargs)
+    m_fused = HiFiGANGenerator(**kwargs, resblock_backend="fused")
+    params = m_conv.init(jax.random.key(0), mel)
+    y_conv = m_conv.apply(params, mel)
+    y_fused = m_fused.apply(params, mel)   # same tree — no conversion needed
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_conv),
+                               atol=5e-5, rtol=1e-5)
