@@ -204,18 +204,29 @@ class SSCTrainer:
         if path is None:
             logger.info("no checkpoint found; starting fresh")
             return
-        restored = restore_checkpoint(path)
-        params = restored["params"]
         if load_only_params:
+            restored = restore_checkpoint(path)
             self.state = self.state.__class__(
-                params=params, opt_state=self.state.opt_state,
+                params=restored["params"], opt_state=self.state.opt_state,
                 step=self.state.step,
             )
         else:
+            import numpy as np
+
             import jax.numpy as jnp
 
+            # restore against the LIVE state's structure: a raw restore
+            # returns plain dicts, silently destroying the optax NamedTuple
+            # opt_state (the optimizer then crashes on the next step)
+            template = {
+                "params": jax.device_get(self.state.params),
+                "meta": {"step": np.asarray(0), "epochs": np.asarray(0)},
+            }
+            if self.state.opt_state is not None:
+                template["opt_state"] = jax.device_get(self.state.opt_state)
+            restored = restore_checkpoint(path, template)
             self.state = self.state.__class__(
-                params=params,
+                params=restored["params"],
                 opt_state=restored.get("opt_state", self.state.opt_state),
                 step=jnp.asarray(int(restored["meta"]["step"]), jnp.int32),
             )

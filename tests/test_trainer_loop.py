@@ -64,3 +64,55 @@ def test_resume_roundtrip(tmp_path):
     trainer2 = _toy_setup(tmp_path)
     trainer2.resume()
     assert trainer2.steps == 12
+
+
+def test_resume_restores_optimizer_structure_and_trains(tmp_path):
+    """Resume must reconstruct the optax NamedTuple opt_state — a raw
+    Orbax restore returns plain dicts and the NEXT optimizer step crashes
+    with \"'dict' object has no attribute 'mu'\" (caught by the on-chip
+    endurance run; the toy tests above use opt_state=None and miss it)."""
+    import numpy as np
+
+    from serenade_tpu.trainers import (
+        build_optimizer, build_train_step, create_train_state,
+    )
+
+    class _Quadratic:
+        def apply(self, params, x, *, rng, deterministic, rngs=None):
+            w = params["params"]["w"]
+            loss = jnp.mean(jnp.square(x @ w))
+            return {"cfm_loss": loss, "prior_loss": jnp.float32(0.0),
+                    "loss": loss}
+
+    params = {"params": {"w": jnp.ones((3, 3))}}
+    tx, _ = build_optimizer({
+        "optimizer_type": "AdamW", "optimizer_params": {"lr": 1e-2},
+        "scheduler_type": "ConstantLR", "scheduler_params": {},
+        "grad_norm": 1.0,
+    })
+    step = build_train_step(
+        _Quadratic(), tx, donate=False,
+        batch_to_model_args=lambda b: ((b["x"],), {}),  # trainer renames xs->x
+    )
+    batches = [{"xs": jnp.ones((2, 3))} for _ in range(8)]
+    config = {"train_max_steps": 4, "log_interval_steps": 2,
+              "save_interval_steps": 4, "eval_interval_steps": 1000}
+    t1 = SSCTrainer(config=config, train_step=step,
+                    state=create_train_state(params, tx),
+                    train_iter=iter(batches), outdir=str(tmp_path),
+                    rng=jax.random.key(0))
+    t1._writer = None
+    t1.run()
+
+    t2 = SSCTrainer(config=dict(config, train_max_steps=6), train_step=step,
+                    state=create_train_state(params, tx),
+                    train_iter=iter(batches), outdir=str(tmp_path),
+                    rng=jax.random.key(1))
+    t2._writer = None
+    t2.resume()
+    assert t2.steps == 4
+    t2.run()  # the crash happened HERE before the fix
+    assert t2.steps == 6
+    w1 = np.asarray(jax.device_get(t1.state.params["params"]["w"]))
+    w2 = np.asarray(jax.device_get(t2.state.params["params"]["w"]))
+    assert not np.allclose(w1, w2)  # continued training moved the weights
