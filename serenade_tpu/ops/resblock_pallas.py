@@ -19,12 +19,11 @@ accumulation), and writes the center block_t rows.
 chain's total receptive margin) outside the kernel, and roll wrap-around
 garbage stays inside the margins that each stage invalidates anyway.
 
-Status: an opt-in lever, NOT yet wired into vocoder/layers
-(HiFiGANResidualBlock lowers through the tap-sum matmul conv backend,
-whose measured advantage over this kernel is within tunnel measurement
-noise).  Wiring it in needs per-level VMEM budgeting — the stacked branch
-weights at C=512 exceed the 16 MB VMEM budget, so the top level must
-split by dilation group.  Reference architecture:
+Wired into HiFiGAN inference via ``resblock_backend='fused'``
+(vocoder/layers.py HiFiGANResidualBlock): ``fused_block_t`` budgets the
+time tile per level; C<128 levels are lane-padded to one 128-lane tile;
+VMEM-infeasible weight stacks (big C × big k) fall back to the tap-sum
+matmul conv lowering.  Reference architecture:
 serenade/vocoder/models/hifigan.py residual blocks.
 """
 
@@ -67,18 +66,23 @@ def _branch_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
 
     def pd_conv(a_f32, w_ref, b_ref, i, step):
         # taps as circular shifts; Mosaic rotates 32-bit data only, so roll
-        # in f32 and cast to the matmul dtype per tap
+        # in f32 and cast to the matmul dtype per tap.  The k taps are
+        # CONCATENATED along channels and contracted in ONE matmul: a
+        # (w, C)·(C, C) matmul has contraction 128-256, a regime the MXU
+        # pipelines poorly (~5-10 TFLOP/s measured); (w, k·C)·(k·C, C)
+        # widens the contraction k-fold and amortizes the output pass.
         p = (k - 1) // 2 * step
-        o = None
+        taps = []
         for j in range(k):
             sh = (p - j * step) % w
             tap = pltpu.roll(a_f32, sh, 0) if sh else a_f32
-            oj = jax.lax.dot_general(
-                tap.astype(x_scr.dtype), w_ref[i, j],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            o = oj if o is None else o + oj
+            taps.append(tap.astype(x_scr.dtype))
+        cat = jnp.concatenate(taps, axis=1)          # (w, k*C)
+        wmat = w_ref[i].reshape(-1, w_ref.shape[-1])  # (k*C, C)
+        o = jax.lax.dot_general(
+            cat, wmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         return o + b_ref[i].astype(jnp.float32)
 
     for i, d in enumerate(dilations):
@@ -115,6 +119,26 @@ def resblock_branch_pallas(x, w1, b1, w2, b2, *, kernel_size: int,
     b, t, c = x.shape
     k = kernel_size
     assert k % 2 == 1
+
+    if c < 128:
+        # Lane-pad narrow channels to one 128-lane tile: Mosaic rejects HBM
+        # DMA slices below a lane tile, and sub-128 matmuls waste the same
+        # MXU lanes anyway.  Zero channels stay zero through the whole chain
+        # (lrelu(0)=0, zero weight columns, zero bias), so slicing them off
+        # at the end is exact.
+        pad_c = 128 - c
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_c)))
+        w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, pad_c), (0, pad_c)))
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, pad_c), (0, pad_c)))
+        b1 = jnp.pad(b1, ((0, 0), (0, pad_c)))
+        b2 = jnp.pad(b2, ((0, 0), (0, pad_c)))
+        out = resblock_branch_pallas(
+            x, w1, b1, w2, b2, kernel_size=kernel_size, dilations=dilations,
+            use_additional_convs=use_additional_convs, block_t=block_t,
+            interpret=interpret,
+        )
+        return out[:, :, :c]
+
     margin = sum((k - 1) // 2 * d for d in dilations)
     if use_additional_convs:
         margin += len(dilations) * ((k - 1) // 2)
@@ -161,8 +185,11 @@ def fused_block_t(n_dil: int, k: int, c: int, budget_bytes: int = 10_000_000,
     roughly the k rolled taps plus a handful of f32 intermediates live).
 
     Returns 0 when the branch cannot run usefully (callers fall back to
-    the conv lowering): C < 128 (Mosaic rejects lane-dim slices below one
-    128-lane tile in the HBM DMA) or VMEM-infeasible weight stacks
+    the conv lowering): C < 128 (the kernel lane-pads these to a full
+    128-lane tile, which is numerically exact but MEASURED SLOWER than the
+    tap-sum conv lowering on chip — 19.5 vs 16.8 ms full-generator at
+    T=1024 — because the padded x/out HBM traffic doubles/quadruples at
+    exactly the bandwidth-bound levels) or VMEM-infeasible weight stacks
     (e.g. C=256 with k=11 is 8.6 MB of weights alone).
     """
     if c < 128:
