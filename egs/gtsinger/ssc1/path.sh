@@ -2,8 +2,9 @@
 # Source this from egs/gtsinger/ssc1 before running stages by hand:
 #   . ./path.sh
 
-# repo root = three levels up from this recipe dir
-SERENADE_TPU_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]:-$0}")/../../.." && pwd)"
+# repo root = three levels up from this recipe dir (resolve symlinks so
+# scratch dirs that symlink path.sh still find the real tree)
+SERENADE_TPU_ROOT="$(cd "$(dirname "$(readlink -f "${BASH_SOURCE[0]:-$0}")")/../../.." && pwd)"
 export SERENADE_TPU_ROOT
 export PYTHONPATH="${SERENADE_TPU_ROOT}${PYTHONPATH:+:${PYTHONPATH}}"
 

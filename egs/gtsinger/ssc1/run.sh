@@ -39,6 +39,7 @@ model_axis=1
 variant=""            # "" or "new" (SerenadeNew / -modded CLIs)
 skip_gtmidi=false     # true => no GT score MIDI (datasets without JSON scores)
 
+. ./path.sh
 . ./utils/parse_options.sh
 . ./cmd.sh
 

@@ -1,4 +1,4 @@
-"""Checkpoint save/restore (Orbax).
+"""Checkpoint save/restore (Orbax, ocdbt layout).
 
 Counterpart of reference trainers/base.py:91-130 pickle checkpoints
 (`{model, optimizer, scheduler, steps, epochs}` → here
@@ -7,6 +7,15 @@ layout).  Same step-named directory convention
 (``checkpoint-<steps>steps``), mtime-free latest-checkpoint discovery by
 step number, and the reference's two load modes: full resume vs
 params-only init (`load_only_params`, ssc_train.py:387-395).
+
+Multi-chip/multi-host semantics the reference has no analogue of: live
+sharded ``jax.Array`` trees are saved AS-IS (each host writes only its
+addressable shards into the ocdbt store — on a multi-host mesh EVERY
+process must call :func:`save_checkpoint`, unlike the reference's
+rank-0-only ``torch.save``), and :func:`abstract_like` builds restore
+templates that place every leaf directly onto its target sharding —
+including a *different* mesh topology than the one that saved it
+(orbax reshards on read).
 """
 
 from __future__ import annotations
@@ -15,6 +24,7 @@ import os
 import re
 from typing import Optional
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -60,3 +70,28 @@ def restore_checkpoint(path: str, template: Optional[dict] = None) -> dict:
 
 def restore_params_only(path: str):
     return restore_checkpoint(path)["params"]
+
+
+def abstract_like(tree, mesh=None):
+    """Template for sharded restoration: every ``jax.Array`` leaf becomes a
+    ``ShapeDtypeStruct`` carrying the leaf's sharding, so orbax places the
+    restored shards straight onto the devices (no host round-trip, and on
+    multi-host each process reads only its addressable shards).  Non-array
+    leaves (host numpy, scalars) pass through as concrete values.
+
+    With ``mesh``, leaves whose live sharding is not a ``NamedSharding``
+    (e.g. optimizer step counters created eagerly on the default device)
+    are restored fully replicated over the mesh instead — restoring them
+    committed to one device would make the train step reject the state
+    (mixed device sets)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            sharding = x.sharding
+            if mesh is not None and not isinstance(sharding, NamedSharding):
+                sharding = NamedSharding(mesh, PartitionSpec())
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)

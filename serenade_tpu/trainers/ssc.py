@@ -95,8 +95,7 @@ class SSCTrainer:
                 self._train_epoch(max_steps)
                 self.epochs += 1
         finally:
-            if _is_main_process():
-                self.save(self.steps)
+            self.save(self.steps)
         logger.info("finished training at step %d", self.steps)
 
     def _prep_batch(self, batch):
@@ -185,19 +184,23 @@ class SSCTrainer:
         interval = int(self.config.get("save_interval_steps", 2500))
         if self.steps % interval:
             return
-        if _is_main_process():
-            self.save(self.steps)
+        self.save(self.steps)
 
     # ------------------------------------------------------------------
     # checkpointing
     # ------------------------------------------------------------------
 
     def save(self, step: int):
+        # live (possibly sharded) arrays go straight to orbax: every host
+        # writes only its addressable shards into the ocdbt store, so on a
+        # multi-host mesh ALL processes reach this call (no rank-0 gate —
+        # unlike the reference's torch.save, trainers/base.py:98-111)
         path = save_checkpoint(
-            self.outdir, step, jax.device_get(self.state.params),
-            jax.device_get(self.state.opt_state), epochs=self.epochs,
+            self.outdir, step, self.state.params,
+            self.state.opt_state, epochs=self.epochs,
         )
-        logger.info("saved checkpoint: %s", path)
+        if _is_main_process():
+            logger.info("saved checkpoint: %s", path)
 
     def resume(self, path: Optional[str] = None, load_only_params: bool = False):
         path = path or find_latest_checkpoint(self.outdir)
@@ -215,15 +218,21 @@ class SSCTrainer:
 
             import jax.numpy as jnp
 
+            from serenade_tpu.checkpoint import abstract_like
+
             # restore against the LIVE state's structure: a raw restore
             # returns plain dicts, silently destroying the optax NamedTuple
-            # opt_state (the optimizer then crashes on the next step)
+            # opt_state (the optimizer then crashes on the next step).
+            # abstract_like keeps each leaf's sharding so restoration places
+            # shards directly on the mesh (resharding if the checkpoint was
+            # written under a different topology).
             template = {
-                "params": jax.device_get(self.state.params),
+                "params": abstract_like(self.state.params, self.mesh),
                 "meta": {"step": np.asarray(0), "epochs": np.asarray(0)},
             }
             if self.state.opt_state is not None:
-                template["opt_state"] = jax.device_get(self.state.opt_state)
+                template["opt_state"] = abstract_like(
+                    self.state.opt_state, self.mesh)
             restored = restore_checkpoint(path, template)
             self.state = self.state.__class__(
                 params=restored["params"],

@@ -12,6 +12,15 @@ simply don't run without GPUs).
 
 import os
 
+# subprocess-spawning tests (recipe stages, launch.sh, dryrun re-exec) need
+# serenade_tpu importable in children regardless of how pytest was invoked
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_pp = os.environ.get("PYTHONPATH", "")
+if _repo_root not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _repo_root + (os.pathsep + _pp if _pp else "")
+    )
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

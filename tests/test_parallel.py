@@ -172,3 +172,59 @@ def test_full_model_step_tp_matches_replicated():
             np.asarray(a), np.asarray(b), atol=1e-5),
         p1, p2,
     )
+
+
+def test_sharded_checkpoint_roundtrip_and_reshard(tmp_path):
+    """Multi-host-shaped checkpointing (SURVEY §5.4 beyond-parity): live
+    sharded state saves without a host gather, and restores placed directly
+    onto a DIFFERENT mesh topology (orbax reshards on read)."""
+    from serenade_tpu.checkpoint import (
+        abstract_like, restore_checkpoint, save_checkpoint,
+    )
+
+    model, params, tx, step, x = _setup()
+    mesh = make_mesh(data=4, model=2)
+    params_tp = shard_params(params, mesh)
+    state = create_train_state(params_tp, tx)
+    x_tp = shard_batch({"x": x}, mesh)["x"]
+    for i in range(2):
+        state, _ = step(state, {"x": x_tp}, jax.random.key(i))
+
+    # some leaf is actually tp-sharded before save
+    assert any(
+        "model" in str(getattr(leaf.sharding, "spec", ""))
+        for leaf in jax.tree_util.tree_leaves(state.params)
+    )
+    path = save_checkpoint(str(tmp_path), 2, state.params, state.opt_state)
+
+    # restore onto a different topology: pure-dp mesh, everything replicated
+    # across 'model'=1
+    mesh2 = make_mesh(data=8, model=1)
+    params2 = shard_params(params, mesh2)
+    state2 = create_train_state(params2, tx)
+    template = {
+        "params": abstract_like(state2.params, mesh2),
+        "opt_state": abstract_like(state2.opt_state, mesh2),
+        "meta": {"step": np.asarray(0), "epochs": np.asarray(0)},
+    }
+    restored = restore_checkpoint(path, template)
+
+    # values survive the reshard bit-for-bit
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))),
+        jax.device_get(state.params), jax.device_get(restored["params"]),
+    )
+    # restored leaves live on the NEW mesh with the requested shardings
+    got = jax.tree_util.tree_leaves(restored["params"])[0]
+    want = jax.tree_util.tree_leaves(abstract_like(state2.params))[0]
+    assert got.sharding == want.sharding
+    assert int(restored["meta"]["step"]) == 2
+
+    # optimizer state structure survives (optax NamedTuple, not plain dicts)
+    new_state = state2.__class__(
+        params=restored["params"], opt_state=restored["opt_state"],
+        step=state2.step,
+    )
+    step(new_state, {"x": shard_batch({"x": x}, mesh2)["x"]},
+         jax.random.key(9))
