@@ -202,14 +202,23 @@ def _feature_fn():
 
 
 def bench_features():
-    """Config 1: on-device mel+loudness+F0 extraction frames/sec."""
+    """Config 1: on-device mel+loudness+F0 extraction frames/sec — single
+    utterance and the vmapped 8-utterance group the preprocess CLI uses
+    (serenade_tpu/features.py extract_features_batch)."""
     n = SR * 10  # 10 s utterance
     wav = jnp.asarray(
         0.3 * np.sin(2 * np.pi * 220.0 * np.arange(n) / SR), jnp.float32)
     fn = _feature_fn()
     elapsed = _timeit(lambda i: fn(wav + jnp.float32(i) * 1e-9), n=5)
     frames = n // HOP
-    return frames / elapsed
+
+    from serenade_tpu.features import _signal_program
+
+    grp = _signal_program(SR, 512, HOP, 480, 80, 63.0, 12000.0, 1e-6, 10.0,
+                          FRAME_MS, 70.0, 1100.0, "viterbi")
+    batch = jnp.tile(wav[None], (8, 1))
+    el8 = _timeit(lambda i: grp(batch + jnp.float32(i) * 1e-9), n=5)
+    return frames / elapsed, 8 * frames / el8
 
 
 def bench_batched_decode(model, params):
@@ -362,7 +371,9 @@ def main():
         errors["vocoder"] = f"{type(e).__name__}: {e}"
 
     try:
-        details["feature_frames_per_sec"] = round(bench_features())
+        solo_fps, grp_fps = bench_features()
+        details["feature_frames_per_sec"] = round(solo_fps)
+        details["feature_frames_per_sec_batch8"] = round(grp_fps)
     except Exception as e:
         errors["features"] = f"{type(e).__name__}: {e}"
 

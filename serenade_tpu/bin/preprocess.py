@@ -25,7 +25,7 @@ import yaml
 
 from serenade_tpu.config import load_config
 from serenade_tpu.datasets.audio_dataset import AudioSCPDataset
-from serenade_tpu.features import FeatureConfig, extract_features
+from serenade_tpu.features import FeatureConfig, extract_features_batch
 from serenade_tpu.utils.h5 import write_hdf5
 from serenade_tpu.utils.types import str2bool
 
@@ -51,6 +51,9 @@ def build_argparser():
     p.add_argument("--f0-backend", choices=("viterbi", "jax", "native"), default="viterbi",
                    help="YIN backend: jitted JAX op or the native C++ "
                         "library (CPU preprocessing hosts)")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="vmap group size: same-bucket utterances from the "
+                        "same singer share one mel+loudness+F0 dispatch")
     p.add_argument("--verbose", type=int, default=1)
     return p
 
@@ -148,7 +151,37 @@ def run(args, with_f0_fluc: bool):
         sys.exit(1)
     midi_fn = make_midi_transcribe_fn(args.midi_model_ckpt)
 
+    batch_size = max(int(getattr(args, "batch_size", 1) or 1), 1)
     n_done = 0
+
+    def flush(pending):
+        nonlocal n_done
+        if not pending:
+            return
+        results = extract_features_batch(
+            pending, fc,
+            f0_table=f0_table,
+            content_fn=content_fn,
+            midi_transcribe_fn=midi_fn,
+            with_f0_fluc=with_f0_fluc,
+            f0_backend=args.f0_backend,
+            max_group=batch_size,
+        )
+        for utt_id, _, _, _ in pending:
+            feats = results.get(utt_id)
+            if feats is None:
+                continue
+            out = os.path.join(args.dumpdir, f"{utt_id}.h5")
+            for key, value in feats.items():
+                write_hdf5(out, key, value)
+            n_done += 1
+            logging.info("dumped %s (%d frames)", utt_id,
+                         feats["logmel"].shape[0])
+
+    # accumulate a window of utterances so same-bucket/same-singer groups
+    # share one device dispatch (window of 8 groups' worth)
+    window = batch_size * 8
+    pending = []
     for utt_id, (audio, fs) in dataset:
         gt_note_seq = None
         if not args.skip_gtmidi and utt_id in gt_map:
@@ -161,23 +194,11 @@ def run(args, with_f0_fluc: bool):
         elif not args.skip_gtmidi and gt_map:
             logging.info("WARNING: %s not in midi map", utt_id)
             continue
-
-        feats = extract_features(
-            utt_id, audio, fs, fc,
-            f0_table=f0_table,
-            gt_note_seq=gt_note_seq,
-            content_fn=content_fn,
-            midi_transcribe_fn=midi_fn,
-            with_f0_fluc=with_f0_fluc,
-            f0_backend=args.f0_backend,
-        )
-        if feats is None:
-            continue
-        out = os.path.join(args.dumpdir, f"{utt_id}.h5")
-        for key, value in feats.items():
-            write_hdf5(out, key, value)
-        n_done += 1
-        logging.info("dumped %s (%d frames)", utt_id, feats["logmel"].shape[0])
+        pending.append((utt_id, audio, fs, gt_note_seq))
+        if len(pending) >= window:
+            flush(pending)
+            pending = []
+    flush(pending)
     logging.info("preprocessing done: %d utterances", n_done)
 
 

@@ -20,8 +20,9 @@ contract (`est_lf0_score` log-Hz frames).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -75,6 +76,81 @@ def f0_range_for(utt_id: str, f0_table: Optional[Dict]) -> tuple:
     return 70.0, 1100.0  # reference preprocess.py:482-483 defaults
 
 
+@functools.lru_cache(maxsize=None)
+def _signal_program(fs: int, fft_size: int, hop_size: int, win_length: int,
+                    num_mels: int, fmin: float, fmax: float, eps: float,
+                    log_base: float, shiftms: float, minf0: float,
+                    maxf0: float, backend: str):
+    """One fused jitted program computing logmel + loudness + smoothed F0
+    for a (B, L) batch of same-length waveforms — a single device dispatch
+    per utterance GROUP instead of three per utterance (the tunnel's
+    per-dispatch latency dominates offline extraction otherwise)."""
+    import jax
+
+    def one(wav):
+        logmel = logmelfilterbank(
+            wav, fs, fft_size=fft_size, hop_size=hop_size,
+            win_length=win_length, num_mels=num_mels, fmin=fmin, fmax=fmax,
+            eps=eps, log_base=log_base,
+        )
+        loud = loudness_extract(wav, fs, hop_size)
+        if backend == "native":  # F0 runs on host; mel+loud only
+            return logmel, loud
+        f0_fn = yin_f0_viterbi if backend == "viterbi" else yin_f0
+        f0_raw, _ = f0_fn(wav, fs=fs, f0_floor=minf0, f0_ceil=maxf0,
+                          frame_period_ms=shiftms)
+        return logmel, loud, smooth_f0_median(f0_raw)
+
+    return jax.jit(jax.vmap(one))
+
+
+def _bucketed(audio: np.ndarray, hop_size: int) -> Tuple[np.ndarray, int]:
+    """Pad to the length bucket so the jitted signal ops compile once per
+    bucket instead of once per utterance (XLA shape specialization).
+    Returns (padded audio, true frame count)."""
+    n_frames = 1 + len(audio) // hop_size
+    bucket = 128 * hop_size
+    padded_len = ((len(audio) + bucket - 1) // bucket) * bucket
+    return np.pad(audio, (0, padded_len - len(audio))), n_frames
+
+
+def extract_signal_features_group(
+    audios_b: Sequence[np.ndarray],
+    config: FeatureConfig,
+    minf0: float,
+    maxf0: float,
+    f0_backend: str = "viterbi",
+) -> List[Dict[str, np.ndarray]]:
+    """Batched mel/loudness/F0 for same-length bucketed waveforms sharing
+    an F0 search range (same singer).  Full padded-length outputs; callers
+    slice to each utterance's frame count."""
+    import jax.numpy as jnp
+
+    fn = _signal_program(
+        config.sampling_rate, config.fft_size, config.hop_size,
+        config.win_length, config.num_mels, config.fmin, config.fmax,
+        config.eps, config.log_base, config.shiftms, minf0, maxf0,
+        f0_backend,
+    )
+    batch = jnp.stack([jnp.asarray(a) for a in audios_b])
+    if f0_backend == "native":
+        from serenade_tpu.native import yin_f0_native
+
+        logmel, loud = (np.asarray(a) for a in fn(batch))
+        f0 = np.stack([
+            np.asarray(smooth_f0_median(jnp.asarray(yin_f0_native(
+                a, fs=config.sampling_rate, f0_floor=minf0, f0_ceil=maxf0,
+                frame_period_ms=config.shiftms,
+            )[0]))) for a in audios_b
+        ])
+    else:
+        logmel, loud, f0 = (np.asarray(a) for a in fn(batch))
+    return [
+        {"logmel": logmel[i], "loud": loud[i], "f0": f0[i]}
+        for i in range(len(audios_b))
+    ]
+
+
 def extract_features(
     utt_id: str,
     audio: np.ndarray,
@@ -91,56 +167,40 @@ def extract_features(
     """Extract the full per-utterance feature dict (h5 key contract of
     preprocess.py:566-611: wave,hubert,logmel,loud,gt_lf0_score,
     est_lf0_score,f0,vuv,midi[,f0_fluc])."""
-    import jax.numpy as jnp
+    audio = _prepare_audio(utt_id, audio, fs, config)
+    audio_b, n_frames = _bucketed(audio, config.hop_size)
+    minf0, maxf0 = f0_range_for(utt_id, f0_table)
+    sig = extract_signal_features_group(
+        [audio_b], config, minf0, maxf0, f0_backend
+    )[0]
+    return _finalize_utt(
+        utt_id, audio, config, sig, n_frames, maxf0,
+        gt_note_seq=gt_note_seq, content_fn=content_fn,
+        midi_transcribe_fn=midi_transcribe_fn, with_f0_fluc=with_f0_fluc,
+    )
 
+
+def _prepare_audio(utt_id, audio, fs, config: FeatureConfig) -> np.ndarray:
     audio = to_mono(np.asarray(audio))
     if np.abs(audio).max() > 1.0:
         raise ValueError(f"{utt_id}: audio not normalized to [-1, 1]")
     if fs != config.sampling_rate:
         audio = resample(audio, fs, config.sampling_rate)
     # length alignment pad (reference preprocess.py:430-432)
-    audio = np.pad(audio, (0, config.fft_size), mode="reflect")
+    return np.pad(audio, (0, config.fft_size), mode="reflect")
 
-    # Bucket the audio length so the jitted signal ops compile once per
-    # bucket instead of once per utterance (XLA shape specialization);
-    # padded frames are sliced off below.
-    n_frames = 1 + len(audio) // config.hop_size
-    bucket = 128 * config.hop_size
-    padded_len = ((len(audio) + bucket - 1) // bucket) * bucket
-    audio_b = np.pad(audio, (0, padded_len - len(audio)))
 
-    logmel = np.asarray(logmelfilterbank(
-        jnp.asarray(audio_b), config.sampling_rate, fft_size=config.fft_size,
-        hop_size=config.hop_size, win_length=config.win_length,
-        num_mels=config.num_mels, fmin=config.fmin, fmax=config.fmax,
-        eps=config.eps, log_base=config.log_base,
-    ))[:n_frames]
-    loud = np.asarray(loudness_extract(
-        jnp.asarray(audio_b), config.sampling_rate, config.hop_size
-    ))[:n_frames, None]
-
-    minf0, maxf0 = f0_range_for(utt_id, f0_table)
-    if f0_backend == "native":
-        from serenade_tpu.native import yin_f0_native
-
-        f0_raw, _ = yin_f0_native(
-            audio_b, fs=config.sampling_rate, f0_floor=minf0,
-            f0_ceil=maxf0, frame_period_ms=config.shiftms,
-        )
-        f0 = np.asarray(smooth_f0_median(jnp.asarray(f0_raw)))
-    elif f0_backend == "viterbi":
-        f0_raw, _ = yin_f0_viterbi(
-            jnp.asarray(audio_b), fs=config.sampling_rate, f0_floor=minf0,
-            f0_ceil=maxf0, frame_period_ms=config.shiftms,
-        )
-        f0 = np.asarray(smooth_f0_median(f0_raw))
-    else:
-        f0_raw, _ = yin_f0(
-            jnp.asarray(audio_b), fs=config.sampling_rate, f0_floor=minf0,
-            f0_ceil=maxf0, frame_period_ms=config.shiftms,
-        )
-        f0 = np.asarray(smooth_f0_median(f0_raw))
-    f0 = f0[:n_frames, None]
+def _finalize_utt(
+    utt_id, audio, config: FeatureConfig, sig, n_frames: int, maxf0: float,
+    *, gt_note_seq=None, content_fn=None, midi_transcribe_fn=None,
+    with_f0_fluc: bool = False,
+) -> Optional[Dict[str, np.ndarray]]:
+    """Host-side tail of per-utterance extraction: content features, score
+    MIDI, f0_fluc, length alignment (everything after the batched signal
+    program)."""
+    logmel = sig["logmel"][:n_frames]
+    loud = sig["loud"][:n_frames, None]
+    f0 = sig["f0"][:n_frames, None]
     vuv = (f0 != 0).astype(np.float32)
 
     # content features
@@ -208,3 +268,56 @@ def compute_f0_fluctuation(f0: np.ndarray, maxf0: float,
     f0_normed = np.asarray(f0, np.float64) / maxf0
     spline = UnivariateSpline(t, f0_normed, s=10)
     return (f0_normed - spline(t)).astype(np.float32)
+
+
+def extract_features_batch(
+    items: Sequence[Tuple[str, np.ndarray, int, Optional[list]]],
+    config: FeatureConfig,
+    *,
+    f0_table: Optional[Dict] = None,
+    content_fn=None,
+    midi_transcribe_fn=None,
+    with_f0_fluc: bool = False,
+    f0_backend: str = "viterbi",
+    max_group: int = 8,
+) -> Dict[str, Optional[Dict[str, np.ndarray]]]:
+    """Batched extraction over ``(utt_id, audio, fs, gt_note_seq)`` items.
+
+    Utterances sharing a length bucket and an F0 search range (same singer)
+    are vmapped through ONE fused mel+loudness+F0 device program — results
+    are identical to :func:`extract_features` per utterance (same padded
+    shapes), but offline extraction stops paying per-utterance dispatch
+    latency.  Returns ``{utt_id: feats_or_None}`` (None = skipped, same
+    contract as the per-utterance path).
+    """
+    prepared = []
+    for utt_id, audio, fs, gt_note_seq in items:
+        audio_p = _prepare_audio(utt_id, audio, fs, config)
+        audio_b, n_frames = _bucketed(audio_p, config.hop_size)
+        minf0, maxf0 = f0_range_for(utt_id, f0_table)
+        prepared.append(
+            (utt_id, audio_p, audio_b, n_frames, minf0, maxf0, gt_note_seq)
+        )
+
+    groups: Dict[tuple, list] = {}
+    for i, rec in enumerate(prepared):
+        key = (rec[2].shape[0], rec[4], rec[5])  # (padded_len, minf0, maxf0)
+        groups.setdefault(key, []).append(i)
+
+    out: Dict[str, Optional[Dict[str, np.ndarray]]] = {}
+    for (padded_len, minf0, maxf0), idxs in groups.items():
+        for lo in range(0, len(idxs), max_group):
+            chunk = idxs[lo:lo + max_group]
+            sigs = extract_signal_features_group(
+                [prepared[i][2] for i in chunk], config, minf0, maxf0,
+                f0_backend,
+            )
+            for i, sig in zip(chunk, sigs):
+                utt_id, audio_p, _, n_frames, _, mx, gt_note_seq = prepared[i]
+                out[utt_id] = _finalize_utt(
+                    utt_id, audio_p, config, sig, n_frames, mx,
+                    gt_note_seq=gt_note_seq, content_fn=content_fn,
+                    midi_transcribe_fn=midi_transcribe_fn,
+                    with_f0_fluc=with_f0_fluc,
+                )
+    return out

@@ -186,3 +186,34 @@ def test_stats_train_decode(workdir):
     full = {f for f in os.listdir(outdir) if f.endswith(".h5")}
     sharded = {f for f in os.listdir(sharded_out) if f.endswith(".h5")}
     assert sharded == full, (sharded, full)
+
+
+def test_batched_extraction_matches_per_utt():
+    """extract_features_batch must reproduce extract_features exactly:
+    same-bucket same-range utterances share one vmapped dispatch but the
+    padded shapes (and thus every numeric) are identical."""
+    from serenade_tpu.features import extract_features_batch
+
+    rng = np.random.default_rng(11)
+    fc = FeatureConfig(num_mels=16)
+    sr = fc.sampling_rate
+    items = []
+    for i, dur in enumerate((0.5, 0.6, 1.4)):  # two share the 128-frame
+        t = np.arange(int(dur * sr)) / sr      # bucket, one does not
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 20 * i) * t)
+               + 0.01 * rng.normal(size=t.shape)).astype(np.float32)
+        items.append((f"utt{i}", wav, sr, None))
+
+    solo = {
+        utt: extract_features(utt, wav, fs, fc, gt_note_seq=g)
+        for utt, wav, fs, g in items
+    }
+    batched = extract_features_batch(items, fc, max_group=8)
+
+    assert set(batched) == set(solo)
+    for utt in solo:
+        for key in solo[utt]:
+            np.testing.assert_array_equal(
+                batched[utt][key], solo[utt][key],
+                err_msg=f"{utt}/{key} differs between batched and solo",
+            )
