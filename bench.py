@@ -104,6 +104,17 @@ def bench_conversion(model, vocoder, params, voc_params):
             n_timesteps=N_TIMESTEPS, method="inference",
         )
 
+    @jax.jit
+    def convert_fast(params, src, ref, key):
+        # quality-equivalent fast mode: 2nd-order AB2 at 5 steps ≈ 10-step
+        # Euler accuracy at half the UNet evaluations (tests/test_cfm_solvers)
+        return model.apply(
+            params, src["x"], src["lengths"], src["midi"], src["loud"],
+            ref["ref_x"], ref["ref_lengths"], ref["ref_logmel"],
+            ref["ref_midi"], ref["ref_loud"], rng=key,
+            n_timesteps=5, solver="ab2", method="inference",
+        )
+
     vocode = jax.jit(lambda vp, mel: vocoder.apply(vp, mel))
 
     elapsed = _timeit(
@@ -111,7 +122,11 @@ def bench_conversion(model, vocoder, params, voc_params):
                          convert(params, src, ref,
                                  jax.random.fold_in(ks[8], i))), n=10)
     audio_seconds = int(src["lengths"][0]) * FRAME_MS / 1000.0
-    return elapsed / audio_seconds
+    elapsed_fast = _timeit(
+        lambda i: vocode(voc_params,
+                         convert_fast(params, src, ref,
+                                      jax.random.fold_in(ks[9], i))), n=10)
+    return elapsed / audio_seconds, elapsed_fast / audio_seconds
 
 
 def bench_train(model_f32):
@@ -352,7 +367,8 @@ def main():
         lambda: vocoder.init(jax.random.key(7), jnp.zeros((1, 64, 80)))
     )()
 
-    rtf = bench_conversion(model, vocoder, params, voc_params)
+    rtf, rtf_fast = bench_conversion(model, vocoder, params, voc_params)
+    details["conversion_rtf_ab2_5step"] = round(rtf_fast, 5)
 
     try:
         sps, mfu, flops = bench_train(Serenade(dtype=jnp.bfloat16))

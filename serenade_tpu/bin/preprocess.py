@@ -88,7 +88,7 @@ def load_gt_note_map(midi_path):
     return mapping
 
 
-def make_content_fn(ckpt_path):
+def make_content_fn(ckpt_path, batch_size: int = 8):
     if ckpt_path is None:
         return None
     import jax
@@ -106,16 +106,39 @@ def make_content_fn(ckpt_path):
     params = convert_hf_hubert(sd)
     infer = jax.jit(lambda w: model.apply(params, w))
 
-    def content_fn(audio16k):
+    def _bucket(audio16k):
         # bucket to 2 s multiples: one compile per bucket, not per length
         n = len(audio16k)
         bucket = 32000
         padded = ((n + bucket - 1) // bucket) * bucket
         wav = np.pad(np.asarray(audio16k, np.float32), (0, padded - n))
-        out = infer(jnp.asarray(wav)[None])
         n_frames = (n - 400) // 160 + 1  # conv stack receptive field
-        return np.asarray(out[0])[:max(n_frames, 1)]
+        return wav, max(n_frames, 1)
 
+    def content_fn(audio16k):
+        wav, n_frames = _bucket(audio16k)
+        out = infer(jnp.asarray(wav)[None])
+        return np.asarray(out[0])[:n_frames]
+
+    def batch(audios16k):
+        """Same-bucket utterances share one HuBERT dispatch (identical
+        per-utterance numerics: same padded shapes)."""
+        prepped = [_bucket(a) for a in audios16k]
+        groups = {}
+        for i, (wav, _) in enumerate(prepped):
+            groups.setdefault(wav.shape[0], []).append(i)
+        results = [None] * len(audios16k)
+        for idxs in groups.values():
+            for lo in range(0, len(idxs), batch_size):
+                chunk = idxs[lo:lo + batch_size]
+                out = infer(jnp.stack(
+                    [jnp.asarray(prepped[i][0]) for i in chunk]))
+                out = np.asarray(out)
+                for j, i in enumerate(chunk):
+                    results[i] = out[j][:prepped[i][1]]
+        return results
+
+    content_fn.batch = batch
     return content_fn
 
 

@@ -193,22 +193,21 @@ def _prepare_audio(utt_id, audio, fs, config: FeatureConfig) -> np.ndarray:
 def _finalize_utt(
     utt_id, audio, config: FeatureConfig, sig, n_frames: int, maxf0: float,
     *, gt_note_seq=None, content_fn=None, midi_transcribe_fn=None,
-    with_f0_fluc: bool = False,
+    with_f0_fluc: bool = False, hubert=None,
 ) -> Optional[Dict[str, np.ndarray]]:
     """Host-side tail of per-utterance extraction: content features, score
     MIDI, f0_fluc, length alignment (everything after the batched signal
-    program)."""
+    program).  ``hubert`` short-circuits content extraction when the batch
+    path already computed it."""
     logmel = sig["logmel"][:n_frames]
     loud = sig["loud"][:n_frames, None]
     f0 = sig["f0"][:n_frames, None]
     vuv = (f0 != 0).astype(np.float32)
 
     # content features
-    if content_fn is not None:
+    if hubert is None and content_fn is not None:
         audio16k = resample(audio, config.sampling_rate, 16000)
         hubert = np.asarray(content_fn(audio16k))
-    else:
-        hubert = None
 
     # estimated score MIDI
     total_seconds = audio.shape[-1] / config.sampling_rate
@@ -304,6 +303,14 @@ def extract_features_batch(
         key = (rec[2].shape[0], rec[4], rec[5])  # (padded_len, minf0, maxf0)
         groups.setdefault(key, []).append(i)
 
+    # batched content features (one HuBERT dispatch per 16 kHz bucket group)
+    huberts: Dict[int, np.ndarray] = {}
+    if content_fn is not None and hasattr(content_fn, "batch"):
+        audio16ks = [
+            resample(rec[1], config.sampling_rate, 16000) for rec in prepared
+        ]
+        huberts = dict(enumerate(content_fn.batch(audio16ks)))
+
     out: Dict[str, Optional[Dict[str, np.ndarray]]] = {}
     for (padded_len, minf0, maxf0), idxs in groups.items():
         for lo in range(0, len(idxs), max_group):
@@ -318,6 +325,6 @@ def extract_features_batch(
                     utt_id, audio_p, config, sig, n_frames, mx,
                     gt_note_seq=gt_note_seq, content_fn=content_fn,
                     midi_transcribe_fn=midi_transcribe_fn,
-                    with_f0_fluc=with_f0_fluc,
+                    with_f0_fluc=with_f0_fluc, hubert=huberts.get(i),
                 )
     return out

@@ -204,11 +204,18 @@ def test_batched_extraction_matches_per_utt():
                + 0.01 * rng.normal(size=t.shape)).astype(np.float32)
         items.append((f"utt{i}", wav, sr, None))
 
-    solo = {
-        utt: extract_features(utt, wav, fs, fc, gt_note_seq=g)
-        for utt, wav, fs, g in items
-    }
-    batched = extract_features_batch(items, fc, max_group=8)
+    # content fn with a .batch attribute, like make_content_fn's
+    fake_content_fn.batch = lambda audios: [fake_content_fn(a) for a in audios]
+    try:
+        solo = {
+            utt: extract_features(utt, wav, fs, fc, gt_note_seq=g,
+                                  content_fn=fake_content_fn)
+            for utt, wav, fs, g in items
+        }
+        batched = extract_features_batch(items, fc, max_group=8,
+                                         content_fn=fake_content_fn)
+    finally:
+        del fake_content_fn.batch
 
     assert set(batched) == set(solo)
     for utt in solo:
