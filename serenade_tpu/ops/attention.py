@@ -92,3 +92,48 @@ def multi_head_attention(
         out = _xla_attention(qh, kh, vh, key_mask, scale)
 
     return out.transpose(0, 2, 1, 3).reshape(b, tq, hd)
+
+
+def seq_sharded_attention(
+    q,
+    k,
+    v,
+    *,
+    num_heads: int,
+    mesh,
+    seq_axis: str = "seq",
+    key_mask: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+):
+    """Context-parallel attention: queries sharded on TIME over
+    ``seq_axis``; K/V replicated.
+
+    Attention rows are independent given full K/V, so q-slab sharding is
+    exact (no ring/online-softmax machinery needed at this model's scale):
+    per-device score memory drops |seq|-fold, which lifts packed ref+src
+    sequences past the single-chip (T, T) wall.  The reference has no
+    sequence parallelism at all (SURVEY §2.3) — its packed inference is
+    capped by one GPU's memory (serenade.py:202).
+
+    Inside each shard the regular backend dispatch applies (the flash
+    kernel requires tq == tk and is skipped automatically for slabs).
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    q_spec = P(None, seq_axis, None)
+    rep = P()
+
+    fn = partial(multi_head_attention, num_heads=num_heads, backend=backend)
+
+    if key_mask is None:
+        return shard_map(
+            lambda qs, ks, vs: fn(qs, ks, vs),
+            mesh=mesh, in_specs=(q_spec, rep, rep), out_specs=q_spec,
+        )(q, k, v)
+    return shard_map(
+        lambda qs, ks, vs, m: fn(qs, ks, vs, key_mask=m),
+        mesh=mesh, in_specs=(q_spec, rep, rep, rep), out_specs=q_spec,
+    )(q, k, v, key_mask)
