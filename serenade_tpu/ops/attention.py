@@ -23,6 +23,13 @@ import jax.numpy as jnp
 
 _NEG_INF = -1e30
 
+# 'auto' dispatches the flash kernel from this sequence length up.  Set
+# from DEVICE-TIME profiles of the full conversion program (profiler trace,
+# see docs/PROFILING.md), not from standalone micro-dispatches — through the
+# axon tunnel every dispatch pays a ~2.3 ms floor that swamps sub-ms
+# kernels and once inverted this threshold's sign.
+FLASH_MIN_T = 2048
+
 
 def _xla_attention(q, k, v, key_mask, scale):
     """q,k,v: (B, H, T, D); key_mask: (B, Tk) float 1=valid or None."""
@@ -73,12 +80,9 @@ def multi_head_attention(
 
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        # Measured on v5e (bench.py flash_vs_xla, B=1 H=4 D=512 bf16):
-        #   T=1536: xla 1.76 ms / flash 2.01 ms
-        #   T=3072: xla 2.72 ms / flash 2.05 ms
-        #   T=6144: xla 44.1 ms / flash 3.75 ms  (XLA spills the (T,T) scores)
-        # → dispatch flash from T≈2048 up.
-        backend = "flash" if (on_tpu and tq >= 2048 and tq == tk and d % 128 == 0) else "xla"
+        backend = "flash" if (
+            on_tpu and tq >= FLASH_MIN_T and tq == tk and d % 128 == 0
+        ) else "xla"
 
     if backend == "flash":
         from serenade_tpu.ops.flash_pallas import flash_attention_pallas
