@@ -48,9 +48,12 @@ def build_argparser():
     p.add_argument("--midi-model-ckpt", default=None,
                    help="phoneme_midi transcriber checkpoint (optional)")
     p.add_argument("--allow-missing-hubert", type=str2bool, default=False)
-    p.add_argument("--f0-backend", choices=("viterbi", "jax", "native"), default="viterbi",
-                   help="YIN backend: jitted JAX op or the native C++ "
-                        "library (CPU preprocessing hosts)")
+    p.add_argument("--f0-backend",
+                   choices=("viterbi", "harvest", "jax", "native"),
+                   default="viterbi",
+                   help="F0 estimator: YIN+Viterbi (default), Harvest-class "
+                        "(the reference's algorithm, ops/harvest.py), plain "
+                        "YIN, or the native C++ library (CPU hosts)")
     p.add_argument("--batch-size", type=int, default=8,
                    help="vmap group size: same-bucket utterances from the "
                         "same singer share one mel+loudness+F0 dispatch")

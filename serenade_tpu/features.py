@@ -96,7 +96,10 @@ def _signal_program(fs: int, fft_size: int, hop_size: int, win_length: int,
         loud = loudness_extract(wav, fs, hop_size)
         if backend == "native":  # F0 runs on host; mel+loud only
             return logmel, loud
-        f0_fn = yin_f0_viterbi if backend == "viterbi" else yin_f0
+        if backend == "harvest":
+            from serenade_tpu.ops.harvest import harvest_f0 as f0_fn
+        else:
+            f0_fn = yin_f0_viterbi if backend == "viterbi" else yin_f0
         f0_raw, _ = f0_fn(wav, fs=fs, f0_floor=minf0, f0_ceil=maxf0,
                           frame_period_ms=shiftms)
         return logmel, loud, smooth_f0_median(f0_raw)

@@ -237,10 +237,42 @@ def yin_f0_viterbi(
     log_f0 = jnp.log2(jnp.maximum(cand_f0, 1.0))
 
     valid = jnp.isfinite(cand_cost) & (energy[:, None] > 1e-7)
-    emission = jnp.where(valid, cand_cost, 1e6)  # voiced states
-    # unvoiced state: fixed emission = voiced_bias (a dip must beat it)
+    emission_voiced = jnp.where(valid, cand_cost, 1e6)  # (N, K)
+    return viterbi_f0_select(
+        cand_f0, emission_voiced,
+        voiced_bias=voiced_bias,
+        transition_octave_cost=transition_octave_cost,
+        switch_cost=switch_cost,
+        f0_floor=f0_floor, f0_ceil=f0_ceil,
+    )
+
+
+def viterbi_f0_select(
+    cand_f0,
+    emission_voiced,
+    *,
+    voiced_bias: float,
+    transition_octave_cost: float,
+    switch_cost: float,
+    f0_floor: float,
+    f0_ceil: float,
+):
+    """Shared (K+1)-state V/UV trellis: per frame K voiced candidates with
+    emission costs plus one unvoiced state at fixed cost ``voiced_bias``;
+    the path minimizes emission + octave-jump + V/UV-switch costs.  Used by
+    both the YIN and Harvest candidate generators.
+
+    Args:
+        cand_f0: (N, K) candidate frequencies in Hz.
+        emission_voiced: (N, K) candidate costs (use ~1e6 for absent ones).
+
+    Returns (f0, vuv) with f0=0 at unvoiced frames.
+    """
+    n_frames, n_candidates = cand_f0.shape
+    log_f0 = jnp.log2(jnp.maximum(cand_f0, 1.0))
+    # unvoiced state: fixed emission = voiced_bias (a candidate must beat it)
     emission = jnp.concatenate(
-        [emission, jnp.full((n_frames, 1), voiced_bias)], axis=1
+        [emission_voiced, jnp.full((n_frames, 1), voiced_bias)], axis=1
     )  # (N, K+1)
     logf = jnp.concatenate(
         [log_f0, jnp.zeros((n_frames, 1))], axis=1
