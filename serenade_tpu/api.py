@@ -190,6 +190,50 @@ class Converter:
             self._infer(self.params, src, ref, sub)
         ))[0, :t_src]
 
+    def convert_features_batch(
+        self, src_list, ref_list, ts: Optional[int] = None,
+        tr: Optional[int] = None,
+    ):
+        """Batched conversion: one jitted dispatch for N (src, ref) pairs
+        padded to shared (ts, tr) buckets (serving.BatchingConverter's
+        dispatch path; same packed-sequence batching as the decode CLI).
+
+        Returns a list of per-request mels trimmed to true lengths.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from serenade_tpu.collaters.ssc import bucket_length, pad_to
+
+        def stack(feats_list, keys, T):
+            def pad(a):
+                a = np.asarray(a, np.float32)
+                if a.ndim == 1:
+                    a = a[:, None]
+                return pad_to(a, T)
+
+            out = {name: jnp.asarray(np.stack(
+                [pad(f[src_key]) for f in feats_list]))
+                for name, src_key in keys}
+            out["lengths"] = jnp.asarray(
+                [f["hubert"].shape[0] for f in feats_list])
+            return out
+
+        ts = ts or max(bucket_length(f["hubert"].shape[0]) for f in src_list)
+        tr = tr or max(bucket_length(f["hubert"].shape[0]) for f in ref_list)
+        src_n = [self._normalize_src(f) for f in src_list]
+        ref_n = [self._normalize_ref(f) for f in ref_list]
+        src = stack(src_n, [("x", "hubert"), ("midi", "score"),
+                            ("loud", "loud")], ts)
+        ref = stack(ref_n, [("x", "hubert"), ("midi", "score"),
+                            ("loud", "loud"), ("logmel", "logmel")], tr)
+        self._key, sub = jax.random.split(self._key)
+        mels = np.asarray(jax.device_get(
+            self._infer(self.params, src, ref, sub)
+        ))
+        return [mels[i, : f["hubert"].shape[0]]
+                for i, f in enumerate(src_list)]
+
     def convert_wav(self, src_wav: np.ndarray, ref_wav: np.ndarray,
                     sr: int) -> Tuple[np.ndarray, Optional[np.ndarray],
                                       Optional[int]]:

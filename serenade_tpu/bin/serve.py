@@ -1,0 +1,65 @@
+"""serenade-serve: online conversion server.
+
+Beyond-reference serving entry point (the reference only ships offline
+batch CLIs, ssc_decode.py): loads a trained experiment and serves
+request-batched conversions over HTTP.  See serenade_tpu/serving.py for
+the batching dispatcher and the wire format (npz bodies; client helpers
+``serving.encode_request`` / ``serving.decode_response``).
+
+    serenade-serve --expdir exp/serenade --stats data/stats.joblib \
+        --host 0.0.0.0 --port 8571 --max-batch 8 --max-wait-ms 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="SSC conversion server")
+    p.add_argument("--expdir", required=True,
+                   help="experiment dir (config.yml + checkpoints)")
+    p.add_argument("--stats", required=True, help="stats.joblib path")
+    p.add_argument("--checkpoint", default=None,
+                   help="explicit checkpoint (default: latest in expdir)")
+    p.add_argument("--contentvec-ckpt", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8571)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--n-timesteps", type=int, default=10)
+    p.add_argument("--verbose", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s (%(module)s) %(levelname)s: %(message)s",
+    )
+    from serenade_tpu.api import Converter
+    from serenade_tpu.serving import BatchingConverter, make_server
+
+    conv = Converter(
+        args.expdir, args.stats, checkpoint=args.checkpoint,
+        contentvec_ckpt=args.contentvec_ckpt,
+        n_timesteps=args.n_timesteps,
+    )
+    batching = BatchingConverter(conv, max_batch=args.max_batch,
+                                 max_wait_ms=args.max_wait_ms)
+    server = make_server(batching, host=args.host, port=args.port)
+    logging.info("serving on %s:%d (max_batch=%d, wait=%.0fms)",
+                 args.host, args.port, args.max_batch, args.max_wait_ms)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batching.close()
+
+
+if __name__ == "__main__":
+    main()

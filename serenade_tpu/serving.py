@@ -1,0 +1,228 @@
+"""Online serving: request-batching conversion server.
+
+Production-serving face of the framework, beyond the reference's offline
+CLIs (its closest analogue is the per-utterance loop of
+serenade/bin/ssc_decode.py:344-455, batch=1 by construction).  Two layers:
+
+* ``BatchingConverter`` — wraps :class:`serenade_tpu.api.Converter` with a
+  submission queue and a dispatcher thread that groups concurrent requests
+  by (source-bucket, reference-bucket) and runs each group through ONE
+  batched jitted inference.  Static bucket shapes mean a handful of
+  compiled programs serve every request size; batching amortizes the
+  per-dispatch tunnel/PCIe latency and fills the MXU.
+* ``ConversionServer`` — a dependency-free stdlib HTTP front
+  (``ThreadingHTTPServer``): POST ``/convert_features`` with an ``.npz``
+  body, GET ``/healthz`` for liveness + rolling stats.
+
+Durability: a request that fails (bad payload, feature mismatch) fails
+alone — the dispatcher catches per-batch errors and faults only that
+batch's requests, never the server.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Request:
+    src: Dict[str, np.ndarray]
+    ref: Dict[str, np.ndarray]
+    done: threading.Event = field(default_factory=threading.Event)
+    mel: Optional[np.ndarray] = None
+    wav: Optional[np.ndarray] = None
+    sr: Optional[int] = None
+    error: Optional[Exception] = None
+
+
+class BatchingConverter:
+    """Groups concurrent conversion requests into batched dispatches.
+
+    Args:
+        converter: a loaded :class:`serenade_tpu.api.Converter`.
+        max_batch: largest group per dispatch.
+        max_wait_ms: how long the dispatcher holds a non-full group open
+            for stragglers.  Latency floor for a lone request.
+    """
+
+    def __init__(self, converter, max_batch: int = 8,
+                 max_wait_ms: float = 10.0):
+        self._conv = converter
+        self._max_batch = max_batch
+        self._max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "audio_sec": 0.0, "compute_sec": 0.0}
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True, name="ssc-dispatcher")
+        self._thread.start()
+
+    # -- client side ----------------------------------------------------
+
+    def convert(self, src_feats, ref_feats, timeout: float = 300.0):
+        """Blocking submit; returns (mel, wav|None, sr|None).
+
+        Thread-safe: many callers batch together transparently.
+        """
+        req = _Request(src=src_feats, ref=ref_feats)
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("conversion timed out")
+        if req.error is not None:
+            raise req.error
+        return req.mel, req.wav, req.sr
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    # -- dispatcher side ------------------------------------------------
+
+    def _bucket(self, req: _Request):
+        from serenade_tpu.collaters.ssc import bucket_length
+
+        return (bucket_length(req.src["hubert"].shape[0]),
+                bucket_length(req.ref["hubert"].shape[0]))
+
+    def _dispatch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            pending = [first]
+            deadline = time.monotonic() + self._max_wait
+            # hold the window open for stragglers (any bucket: grouping
+            # happens below, so a mixed burst still batches per bucket)
+            while len(pending) < self._max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    pending.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            groups = defaultdict(list)
+            for req in pending:
+                groups[self._bucket(req)].append(req)
+            for (ts, tr), reqs in groups.items():
+                self._run_group(reqs, ts, tr)
+
+    def _run_group(self, reqs, ts: int, tr: int):
+        try:
+            t0 = time.monotonic()
+            mels = self._conv.convert_features_batch(
+                [r.src for r in reqs], [r.ref for r in reqs], ts, tr,
+            )
+            compute = time.monotonic() - t0
+            for r, mel in zip(reqs, mels):
+                r.mel = mel
+                if self._conv.vocoder is not None:
+                    r.wav, r.sr = self._conv.vocoder.decode(mel)
+            with self._lock:
+                self.stats["requests"] += len(reqs)
+                self.stats["batches"] += 1
+                self.stats["compute_sec"] += compute
+                self.stats["audio_sec"] += sum(
+                    m.shape[0] for m in mels) * 0.01
+        except Exception as e:  # noqa: BLE001 — fault the batch, not the server
+            logger.exception("batch of %d failed", len(reqs))
+            with self._lock:
+                self.stats["errors"] += len(reqs)
+            for r in reqs:
+                r.error = e
+        finally:
+            for r in reqs:
+                r.done.set()
+
+
+# ---------------------------------------------------------------------------
+# HTTP front
+# ---------------------------------------------------------------------------
+
+_SRC_KEYS = ("hubert", "score", "loud")
+_REF_KEYS = _SRC_KEYS + ("logmel",)
+
+
+def _parse_npz(body: bytes):
+    with np.load(io.BytesIO(body)) as z:
+        src = {k: z[f"src_{k}"] for k in _SRC_KEYS}
+        ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
+    return src, ref
+
+
+def encode_request(src_feats, ref_feats) -> bytes:
+    """Client-side helper: pack feature dicts into the POST body format."""
+    buf = io.BytesIO()
+    arrays = {f"src_{k}": np.asarray(src_feats[k]) for k in _SRC_KEYS}
+    arrays.update({f"ref_{k}": np.asarray(ref_feats[k]) for k in _REF_KEYS})
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def decode_response(body: bytes):
+    """Client-side helper: unpack a /convert_features response."""
+    with np.load(io.BytesIO(body)) as z:
+        mel = z["mel"]
+        wav = z["wav"] if "wav" in z.files else None
+        sr = int(z["sr"]) if "sr" in z.files else None
+    return mel, wav, sr
+
+
+def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
+                port: int = 8571):
+    """Build (not start) a ThreadingHTTPServer around a BatchingConverter."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging
+            logger.debug("http: " + fmt, *args)
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._send(404, b"{}", "application/json")
+            stats = dict(batching.stats)
+            stats["rtf"] = (stats["compute_sec"] / stats["audio_sec"]
+                            if stats["audio_sec"] else None)
+            self._send(200, json.dumps({"ok": True, **stats}).encode(),
+                       "application/json")
+
+        def do_POST(self):
+            if self.path != "/convert_features":
+                return self._send(404, b"{}", "application/json")
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                src, ref = _parse_npz(self.rfile.read(n))
+                mel, wav, sr = batching.convert(src, ref)
+                buf = io.BytesIO()
+                out = {"mel": mel}
+                if wav is not None:
+                    out["wav"], out["sr"] = wav, np.int64(sr)
+                np.savez(buf, **out)
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            except Exception as e:  # noqa: BLE001 — per-request fault
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+
+    return ThreadingHTTPServer((host, port), Handler)

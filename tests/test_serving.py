@@ -1,0 +1,166 @@
+"""Request-batching serving layer: correctness, batching, HTTP round trip.
+
+Uses the tiny e2e-trained experiment (same fixtures as test_api.py); the
+batching dispatcher must return bit-identical results to the batched API
+call and must actually group concurrent requests.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_experiment(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serving")
+    from tests.test_e2e_pipeline import (
+        TINY_CONFIG, UTTS, fake_content_fn, synth_wav, _run_cli,
+    )
+    import yaml
+    from serenade_tpu.bin.compute_statistics import main as stats_main
+    from serenade_tpu.bin.ssc_train import main as train_main
+    from serenade_tpu.features import FeatureConfig, extract_features
+    from serenade_tpu.utils.audio import read_wav
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    fc = FeatureConfig.from_dict(TINY_CONFIG)
+    items = {}
+    for utt, freq in UTTS[:2]:
+        wav_path = tmp_path / f"{utt}.wav"
+        synth_wav(str(wav_path), freq)
+        audio, fs = read_wav(str(wav_path))
+        feats = extract_features(utt, audio, fs, fc,
+                                 content_fn=fake_content_fn)
+        for k, v in feats.items():
+            write_hdf5(str(dump / f"{utt}.h5"), k, v)
+        feats["score"] = feats["est_lf0_score"]
+        items[utt] = feats
+
+    cfg = tmp_path / "config.yml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(TINY_CONFIG, f)
+    _run_cli(stats_main, ["--rootdir", str(dump), "--dumpdir",
+                          str(tmp_path), "--config", str(cfg)])
+    _run_cli(train_main, [
+        "--train-dumpdir", str(dump), "--dev-dumpdir", str(dump),
+        "--stats", str(tmp_path / "stats.joblib"), "--outdir",
+        str(tmp_path / "exp"), "--config", str(cfg), "--data-axis", "1",
+    ])
+    from serenade_tpu.api import Converter
+
+    conv = Converter(str(tmp_path / "exp"), str(tmp_path / "stats.joblib"),
+                     n_timesteps=2)
+    return conv, items
+
+
+def test_convert_features_batch_matches_shapes(tiny_experiment):
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+    mels = conv.convert_features_batch([src, src], [ref, ref])
+    assert len(mels) == 2
+    for mel in mels:
+        assert mel.shape[0] == src["hubert"].shape[0]
+        assert np.isfinite(mel).all()
+    # identical inputs in one batch give different CFM noise draws (z is
+    # sampled per batch element), so outputs differ — but both must stay in
+    # the same normalized-mel regime
+    assert abs(mels[0].mean() - mels[1].mean()) < 2.0
+
+
+def test_batching_converter_groups_requests(tiny_experiment):
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    b = BatchingConverter(conv, max_batch=4, max_wait_ms=200.0)
+    try:
+        results = [None] * 4
+        errors = []
+
+        def call(i):
+            try:
+                results[i] = b.convert(src, ref)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        assert all(r is not None for r in results)
+        # all four concurrent identical requests served in ONE batch
+        assert b.stats["requests"] == 4
+        assert b.stats["batches"] == 1, b.stats
+        for mel, _, _ in results:
+            assert mel.shape[0] == src["hubert"].shape[0]
+    finally:
+        b.close()
+
+
+def test_batching_converter_faults_bad_request_alone(tiny_experiment):
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+    bad = {"hubert": np.zeros((4, 3), np.float32)}  # wrong feature dim
+
+    b = BatchingConverter(conv, max_batch=1, max_wait_ms=1.0)
+    try:
+        with pytest.raises(Exception):
+            b.convert(bad, ref, timeout=60)
+        # server still alive: a good request succeeds afterwards
+        mel, _, _ = b.convert(src, ref, timeout=120)
+        assert np.isfinite(mel).all()
+        assert b.stats["errors"] >= 1
+    finally:
+        b.close()
+
+
+def test_http_round_trip(tiny_experiment):
+    import http.client
+
+    from serenade_tpu.serving import (
+        BatchingConverter, decode_response, encode_request, make_server,
+    )
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
+    server = make_server(b, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("GET", "/healthz")
+        health = c.getresponse()
+        assert health.status == 200
+        assert b"true" in health.read().lower()
+
+        c.request("POST", "/convert_features", body=encode_request(src, ref))
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        mel, wav, sr = decode_response(resp.read())
+        assert mel.shape[0] == src["hubert"].shape[0]
+        assert np.isfinite(mel).all()
+        assert wav is None  # tiny config has no vocoder checkpoint
+
+        # malformed body -> 400, server keeps serving
+        c.request("POST", "/convert_features", body=b"not-an-npz")
+        assert c.getresponse().status == 400
+        c.request("GET", "/healthz")
+        assert c.getresponse().status == 200
+    finally:
+        server.shutdown()
+        b.close()
