@@ -20,6 +20,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
 #include <vector>
 
 namespace {
@@ -166,6 +167,279 @@ int sn_yin_f0(const float* audio, int64_t n, int fs, double f0_floor,
                   (f0 >= f0_floor) && (f0 <= f0_ceil);
     out_f0[f] = voiced ? static_cast<float>(f0) : 0.0f;
     out_vuv[f] = voiced ? 1.0f : 0.0f;
+  }
+  return n_frames;
+}
+
+// Harvest-class F0 (same algorithm/constants as serenade_tpu/ops/harvest.py,
+// which documents the relationship to WORLD's Harvest): band-pass channels
+// at 1/24-octave spacing, four event-interval candidate detectors,
+// channel-run merge, instantaneous-frequency refinement at the harmonics,
+// Viterbi V/UV track selection.  The C++ and JAX implementations
+// cross-validate each other (tests/test_native.py).
+// Returns n_frames (= 1 + n/hop) or -1 on error.
+int sn_harvest_f0(const float* audio, int64_t n, int fs, double f0_floor,
+                  double f0_ceil, double frame_period_ms, float* out_f0,
+                  float* out_vuv) {
+  if (n <= 0 || fs <= 0 || f0_floor <= 0 || f0_ceil <= f0_floor) return -1;
+  const double kTargetFs = 8000.0;
+  const int r = std::max(static_cast<int>(fs / kTargetFs), 1);
+  const double fs_d = static_cast<double>(fs) / r;
+  const int hop = static_cast<int>(fs * frame_period_ms / 1000.0);
+  const int n_frames = 1 + static_cast<int>(n / hop);
+  const double hop_d = static_cast<double>(hop) / r;
+
+  // --- decimate: Nuttall-windowed-sinc low-pass, then take every r-th ---
+  const int64_t len_d = (n + r - 1) / r;
+  std::vector<double> xd(len_d, 0.0);
+  if (r == 1) {
+    for (int64_t i = 0; i < n; ++i) xd[i] = audio[i];
+  } else {
+    const double cutoff = 0.47 / r;  // cycles/sample at the input rate
+    const int half = 16 * r;
+    std::vector<double> h(2 * half + 1);
+    double hsum = 0.0;
+    for (int i = -half; i <= half; ++i) {
+      double t = i == 0 ? 2.0 * M_PI * cutoff
+                        : std::sin(2.0 * M_PI * cutoff * i) / i;
+      double u = (i + half) / static_cast<double>(2 * half);
+      double w = 0.355768 - 0.487396 * std::cos(2.0 * M_PI * u)
+               + 0.144232 * std::cos(4.0 * M_PI * u)
+               - 0.012604 * std::cos(6.0 * M_PI * u);
+      h[i + half] = t * w;
+      hsum += t * w;
+    }
+    for (double& v : h) v /= hsum;
+    for (int64_t o = 0; o < len_d; ++o) {
+      const int64_t c = o * r;
+      double acc = 0.0;
+      for (int i = -half; i <= half; ++i) {
+        int64_t idx = c + i;
+        if (idx >= 0 && idx < n) acc += h[i + half] * audio[idx];
+      }
+      xd[o] = acc;
+    }
+  }
+
+  // --- channels ---
+  const int n_ch = static_cast<int>(
+      std::ceil(std::log2(f0_ceil / f0_floor) * 24.0));
+  const int max_flh = static_cast<int>(
+      std::lround(fs_d / (f0_floor * std::pow(2.0, 1.0 / 24.0)) * 2.0));
+  const int nfft = next_pow2(static_cast<int>(len_d) + 4 * max_flh);
+
+  std::vector<double> xre(nfft, 0.0), xim(nfft, 0.0);
+  for (int64_t i = 0; i < len_d; ++i) xre[i] = xd[i];
+  fft_radix2(xre.data(), xim.data(), nfft, false);
+
+  std::vector<int> frame_s(n_frames);
+  for (int f = 0; f < n_frames; ++f)
+    frame_s[f] = std::min(static_cast<int>(f * hop_d),
+                          static_cast<int>(len_d) - 1);
+
+  const int kSlots = 16;
+  std::vector<double> cand(static_cast<size_t>(n_frames) * kSlots, 0.0);
+  std::vector<int> slot_count(n_frames, 0);
+  std::vector<double> run_sum(n_frames, 0.0);
+  std::vector<int> run_len(n_frames, 0);
+
+  std::vector<double> fre(nfft), fim(nfft), y(nfft);
+
+  auto interval_at = [&](const std::vector<double>& ev, double s) -> double {
+    // f0 from the event pair enclosing sample s (piecewise constant)
+    if (ev.size() < 2) return 0.0;
+    auto it = std::upper_bound(ev.begin(), ev.end(), s + 1.0);
+    if (it == ev.begin() || it == ev.end()) return 0.0;
+    double nx = *it, pv = *(it - 1);
+    if (nx <= pv + 1e-3) return 0.0;
+    return fs_d / (nx - pv);
+  };
+
+  for (int c = 0; c < n_ch; ++c) {
+    const double bf0 = f0_floor * std::pow(2.0, (c + 1) / 24.0);
+    const int flh = static_cast<int>(std::lround(fs_d / bf0 * 2.0));
+
+    // band-pass: Nuttall envelope * cos(2 pi bf0 t), kernel centered at 0
+    std::fill(fre.begin(), fre.end(), 0.0);
+    std::fill(fim.begin(), fim.end(), 0.0);
+    for (int i = -flh; i <= flh; ++i) {
+      double u = (i + flh) / static_cast<double>(2 * flh);
+      double w = 0.355768 - 0.487396 * std::cos(2.0 * M_PI * u)
+               + 0.144232 * std::cos(4.0 * M_PI * u)
+               - 0.012604 * std::cos(6.0 * M_PI * u);
+      fre[(i % nfft + nfft) % nfft] = w * std::cos(2.0 * M_PI * bf0 * i / fs_d);
+    }
+    fft_radix2(fre.data(), fim.data(), nfft, false);
+    for (int k = 0; k < nfft; ++k) {
+      double rr = fre[k] * xre[k] - fim[k] * xim[k];
+      double ri = fre[k] * xim[k] + fim[k] * xre[k];
+      fre[k] = rr;
+      fim[k] = ri;
+    }
+    fft_radix2(fre.data(), fim.data(), nfft, true);
+    for (int k = 0; k < nfft; ++k) y[k] = fre[k];
+
+    // four estimators (falling/rising zero crossings of y and of dy):
+    // build the event lists once per channel, then evaluate frames
+    std::vector<double> evs[4];
+    const int64_t vl = static_cast<int64_t>(len_d);
+    for (int64_t t = 0; t + 1 < vl; ++t) {
+      double a = y[t], b = y[t + 1];
+      if (a > 0.0 && b <= 0.0 && a != b)
+        evs[0].push_back(t + a / (a - b));  // falling ZC
+      if (-a > 0.0 && -b <= 0.0 && a != b)
+        evs[1].push_back(t + (-a) / (b - a));  // rising ZC
+    }
+    for (int64_t t = 0; t + 2 < vl; ++t) {
+      double a = y[t + 1] - y[t], b = y[t + 2] - y[t + 1];
+      if (a > 0.0 && b <= 0.0 && a != b)
+        evs[2].push_back(t + a / (a - b));  // peaks
+      if (-a > 0.0 && -b <= 0.0 && a != b)
+        evs[3].push_back(t + (-a) / (b - a));  // dips
+    }
+
+    const double lo_gate = 0.9 * bf0, hi_gate = 1.1 * bf0;
+    for (int f = 0; f < n_frames; ++f) {
+      double s = frame_s[f];
+      double sum = 0.0;
+      bool valid = true;
+      for (int e = 0; e < 4; ++e) {
+        double v = interval_at(evs[e], s);
+        if (v <= 0.0) {
+          valid = false;
+          break;
+        }
+        sum += v;
+      }
+      double m4 = sum / 4.0;
+      bool gated = valid && m4 > lo_gate && m4 < hi_gate && m4 >= f0_floor &&
+                   m4 <= f0_ceil;
+      if (gated) {
+        run_sum[f] += m4;
+        run_len[f] += 1;
+      } else if (run_len[f] > 0) {  // close the run
+        if (slot_count[f] < kSlots)
+          cand[static_cast<size_t>(f) * kSlots + slot_count[f]++] =
+              run_sum[f] / run_len[f];
+        run_sum[f] = 0.0;
+        run_len[f] = 0;
+      }
+    }
+  }
+  for (int f = 0; f < n_frames; ++f)
+    if (run_len[f] > 0 && slot_count[f] < kSlots)
+      cand[static_cast<size_t>(f) * kSlots + slot_count[f]++] =
+          run_sum[f] / run_len[f];
+
+  // --- refinement: IF at the harmonics, Nuttall window over 3 periods ---
+  const double kCostScale = 4.0, kVoicedBias = 0.12;
+  const double kOctaveCost = 6.0, kSwitchCost = 0.4;
+  const int kHarm = 6;
+  std::vector<double> ref_f0(static_cast<size_t>(n_frames) * kSlots, 0.0);
+  std::vector<double> cost(static_cast<size_t>(n_frames) * kSlots, 1e6);
+  const double nyq = 0.5 * fs_d;
+  for (int f = 0; f < n_frames; ++f) {
+    for (int k = 0; k < slot_count[f]; ++k) {
+      double c0 = cand[static_cast<size_t>(f) * kSlots + k];
+      if (c0 < 1.0) continue;
+      int halfw = static_cast<int>(std::ceil(1.5 * fs_d / c0));
+      double num = 0.0, den = 0.0, dev = 0.0;
+      for (int h = 1; h <= kHarm; ++h) {
+        double fh = c0 * h;
+        if (fh >= nyq) break;
+        double re = 0.0, im = 0.0, re_d = 0.0, im_d = 0.0;
+        for (int i = -halfw; i <= halfw; ++i) {
+          int64_t idx = frame_s[f] + i;
+          if (idx < 0 || idx >= static_cast<int64_t>(len_d)) continue;
+          double t_rel = i / fs_d;
+          double u = t_rel * c0 / 3.0 + 0.5;
+          if (u < 0.0 || u > 1.0) continue;
+          double w = 0.355768 - 0.487396 * std::cos(2.0 * M_PI * u)
+                   + 0.144232 * std::cos(4.0 * M_PI * u)
+                   - 0.012604 * std::cos(6.0 * M_PI * u);
+          double dw = (0.487396 * 2.0 * M_PI * std::sin(2.0 * M_PI * u)
+                     - 0.144232 * 4.0 * M_PI * std::sin(4.0 * M_PI * u)
+                     + 0.012604 * 6.0 * M_PI * std::sin(6.0 * M_PI * u))
+                    * (c0 / 3.0);
+          double ph = 2.0 * M_PI * fh * t_rel;
+          double cs = std::cos(ph), sn = std::sin(ph);
+          double xv = xd[idx];
+          re += xv * w * cs;
+          im -= xv * w * sn;
+          re_d += xv * dw * cs;
+          im_d -= xv * dw * sn;
+        }
+        double p = re * re + im * im;
+        if (p < 1e-20) continue;
+        double delta = -(im_d * re - re_d * im) / (2.0 * M_PI * p);
+        double est_h = (fh + delta) / h;
+        // per-harmonic consistency gate (see ops/harvest.py): fundamental
+        // main-lobe leakage into the h>=2 probes otherwise biases flat
+        if (std::fabs(est_h - c0) >= 0.1 * c0) continue;
+        double amp = std::sqrt(p);
+        num += amp * est_h;
+        den += amp;
+        dev += amp * std::fabs(est_h - c0);
+      }
+      if (den <= 1e-8) continue;
+      double refined = num / den;
+      double spread = dev / (den * std::max(refined, 1.0));
+      if (std::fabs(refined - c0) < 0.18 * c0 && refined >= f0_floor &&
+          refined <= f0_ceil) {
+        ref_f0[static_cast<size_t>(f) * kSlots + k] = refined;
+        cost[static_cast<size_t>(f) * kSlots + k] = spread * kCostScale;
+      }
+    }
+  }
+
+  // --- Viterbi over K voiced states + 1 unvoiced (ops/f0.py trellis) ---
+  const int S = kSlots + 1;
+  std::vector<double> dp(static_cast<size_t>(n_frames) * S);
+  std::vector<int> bp(static_cast<size_t>(n_frames) * S, 0);
+  auto logf = [&](int f, int s) -> double {
+    if (s == kSlots) return 0.0;
+    double v = ref_f0[static_cast<size_t>(f) * kSlots + s];
+    return std::log2(std::max(v, 1.0));
+  };
+  auto emit = [&](int f, int s) -> double {
+    return s == kSlots ? kVoicedBias
+                       : cost[static_cast<size_t>(f) * kSlots + s];
+  };
+  for (int s = 0; s < S; ++s) dp[s] = emit(0, s);
+  for (int f = 1; f < n_frames; ++f) {
+    for (int s = 0; s < S; ++s) {
+      double best = 1e30;
+      int arg = 0;
+      bool cur_v = s < kSlots;
+      for (int p = 0; p < S; ++p) {
+        bool prev_v = p < kSlots;
+        double trans = 0.0;
+        if (cur_v && prev_v)
+          trans += kOctaveCost * std::fabs(logf(f, s) - logf(f - 1, p));
+        if (cur_v != prev_v) trans += kSwitchCost;
+        double tot = dp[static_cast<size_t>(f - 1) * S + p] + trans;
+        if (tot < best) {
+          best = tot;
+          arg = p;
+        }
+      }
+      dp[static_cast<size_t>(f) * S + s] = best + emit(f, s);
+      bp[static_cast<size_t>(f) * S + s] = arg;
+    }
+  }
+  int s = 0;
+  double best = 1e30;
+  for (int k = 0; k < S; ++k)
+    if (dp[static_cast<size_t>(n_frames - 1) * S + k] < best) {
+      best = dp[static_cast<size_t>(n_frames - 1) * S + k];
+      s = k;
+    }
+  for (int f = n_frames - 1; f >= 0; --f) {
+    double v = s < kSlots ? ref_f0[static_cast<size_t>(f) * kSlots + s] : 0.0;
+    bool voiced = v >= f0_floor && v <= f0_ceil;
+    out_f0[f] = voiced ? static_cast<float>(v) : 0.0f;
+    out_vuv[f] = voiced ? 1.0f : 0.0f;
+    if (f > 0) s = bp[static_cast<size_t>(f) * S + s];
   }
   return n_frames;
 }

@@ -190,13 +190,25 @@ class Converter:
             self._infer(self.params, src, ref, sub)
         ))[0, :t_src]
 
+    def pack_reference(self, ref_feats: Dict[str, np.ndarray]):
+        """Normalize + pad one reference to its bucket and place it on
+        device (batch dim 1).  The returned handle can be passed to
+        ``convert_features_batch`` repeatedly — the arrays stay device
+        resident, so registered styles cost no per-request upload."""
+        packed, _ = self._pack(self._normalize_ref(ref_feats), True)
+        import jax
+
+        return jax.tree_util.tree_map(jax.device_put, packed)
+
     def convert_features_batch(
-        self, src_list, ref_list, ts: Optional[int] = None,
-        tr: Optional[int] = None,
+        self, src_list, ref_list=None, ts: Optional[int] = None,
+        tr: Optional[int] = None, packed_ref=None,
     ):
         """Batched conversion: one jitted dispatch for N (src, ref) pairs
         padded to shared (ts, tr) buckets (serving.BatchingConverter's
         dispatch path; same packed-sequence batching as the decode CLI).
+        Pass either per-request ``ref_list`` or one ``packed_ref`` from
+        :meth:`pack_reference` shared by the whole batch.
 
         Returns a list of per-request mels trimmed to true lengths.
         """
@@ -219,14 +231,22 @@ class Converter:
                 [f["hubert"].shape[0] for f in feats_list])
             return out
 
+        b = len(src_list)
         ts = ts or max(bucket_length(f["hubert"].shape[0]) for f in src_list)
-        tr = tr or max(bucket_length(f["hubert"].shape[0]) for f in ref_list)
         src_n = [self._normalize_src(f) for f in src_list]
-        ref_n = [self._normalize_ref(f) for f in ref_list]
         src = stack(src_n, [("x", "hubert"), ("midi", "score"),
                             ("loud", "loud")], ts)
-        ref = stack(ref_n, [("x", "hubert"), ("midi", "score"),
-                            ("loud", "loud"), ("logmel", "logmel")], tr)
+        if packed_ref is not None:
+            # device-side tile of the registered reference; no host upload
+            ref = {k: (jnp.broadcast_to(v, (b,) + v.shape[1:])
+                       if v.ndim > 1 else jnp.broadcast_to(v, (b,)))
+                   for k, v in packed_ref.items()}
+        else:
+            tr = tr or max(bucket_length(f["hubert"].shape[0])
+                           for f in ref_list)
+            ref_n = [self._normalize_ref(f) for f in ref_list]
+            ref = stack(ref_n, [("x", "hubert"), ("midi", "score"),
+                                ("loud", "loud"), ("logmel", "logmel")], tr)
         self._key, sub = jax.random.split(self._key)
         mels = np.asarray(jax.device_get(
             self._infer(self.params, src, ref, sub)

@@ -49,11 +49,14 @@ def build_argparser():
                    help="phoneme_midi transcriber checkpoint (optional)")
     p.add_argument("--allow-missing-hubert", type=str2bool, default=False)
     p.add_argument("--f0-backend",
-                   choices=("viterbi", "harvest", "jax", "native"),
+                   choices=("viterbi", "harvest", "jax", "native",
+                            "harvest_native"),
                    default="viterbi",
                    help="F0 estimator: YIN+Viterbi (default), Harvest-class "
                         "(the reference's algorithm, ops/harvest.py), plain "
-                        "YIN, or the native C++ library (CPU hosts)")
+                        "YIN, or the native C++ library on the host "
+                        "(native=YIN, harvest_native=Harvest; CPU-only "
+                        "preprocessing hosts)")
     p.add_argument("--batch-size", type=int, default=8,
                    help="vmap group size: same-bucket utterances from the "
                         "same singer share one mel+loudness+F0 dispatch")

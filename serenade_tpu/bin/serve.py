@@ -15,6 +15,8 @@ from __future__ import annotations
 import argparse
 import logging
 
+import numpy as np
+
 
 def build_argparser():
     p = argparse.ArgumentParser(description="SSC conversion server")
@@ -24,6 +26,11 @@ def build_argparser():
     p.add_argument("--checkpoint", default=None,
                    help="explicit checkpoint (default: latest in expdir)")
     p.add_argument("--contentvec-ckpt", default=None)
+    p.add_argument("--ref-dict", default=None,
+                   help="refstyles.json (style name -> reference dump h5); "
+                        "each style is registered device-resident at startup "
+                        "so requests can pass just the style name")
+    p.add_argument("--score-type", default="est_lf0_score")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--max-batch", type=int, default=8)
@@ -49,6 +56,22 @@ def main(argv=None):
     )
     batching = BatchingConverter(conv, max_batch=args.max_batch,
                                  max_wait_ms=args.max_wait_ms)
+    if args.ref_dict:
+        import json
+
+        from serenade_tpu.utils.h5 import read_hdf5
+
+        with open(args.ref_dict) as f:
+            styles = json.load(f)
+        for style, h5path in styles.items():
+            batching.register_reference(style, {
+                "hubert": read_hdf5(h5path, "hubert"),
+                "logmel": read_hdf5(h5path, "logmel"),
+                "loud": np.asarray(read_hdf5(h5path, "loud")).reshape(-1, 1),
+                "score": np.asarray(
+                    read_hdf5(h5path, args.score_type)).reshape(-1, 1),
+            })
+            logging.info("registered reference style %r (%s)", style, h5path)
     server = make_server(batching, host=args.host, port=args.port)
     logging.info("serving on %s:%d (max_batch=%d, wait=%.0fms)",
                  args.host, args.port, args.max_batch, args.max_wait_ms)

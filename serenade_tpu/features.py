@@ -94,7 +94,7 @@ def _signal_program(fs: int, fft_size: int, hop_size: int, win_length: int,
             eps=eps, log_base=log_base,
         )
         loud = loudness_extract(wav, fs, hop_size)
-        if backend == "native":  # F0 runs on host; mel+loud only
+        if backend in ("native", "harvest_native"):  # F0 on host; mel+loud only
             return logmel, loud
         if backend == "harvest":
             from serenade_tpu.ops.harvest import harvest_f0 as f0_fn
@@ -136,12 +136,14 @@ def extract_signal_features_group(
         f0_backend,
     )
     batch = jnp.stack([jnp.asarray(a) for a in audios_b])
-    if f0_backend == "native":
-        from serenade_tpu.native import yin_f0_native
+    if f0_backend in ("native", "harvest_native"):
+        from serenade_tpu.native import harvest_f0_native, yin_f0_native
 
+        host_f0 = (harvest_f0_native if f0_backend == "harvest_native"
+                   else yin_f0_native)
         logmel, loud = (np.asarray(a) for a in fn(batch))
         f0 = np.stack([
-            np.asarray(smooth_f0_median(jnp.asarray(yin_f0_native(
+            np.asarray(smooth_f0_median(jnp.asarray(host_f0(
                 a, fs=config.sampling_rate, f0_floor=minf0, f0_ceil=maxf0,
                 frame_period_ms=config.shiftms,
             )[0]))) for a in audios_b

@@ -52,6 +52,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.sn_harvest_f0.restype = ctypes.c_int
+    lib.sn_harvest_f0.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -86,6 +92,35 @@ def yin_f0_native(
     )
     if ret != n_frames:
         raise RuntimeError(f"sn_yin_f0 failed (ret={ret})")
+    return f0, vuv
+
+
+def harvest_f0_native(
+    audio: np.ndarray,
+    fs: int = 24000,
+    f0_floor: float = 60.0,
+    f0_ceil: float = 1100.0,
+    frame_period_ms: float = 10.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native Harvest-class F0; same contract (and algorithm) as
+    serenade_tpu.ops.harvest.harvest_f0 — the role pyworld's C++ Harvest
+    plays in the reference (preprocess.py:485-493), for CPU-only hosts."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    audio = np.ascontiguousarray(audio, np.float32)
+    hop = int(fs * frame_period_ms / 1000.0)
+    n_frames = 1 + len(audio) // hop
+    f0 = np.zeros(n_frames, np.float32)
+    vuv = np.zeros(n_frames, np.float32)
+    ret = lib.sn_harvest_f0(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(audio)), fs, f0_floor, f0_ceil, frame_period_ms,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        vuv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if ret != n_frames:
+        raise RuntimeError(f"sn_harvest_f0 failed (ret={ret})")
     return f0, vuv
 
 

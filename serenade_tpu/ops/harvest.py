@@ -231,8 +231,12 @@ def _refine_candidates(x_d, valid_len: int, frame_samples, cand, fs_d: float,
         delta = -(im_d * re - re_d * im) / (two_pi * jnp.maximum(p, 1e-20))
         f_inst = fh + delta
         amp = jnp.sqrt(jnp.maximum(p, 0.0))
-        ok = (fh < nyq).astype(jnp.float32)
         est = f_inst / h
+        # a harmonic only votes when its IF lands near the candidate: the
+        # probe at h·c sits ~h·c/3 window-bins from the fundamental, whose
+        # main-lobe tail leaks in with ~3 % amplitude — enough to drag the
+        # weighted mean ~15 cents flat on weak-harmonic tones if unchecked
+        ok = ((fh < nyq) & (jnp.abs(est - c) < 0.1 * c)).astype(jnp.float32)
         num = num + ok * amp * est
         den = den + ok * amp
         dev = dev + ok * amp * jnp.abs(est - c)

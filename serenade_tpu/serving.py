@@ -39,7 +39,8 @@ logger = logging.getLogger(__name__)
 @dataclass
 class _Request:
     src: Dict[str, np.ndarray]
-    ref: Dict[str, np.ndarray]
+    # either a feature dict (ad-hoc reference) or a registered style name
+    ref: object
     done: threading.Event = field(default_factory=threading.Event)
     mel: Optional[np.ndarray] = None
     wav: Optional[np.ndarray] = None
@@ -67,18 +68,33 @@ class BatchingConverter:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "audio_sec": 0.0, "compute_sec": 0.0}
+        self._refs: Dict[str, object] = {}
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True, name="ssc-dispatcher")
         self._thread.start()
 
     # -- client side ----------------------------------------------------
 
-    def convert(self, src_feats, ref_feats, timeout: float = 300.0):
+    def register_reference(self, name: str, ref_feats) -> None:
+        """Register a named style reference.  Its normalized features are
+        packed once and kept device-resident — requests that pass the name
+        skip the reference upload entirely (the production pattern: the
+        style set is small and fixed, conf/refstyles.json)."""
+        self._refs[name] = self._conv.pack_reference(ref_feats)
+
+    def reference_names(self):
+        return sorted(self._refs)
+
+    def convert(self, src_feats, ref, timeout: float = 300.0):
         """Blocking submit; returns (mel, wav|None, sr|None).
 
+        ``ref`` is a feature dict (ad-hoc) or a registered style name.
         Thread-safe: many callers batch together transparently.
         """
-        req = _Request(src=src_feats, ref=ref_feats)
+        if isinstance(ref, str) and ref not in self._refs:
+            raise KeyError(f"unknown reference style {ref!r}; "
+                           f"registered: {self.reference_names()}")
+        req = _Request(src=src_feats, ref=ref)
         self._queue.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("conversion timed out")
@@ -95,8 +111,10 @@ class BatchingConverter:
     def _bucket(self, req: _Request):
         from serenade_tpu.collaters.ssc import bucket_length
 
-        return (bucket_length(req.src["hubert"].shape[0]),
-                bucket_length(req.ref["hubert"].shape[0]))
+        ts = bucket_length(req.src["hubert"].shape[0])
+        if isinstance(req.ref, str):
+            return (ts, req.ref)
+        return (ts, bucket_length(req.ref["hubert"].shape[0]))
 
     def _dispatch_loop(self):
         while not self._stop.is_set():
@@ -122,12 +140,18 @@ class BatchingConverter:
             for (ts, tr), reqs in groups.items():
                 self._run_group(reqs, ts, tr)
 
-    def _run_group(self, reqs, ts: int, tr: int):
+    def _run_group(self, reqs, ts: int, tr):
         try:
             t0 = time.monotonic()
-            mels = self._conv.convert_features_batch(
-                [r.src for r in reqs], [r.ref for r in reqs], ts, tr,
-            )
+            if isinstance(tr, str):  # registered style: device-resident ref
+                mels = self._conv.convert_features_batch(
+                    [r.src for r in reqs], ts=ts,
+                    packed_ref=self._refs[tr],
+                )
+            else:
+                mels = self._conv.convert_features_batch(
+                    [r.src for r in reqs], [r.ref for r in reqs], ts, tr,
+                )
             compute = time.monotonic() - t0
             for r, mel in zip(reqs, mels):
                 r.mel = mel
@@ -161,16 +185,35 @@ _REF_KEYS = _SRC_KEYS + ("logmel",)
 def _parse_npz(body: bytes):
     with np.load(io.BytesIO(body)) as z:
         src = {k: z[f"src_{k}"] for k in _SRC_KEYS}
-        ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
+        if "ref_name" in z.files:
+            ref = str(z["ref_name"])
+        else:
+            ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
     return src, ref
 
 
-def encode_request(src_feats, ref_feats) -> bytes:
-    """Client-side helper: pack feature dicts into the POST body format."""
+def _parse_ref_npz(body: bytes):
+    with np.load(io.BytesIO(body)) as z:
+        return {k: z[f"ref_{k}"] for k in _REF_KEYS}
+
+
+def encode_request(src_feats, ref) -> bytes:
+    """Client-side helper: pack the POST body.  ``ref`` is a feature dict
+    or a registered style name."""
     buf = io.BytesIO()
     arrays = {f"src_{k}": np.asarray(src_feats[k]) for k in _SRC_KEYS}
-    arrays.update({f"ref_{k}": np.asarray(ref_feats[k]) for k in _REF_KEYS})
+    if isinstance(ref, str):
+        arrays["ref_name"] = np.asarray(ref)
+    else:
+        arrays.update({f"ref_{k}": np.asarray(ref[k]) for k in _REF_KEYS})
     np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def encode_reference(ref_feats) -> bytes:
+    """Client-side helper: body for POST /register_reference?name=<style>."""
+    buf = io.BytesIO()
+    np.savez(buf, **{f"ref_{k}": np.asarray(ref_feats[k]) for k in _REF_KEYS})
     return buf.getvalue()
 
 
@@ -205,11 +248,30 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             stats = dict(batching.stats)
             stats["rtf"] = (stats["compute_sec"] / stats["audio_sec"]
                             if stats["audio_sec"] else None)
+            stats["references"] = batching.reference_names()
             self._send(200, json.dumps({"ok": True, **stats}).encode(),
                        "application/json")
 
         def do_POST(self):
-            if self.path != "/convert_features":
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
+            if parsed.path == "/register_reference":
+                try:
+                    name = parse_qs(parsed.query).get("name", [""])[0]
+                    if not name:
+                        raise ValueError("missing ?name=<style>")
+                    n = int(self.headers.get("Content-Length", "0"))
+                    batching.register_reference(
+                        name, _parse_ref_npz(self.rfile.read(n)))
+                    return self._send(
+                        200, json.dumps({"ok": True, "name": name}).encode(),
+                        "application/json")
+                except Exception as e:  # noqa: BLE001 — per-request fault
+                    return self._send(
+                        400, json.dumps({"error": str(e)}).encode(),
+                        "application/json")
+            if parsed.path != "/convert_features":
                 return self._send(404, b"{}", "application/json")
             try:
                 n = int(self.headers.get("Content-Length", "0"))

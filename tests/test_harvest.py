@@ -53,17 +53,23 @@ GLIDE = 196.0 * 2 ** (t / DUR)                      # one octave up
 HIGH = 523.25 * (1 + 0.02 * np.sin(2 * np.pi * 6.0 * t))   # soprano C5
 FLAT = np.full(N, 330.0)
 
+PURE = np.full(N, 261.63)
+
 _cases = {
     "vibrato": _harmonic(VIBRATO),
     "glide": _harmonic(GLIDE),
     "high": _harmonic(HIGH, n_harm=4),
     "breathy": _harmonic(FLAT, amps=[0.25, 0.35, 0.2, 0.1], noise=0.03),
+    # pure sine: regression for the harmonic-leakage flat bias (the h>=2
+    # DFT probes see only fundamental main-lobe leakage; ungated it pulled
+    # the refinement ~15 cents flat)
+    "pure": _harmonic(PURE, n_harm=1, amps=[0.5]),
     "silence": np.zeros(N, np.float32),
     "noise": _rng.normal(0.0, 0.1, N).astype(np.float32),
 }
 _truth = {
     "vibrato": VIBRATO, "glide": GLIDE, "high": HIGH, "breathy": FLAT,
-    "silence": np.zeros(N), "noise": np.zeros(N),
+    "pure": PURE, "silence": np.zeros(N), "noise": np.zeros(N),
 }
 _names = list(_cases)
 
@@ -87,6 +93,7 @@ CORE = slice(12, N_FRAMES - 12)
     ("glide", 6.0, 25.0),
     ("high", 3.0, 10.0),
     ("breathy", 6.0, 30.0),
+    ("pure", 2.0, 5.0),
 ])
 def test_voiced_accuracy(harvest_out, name, mean_bound, max_bound):
     f0, vuv = harvest_out[name]

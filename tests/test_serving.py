@@ -125,6 +125,44 @@ def test_batching_converter_faults_bad_request_alone(tiny_experiment):
         b.close()
 
 
+def test_registered_reference_styles(tiny_experiment):
+    """Named styles are packed once, kept device-resident, and served
+    without per-request reference upload; unknown names fail fast."""
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    b = BatchingConverter(conv, max_batch=4, max_wait_ms=100.0)
+    try:
+        b.register_reference("Breathy", ref)
+        assert b.reference_names() == ["Breathy"]
+        with pytest.raises(KeyError):
+            b.convert(src, "Falsetto", timeout=10)
+
+        results = [None, None]
+
+        def call(i):
+            results[i] = b.convert(src, "Breathy", timeout=120)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None for r in results)
+        assert b.stats["batches"] == 1  # both named-ref requests batched
+        mel_named = results[0][0]
+        assert mel_named.shape[0] == src["hubert"].shape[0]
+        assert np.isfinite(mel_named).all()
+        # same conditioning as passing the dict explicitly (shapes/regime)
+        mel_dict, _, _ = b.convert(src, ref, timeout=120)
+        assert mel_dict.shape == mel_named.shape
+    finally:
+        b.close()
+
+
 def test_http_round_trip(tiny_experiment):
     import http.client
 
@@ -161,6 +199,19 @@ def test_http_round_trip(tiny_experiment):
         assert c.getresponse().status == 400
         c.request("GET", "/healthz")
         assert c.getresponse().status == 200
+
+        # register a style over HTTP, convert by name
+        from serenade_tpu.serving import encode_reference
+
+        c.request("POST", "/register_reference?name=Breathy",
+                  body=encode_reference(ref))
+        assert c.getresponse().status == 200
+        c.request("POST", "/convert_features",
+                  body=encode_request(src, "Breathy"))
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        mel2, _, _ = decode_response(resp.read())
+        assert mel2.shape[0] == src["hubert"].shape[0]
     finally:
         server.shutdown()
         b.close()
