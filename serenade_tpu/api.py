@@ -180,6 +180,44 @@ class Converter:
             return mel, wav, sr
         return mel, None, None
 
+    def convert_features_stream(
+        self, src_feats: Dict[str, np.ndarray],
+        ref_feats: Dict[str, np.ndarray],
+        chunk_frames: int = 2048, overlap_frames: int = 256,
+        vocoder_context_frames: int = 32,
+    ):
+        """Streaming long-form conversion: yields
+        ``(start_frame, mel_segment, wav_segment|None)`` as each region
+        finalizes — first audio after ONE chunk, not the whole utterance.
+
+        Waveform segments are vocoded with ``vocoder_context_frames`` of
+        already-final left context (re-synthesized and trimmed) so the
+        HiFiGAN receptive field sees real history at segment joins.
+        """
+        from serenade_tpu.ops.longform import convert_in_chunks_stream
+
+        keys = ("hubert", "score", "loud")
+        frame_feats = {k: np.asarray(src_feats[k]) for k in keys}
+
+        def convert_chunk(chunk):
+            return self._convert_mel_only(chunk, ref_feats)
+
+        mel_tail = None  # last ctx frames of already-emitted mel
+        for start, seg in convert_in_chunks_stream(
+                frame_feats, convert_chunk,
+                chunk_frames=chunk_frames, overlap_frames=overlap_frames):
+            wav_seg = None
+            if self.vocoder is not None:
+                ctx = 0 if mel_tail is None else mel_tail.shape[0]
+                mel_in = seg if ctx == 0 else np.concatenate(
+                    [mel_tail, seg], axis=0)
+                wav, sr = self.vocoder.decode(mel_in)
+                hop = len(wav) // mel_in.shape[0]
+                wav_seg = wav[ctx * hop:]
+                self._stream_sr = sr
+            mel_tail = seg[-vocoder_context_frames:]
+            yield start, seg, wav_seg
+
     def _convert_mel_only(self, src_feats, ref_feats):
         import jax
 

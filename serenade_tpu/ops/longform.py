@@ -32,6 +32,54 @@ def split_chunks(n_frames: int, chunk: int, overlap: int) -> List[tuple]:
     return spans
 
 
+def convert_in_chunks_stream(
+    feats: Dict[str, np.ndarray],
+    convert_fn: Callable[[Dict[str, np.ndarray]], np.ndarray],
+    chunk_frames: int = 2048,
+    overlap_frames: int = 256,
+):
+    """Streaming variant: generator of ``(start_frame, mel_segment)``
+    pairs, in order and non-overlapping, emitted as soon as each region is
+    FINAL (i.e. no later chunk's crossfade can touch it).  First output
+    arrives after one chunk instead of the whole utterance — the live-
+    serving shape of long-form conversion.
+    """
+    lengths = {k: v.shape[0] for k, v in feats.items()}
+    n = min(lengths.values())
+    spans = split_chunks(n, chunk_frames, overlap_frames)
+    if len(spans) == 1:
+        yield 0, np.asarray(convert_fn(feats))
+        return
+
+    buf = None  # not-yet-final tail of the stitched mel
+    buf_start = 0
+    prev_end = 0
+    for i, (s, e) in enumerate(spans):
+        chunk_feats = {k: v[s:e] for k, v in feats.items()}
+        mel = np.asarray(convert_fn(chunk_feats))
+        if buf is None:
+            buf = np.array(mel)  # owned copy: device_get arrays are read-only
+            prev_end = e
+        else:
+            ov = prev_end - s
+            if ov > 0:
+                w = np.linspace(0.0, 1.0, ov, dtype=mel.dtype)[:, None]
+                buf[-ov:] = buf[-ov:] * (1.0 - w) + mel[:ov] * w
+                buf = np.concatenate([buf, mel[ov:]], axis=0)
+            else:
+                buf = np.concatenate([buf, mel], axis=0)
+            prev_end = e
+        if i + 1 < len(spans):
+            # frames before the next chunk's start can no longer change
+            final = spans[i + 1][0] - buf_start
+            if final > 0:
+                yield buf_start, buf[:final]
+                buf = buf[final:]
+                buf_start = spans[i + 1][0]
+        else:
+            yield buf_start, buf
+
+
 def convert_in_chunks(
     feats: Dict[str, np.ndarray],
     convert_fn: Callable[[Dict[str, np.ndarray]], np.ndarray],
@@ -39,33 +87,12 @@ def convert_in_chunks(
     overlap_frames: int = 256,
 ) -> np.ndarray:
     """Run ``convert_fn`` on overlapping windows of the frame-aligned
-    feature dict and crossfade the outputs.
+    feature dict and crossfade the outputs (offline form of the stream).
 
     Args:
         feats: dict of (T, C) arrays (all same T).
         convert_fn: maps a chunked feature dict -> (t, C_out) mel.
     """
-    lengths = {k: v.shape[0] for k, v in feats.items()}
-    n = min(lengths.values())
-    spans = split_chunks(n, chunk_frames, overlap_frames)
-    if len(spans) == 1:
-        return convert_fn(feats)
-
-    out = None
-    prev_end = 0
-    for (s, e) in spans:
-        chunk_feats = {k: v[s:e] for k, v in feats.items()}
-        mel = np.asarray(convert_fn(chunk_feats))
-        if out is None:
-            out = mel
-            prev_end = e
-            continue
-        ov = prev_end - s
-        if ov > 0:
-            w = np.linspace(0.0, 1.0, ov, dtype=mel.dtype)[:, None]
-            out[-ov:] = out[-ov:] * (1.0 - w) + mel[:ov] * w
-            out = np.concatenate([out, mel[ov:]], axis=0)
-        else:
-            out = np.concatenate([out, mel], axis=0)
-        prev_end = e
-    return out
+    segs = [seg for _, seg in convert_in_chunks_stream(
+        feats, convert_fn, chunk_frames, overlap_frames)]
+    return segs[0] if len(segs) == 1 else np.concatenate(segs, axis=0)

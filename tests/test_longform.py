@@ -47,3 +47,38 @@ def test_convert_in_chunks_crossfades_disagreement():
     # inter-chunk difference
     diffs = np.abs(np.diff(out[:, 0]))
     assert diffs.max() <= 1.0 / 63 + 1e-6  # blended over 64 frames
+
+
+def test_stream_matches_offline_and_is_incremental():
+    """The streaming generator yields ordered, non-overlapping, finalized
+    segments whose concatenation equals the offline result — and emits
+    the first segment after ONE chunk conversion, not all of them."""
+    from serenade_tpu.ops.longform import convert_in_chunks_stream
+
+    T, C = 900, 4
+    feats = {"hubert": np.random.default_rng(1).normal(
+        size=(T, C)).astype(np.float32)}
+    calls = []
+
+    def convert_fn(chunk):
+        calls.append(chunk["hubert"].shape[0])
+        return chunk["hubert"] * 3.0
+
+    offline = convert_in_chunks(feats, convert_fn, chunk_frames=256,
+                                overlap_frames=64)
+    calls.clear()
+
+    gen = convert_in_chunks_stream(feats, convert_fn, chunk_frames=256,
+                                   overlap_frames=64)
+    start0, seg0 = next(gen)
+    assert start0 == 0
+    assert len(calls) == 1  # first segment after one chunk conversion
+    segs = [(start0, seg0)] + list(gen)
+    # ordered, contiguous, non-overlapping
+    pos = 0
+    for start, seg in segs:
+        assert start == pos
+        pos += seg.shape[0]
+    assert pos == T
+    np.testing.assert_allclose(
+        np.concatenate([s for _, s in segs], axis=0), offline, atol=1e-6)

@@ -305,3 +305,56 @@ def test_full_inference_seq_sharded_matches_replicated():
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_batched_inference_dp_sharded_matches_replicated():
+    """Serving on a slice: shard the conversion BATCH over 'data' (each
+    device converts its sub-batch; params replicated) — the batched
+    decode/serving dispatch path on a pod.  Output must match the
+    single-device batched run."""
+    from jax.sharding import Mesh, NamedSharding
+
+    from serenade_tpu.models import Serenade
+
+    model = Serenade(
+        input_dim=32, output_dim=8, encoder_channels=8,
+        decoder_channels=64, gst_embed_dim=32,
+        decoder_attention_head_dim=32, dtype=jnp.float32,
+    )
+    b, ts, tr = 8, 64, 32
+    ks = jax.random.split(jax.random.key(5), 9)
+    lens_s = jnp.array([ts - (i % 3) * 8 for i in range(b)])
+    lens_r = jnp.array([tr - (i % 2) * 8 for i in range(b)])
+    args = (
+        jax.random.normal(ks[0], (b, ts, 32)), lens_s,
+        jax.random.uniform(ks[1], (b, ts, 1)),
+        jax.random.uniform(ks[2], (b, ts, 1)),
+        jax.random.normal(ks[3], (b, tr, 32)), lens_r,
+        jax.random.normal(ks[4], (b, tr, 8)),
+        jax.random.uniform(ks[5], (b, tr, 1)),
+        jax.random.uniform(ks[6], (b, tr, 1)),
+    )
+    params = model.init(
+        {"params": ks[7]}, args[0], args[1],
+        jax.random.normal(ks[8], (b, ts, 8)), args[2], args[3],
+        rng=jax.random.key(0), deterministic=True,
+    )
+
+    def infer(p, *a):
+        return model.apply(p, *a, rng=jax.random.key(1), n_timesteps=2,
+                           method="inference")
+
+    ref = jax.jit(infer)(params, *args)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    dp = NamedSharding(mesh, P("data"))
+    args_sh = tuple(
+        jax.device_put(a, NamedSharding(
+            mesh, P(*(("data",) + (None,) * (a.ndim - 1)))))
+        for a in args
+    )
+    got = jax.jit(infer)(params, *args_sh)
+    assert len(got.sharding.device_set) == 8  # actually distributed
+    del dp
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)

@@ -163,6 +163,26 @@ def test_registered_reference_styles(tiny_experiment):
         b.close()
 
 
+def test_convert_features_stream(tiny_experiment):
+    """Streaming conversion yields ordered finalized segments covering the
+    whole source (first audio after one chunk)."""
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+    t_src = src["hubert"].shape[0]
+
+    segs = list(conv.convert_features_stream(
+        src, ref, chunk_frames=48, overlap_frames=16))
+    assert len(segs) >= 2  # actually chunked at this size
+    pos = 0
+    for start, mel_seg, wav_seg in segs:
+        assert start == pos
+        assert np.isfinite(mel_seg).all()
+        assert wav_seg is None  # tiny config has no vocoder
+        pos += mel_seg.shape[0]
+    assert pos == t_src
+
+
 def test_http_round_trip(tiny_experiment):
     import http.client
 
