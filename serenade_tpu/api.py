@@ -52,6 +52,9 @@ class Converter:
             raise FileNotFoundError(f"no checkpoint under {expdir}")
         model_cls = resolve("model", self.config["model_type"])
         self.model = model_cls(**self.config.get("model_params", {}))
+        # the modded variant threads the f0-fluctuation feature through
+        # inference (reference serenade_new.py:198-224)
+        self.variant_new = "New" in self.config["model_type"]
         self.params = restore_params_only(ckpt)
         self.scaler = joblib.load(stats)
         self.n_timesteps = n_timesteps
@@ -80,22 +83,31 @@ class Converter:
     # ------------------------------------------------------------------
 
     def _infer_impl(self, params, src, ref, key):
+        args = [src["x"], src["lengths"], src["midi"], src["loud"]]
+        if self.variant_new:
+            args.append(src["f0_fluc"])
+        args += [ref["x"], ref["lengths"], ref["logmel"], ref["midi"],
+                 ref["loud"]]
+        if self.variant_new:
+            args.append(ref["f0_fluc"])
         return self.model.apply(
-            params, src["x"], src["lengths"], src["midi"], src["loud"],
-            ref["x"], ref["lengths"], ref["logmel"], ref["midi"],
-            ref["loud"], rng=key, n_timesteps=self.n_timesteps,
+            params, *args, rng=key, n_timesteps=self.n_timesteps,
             temperature=self.temperature, method="inference",
         )
 
     def _normalize_src(self, feats: Dict[str, np.ndarray]):
         s = self.scaler
-        return {
+        out = {
             "hubert": (feats["hubert"] - s["hubert"].mean_) / s["hubert"].scale_,
             "score": (feats["score"] - s["score"].data_min_)
             / (s["score"].data_max_ - s["score"].data_min_),
             "loud": (feats["loud"] - s["loud"].data_min_)
             / (s["loud"].data_max_ - s["loud"].data_min_),
         }
+        if self.variant_new:
+            out["f0_fluc"] = np.asarray(feats["f0_fluc"])  # unscaled, like
+            # the reference dataset (audio_mel_dataset.py:188,220)
+        return out
 
     def _normalize_ref(self, feats: Dict[str, np.ndarray]):
         out = self._normalize_src(feats)
@@ -128,6 +140,8 @@ class Converter:
         }
         if with_mel:
             out["logmel"] = pad(feats["logmel"])
+        if "f0_fluc" in feats:
+            out["f0_fluc"] = pad(feats["f0_fluc"])
         return out, t
 
     # ------------------------------------------------------------------
@@ -166,7 +180,8 @@ class Converter:
         (mel, wav or None, sr or None)."""
         from serenade_tpu.ops.longform import convert_in_chunks
 
-        keys = ("hubert", "score", "loud")
+        keys = ("hubert", "score", "loud") + (
+            ("f0_fluc",) if self.variant_new else ())
         frame_feats = {k: np.asarray(src_feats[k]) for k in keys}
 
         def convert_chunk(chunk):
@@ -196,7 +211,8 @@ class Converter:
         """
         from serenade_tpu.ops.longform import convert_in_chunks_stream
 
-        keys = ("hubert", "score", "loud")
+        keys = ("hubert", "score", "loud") + (
+            ("f0_fluc",) if self.variant_new else ())
         frame_feats = {k: np.asarray(src_feats[k]) for k in keys}
 
         def convert_chunk(chunk):
@@ -270,10 +286,11 @@ class Converter:
             return out
 
         b = len(src_list)
+        fluc = [("f0_fluc", "f0_fluc")] if self.variant_new else []
         ts = ts or max(bucket_length(f["hubert"].shape[0]) for f in src_list)
         src_n = [self._normalize_src(f) for f in src_list]
         src = stack(src_n, [("x", "hubert"), ("midi", "score"),
-                            ("loud", "loud")], ts)
+                            ("loud", "loud")] + fluc, ts)
         if packed_ref is not None:
             # device-side tile of the registered reference; no host upload
             ref = {k: (jnp.broadcast_to(v, (b,) + v.shape[1:])
@@ -284,7 +301,8 @@ class Converter:
                            for f in ref_list)
             ref_n = [self._normalize_ref(f) for f in ref_list]
             ref = stack(ref_n, [("x", "hubert"), ("midi", "score"),
-                                ("loud", "loud"), ("logmel", "logmel")], tr)
+                                ("loud", "loud"), ("logmel", "logmel")]
+                        + fluc, tr)
         self._key, sub = jax.random.split(self._key)
         mels = np.asarray(jax.device_get(
             self._infer(self.params, src, ref, sub)

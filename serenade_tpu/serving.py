@@ -185,27 +185,41 @@ _REF_KEYS = _SRC_KEYS + ("logmel",)
 def _parse_npz(body: bytes):
     with np.load(io.BytesIO(body)) as z:
         src = {k: z[f"src_{k}"] for k in _SRC_KEYS}
+        if "src_f0_fluc" in z.files:  # SerenadeNew variant
+            src["f0_fluc"] = z["src_f0_fluc"]
         if "ref_name" in z.files:
             ref = str(z["ref_name"])
         else:
             ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
+            if "ref_f0_fluc" in z.files:
+                ref["f0_fluc"] = z["ref_f0_fluc"]
     return src, ref
 
 
 def _parse_ref_npz(body: bytes):
     with np.load(io.BytesIO(body)) as z:
-        return {k: z[f"ref_{k}"] for k in _REF_KEYS}
+        ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
+        if "ref_f0_fluc" in z.files:
+            ref["f0_fluc"] = z["ref_f0_fluc"]
+    return ref
+
+
+def _encode_feats(prefix: str, feats, keys) -> dict:
+    arrays = {f"{prefix}_{k}": np.asarray(feats[k]) for k in keys}
+    if "f0_fluc" in feats:
+        arrays[f"{prefix}_f0_fluc"] = np.asarray(feats["f0_fluc"])
+    return arrays
 
 
 def encode_request(src_feats, ref) -> bytes:
     """Client-side helper: pack the POST body.  ``ref`` is a feature dict
     or a registered style name."""
     buf = io.BytesIO()
-    arrays = {f"src_{k}": np.asarray(src_feats[k]) for k in _SRC_KEYS}
+    arrays = _encode_feats("src", src_feats, _SRC_KEYS)
     if isinstance(ref, str):
         arrays["ref_name"] = np.asarray(ref)
     else:
-        arrays.update({f"ref_{k}": np.asarray(ref[k]) for k in _REF_KEYS})
+        arrays.update(_encode_feats("ref", ref, _REF_KEYS))
     np.savez(buf, **arrays)
     return buf.getvalue()
 
@@ -213,7 +227,7 @@ def encode_request(src_feats, ref) -> bytes:
 def encode_reference(ref_feats) -> bytes:
     """Client-side helper: body for POST /register_reference?name=<style>."""
     buf = io.BytesIO()
-    np.savez(buf, **{f"ref_{k}": np.asarray(ref_feats[k]) for k in _REF_KEYS})
+    np.savez(buf, **_encode_feats("ref", ref_feats, _REF_KEYS))
     return buf.getvalue()
 
 

@@ -235,3 +235,68 @@ def test_http_round_trip(tiny_experiment):
     finally:
         server.shutdown()
         b.close()
+
+
+def test_converter_api_serenade_new_variant(tmp_path):
+    """The Converter/serving path drives the SerenadeNew (f0_fluc) variant
+    end to end — the modded pipeline is servable, not just decodable."""
+    import yaml
+
+    from tests.test_e2e_pipeline import (
+        TINY_CONFIG, UTTS, fake_content_fn, synth_wav, _run_cli,
+    )
+    from serenade_tpu.bin.compute_statistics import main as stats_main
+    from serenade_tpu.bin.ssc_train_new import main as train_main
+    from serenade_tpu.features import FeatureConfig, extract_features
+    from serenade_tpu.utils.audio import read_wav
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    cfg = dict(TINY_CONFIG)
+    cfg.update(model_type="SerenadeNew", trainer_type="SSCTrainerNew",
+               collater_type="SSCCollaterNew", dataset_type="FeatsDatasetNew")
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    fc = FeatureConfig.from_dict(cfg)
+    items = {}
+    for utt, freq in UTTS[:2]:
+        wav_path = tmp_path / f"{utt}.wav"
+        synth_wav(str(wav_path), freq)
+        audio, fs = read_wav(str(wav_path))
+        feats = extract_features(utt, audio, fs, fc,
+                                 content_fn=fake_content_fn,
+                                 with_f0_fluc=True)
+        assert "f0_fluc" in feats
+        for k, v in feats.items():
+            write_hdf5(str(dump / f"{utt}.h5"), k, v)
+        feats["score"] = feats["est_lf0_score"]
+        items[utt] = feats
+
+    cfg_path = tmp_path / "config.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    _run_cli(stats_main, ["--rootdir", str(dump), "--dumpdir",
+                          str(tmp_path), "--config", str(cfg_path)])
+    _run_cli(train_main, [
+        "--train-dumpdir", str(dump), "--dev-dumpdir", str(dump),
+        "--stats", str(tmp_path / "stats.joblib"), "--outdir",
+        str(tmp_path / "exp"), "--config", str(cfg_path), "--data-axis", "1",
+    ])
+
+    from serenade_tpu.api import Converter
+    from serenade_tpu.serving import BatchingConverter
+
+    conv = Converter(str(tmp_path / "exp"), str(tmp_path / "stats.joblib"),
+                     n_timesteps=2)
+    assert conv.variant_new
+    (a, _), (b_utt, _) = UTTS[:2]
+    mel, wav, _ = conv.convert_features(items[a], items[b_utt])
+    assert mel.shape[0] == items[a]["hubert"].shape[0]
+    assert np.isfinite(mel).all()
+
+    bc = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
+    try:
+        bc.register_reference("style", items[b_utt])
+        mel2, _, _ = bc.convert(items[a], "style", timeout=120)
+        assert mel2.shape == mel.shape and np.isfinite(mel2).all()
+    finally:
+        bc.close()
