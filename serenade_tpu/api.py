@@ -53,8 +53,9 @@ class Converter:
         model_cls = resolve("model", self.config["model_type"])
         self.model = model_cls(**self.config.get("model_params", {}))
         # the modded variant threads the f0-fluctuation feature through
-        # inference (reference serenade_new.py:198-224)
-        self.variant_new = "New" in self.config["model_type"]
+        # inference (reference serenade_new.py:198-224); declared as a
+        # class capability, not inferred from the registry name
+        self.variant_new = bool(getattr(model_cls, "uses_f0_fluc", False))
         self.params = restore_params_only(ckpt)
         self.scaler = joblib.load(stats)
         self.n_timesteps = n_timesteps
@@ -79,6 +80,11 @@ class Converter:
             self._content_fn = make_content_fn(contentvec_ckpt)
 
         self._infer = jax.jit(self._infer_impl)
+
+    @property
+    def output_sample_rate(self) -> Optional[int]:
+        """Waveform sample rate of vocoded outputs (None if no vocoder)."""
+        return self.vocoder.sampling_rate if self.vocoder else None
 
     # ------------------------------------------------------------------
 
@@ -204,6 +210,8 @@ class Converter:
         """Streaming long-form conversion: yields
         ``(start_frame, mel_segment, wav_segment|None)`` as each region
         finalizes — first audio after ONE chunk, not the whole utterance.
+        The waveform sample rate is :attr:`output_sample_rate` (known
+        before iteration, so headers can be written up front).
 
         Waveform segments are vocoded with ``vocoder_context_frames`` of
         already-final left context (re-synthesized and trimmed) so the
@@ -227,10 +235,9 @@ class Converter:
                 ctx = 0 if mel_tail is None else mel_tail.shape[0]
                 mel_in = seg if ctx == 0 else np.concatenate(
                     [mel_tail, seg], axis=0)
-                wav, sr = self.vocoder.decode(mel_in)
+                wav, _ = self.vocoder.decode(mel_in)
                 hop = len(wav) // mel_in.shape[0]
                 wav_seg = wav[ctx * hop:]
-                self._stream_sr = sr
             mel_tail = seg[-vocoder_context_frames:]
             yield start, seg, wav_seg
 
@@ -326,7 +333,8 @@ class Converter:
         feats = {}
         for name, wav in (("src", src_wav), ("ref", ref_wav)):
             f = extract_features(name, wav, sr, fc,
-                                 content_fn=self._content_fn)
+                                 content_fn=self._content_fn,
+                                 with_f0_fluc=self.variant_new)
             if f is None:
                 raise ValueError(f"feature extraction failed for {name}")
             f["score"] = f["est_lf0_score"]

@@ -64,13 +64,17 @@ def main(argv=None):
         with open(args.ref_dict) as f:
             styles = json.load(f)
         for style, h5path in styles.items():
-            batching.register_reference(style, {
+            feats = {
                 "hubert": read_hdf5(h5path, "hubert"),
                 "logmel": read_hdf5(h5path, "logmel"),
                 "loud": np.asarray(read_hdf5(h5path, "loud")).reshape(-1, 1),
                 "score": np.asarray(
                     read_hdf5(h5path, args.score_type)).reshape(-1, 1),
-            })
+            }
+            if conv.variant_new:  # SerenadeNew dumps carry f0_fluc
+                feats["f0_fluc"] = np.asarray(
+                    read_hdf5(h5path, "f0_fluc")).reshape(-1, 1)
+            batching.register_reference(style, feats)
             logging.info("registered reference style %r (%s)", style, h5path)
     server = make_server(batching, host=args.host, port=args.port)
     logging.info("serving on %s:%d (max_batch=%d, wait=%.0fms)",

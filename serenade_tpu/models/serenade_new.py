@@ -37,6 +37,9 @@ def tile_to_length(x, out_len: int):
 
 @register("model")
 class SerenadeNew(Serenade):
+    # declared capability consumed by api.Converter: this variant threads
+    # the f0-fluctuation feature through training and inference
+    uses_f0_fluc = True
     fluc_channels: int = 2
 
     def __call__(self, x, lengths, logmel, midi, loud, f0_fluc=None, *, rng,

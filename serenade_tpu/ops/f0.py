@@ -234,7 +234,6 @@ def yin_f0_viterbi(
         delta_all, t0, axis=1
     )
     cand_f0 = fs / jnp.maximum(tau_star, 1.0)  # (N, K)
-    log_f0 = jnp.log2(jnp.maximum(cand_f0, 1.0))
 
     valid = jnp.isfinite(cand_cost) & (energy[:, None] > 1e-7)
     emission_voiced = jnp.where(valid, cand_cost, 1e6)  # (N, K)

@@ -189,57 +189,65 @@ def _refine_candidates(x_d, valid_len: int, frame_samples, cand, fs_d: float,
     seg_idx = frame_samples[:, None] + jnp.arange(w_max)[None, :] + (pad - half)
     xseg = xp[jnp.clip(seg_idx, 0, xp.shape[0] - 1)]  # (F, W)
 
-    c = jnp.maximum(cand, 1.0)  # (F, K)
-    # continuous Nuttall window over 3 periods of the candidate, and its
-    # time derivative (both zero outside |t| <= 1.5/c)
-    u = t_rel[None, None, :] * c[:, :, None] / 3.0 + 0.5  # (F, K, W) in [0,1]
-    in_win = (u >= 0.0) & (u <= 1.0)
     two_pi = 2.0 * jnp.pi
-    w = (
-        0.355768
-        - 0.487396 * jnp.cos(two_pi * u)
-        + 0.144232 * jnp.cos(2 * two_pi * u)
-        - 0.012604 * jnp.cos(3 * two_pi * u)
-    )
-    du_dt = c[:, :, None] / 3.0
-    dw = (
-        0.487396 * two_pi * jnp.sin(two_pi * u)
-        - 0.144232 * 2 * two_pi * jnp.sin(2 * two_pi * u)
-        + 0.012604 * 3 * two_pi * jnp.sin(3 * two_pi * u)
-    ) * du_dt
-    w = jnp.where(in_win, w, 0.0)
-    dw = jnp.where(in_win, dw, 0.0)
-
-    xw = xseg[:, None, :] * w  # (F, K, W)
-    xdw = xseg[:, None, :] * dw
-
-    num = jnp.zeros_like(c)
-    den = jnp.zeros_like(c)
-    dev = jnp.zeros_like(c)
     nyq = 0.5 * fs_d
-    for h in range(1, n_harmonics + 1):
-        fh = c * h  # (F, K)
-        ph = two_pi * fh[:, :, None] * t_rel[None, None, :]
-        cs, sn = jnp.cos(ph), jnp.sin(ph)
-        # S_w(fh) with e^{-i 2π f t}: re = Σ xw cos, im = -Σ xw sin
-        re = jnp.sum(xw * cs, axis=-1)
-        im = -jnp.sum(xw * sn, axis=-1)
-        re_d = jnp.sum(xdw * cs, axis=-1)
-        im_d = -jnp.sum(xdw * sn, axis=-1)
-        p = re * re + im * im
-        # Δf (Hz) of the dominant component near fh
-        delta = -(im_d * re - re_d * im) / (two_pi * jnp.maximum(p, 1e-20))
-        f_inst = fh + delta
-        amp = jnp.sqrt(jnp.maximum(p, 0.0))
-        est = f_inst / h
-        # a harmonic only votes when its IF lands near the candidate: the
-        # probe at h·c sits ~h·c/3 window-bins from the fundamental, whose
-        # main-lobe tail leaks in with ~3 % amplitude — enough to drag the
-        # weighted mean ~15 cents flat on weak-harmonic tones if unchecked
-        ok = ((fh < nyq) & (jnp.abs(est - c) < 0.1 * c)).astype(jnp.float32)
-        num = num + ok * amp * est
-        den = den + ok * amp
-        dev = dev + ok * amp * jnp.abs(est - c)
+    c = jnp.maximum(cand, 1.0)  # (F, K)
+
+    def refine_slot(c_k):
+        """One candidate slot: c_k (F,) → (num, den, dev) each (F,).
+
+        Scanned over the K slots so live temporaries stay (F, W) — the
+        vectorized (F, K, W) form costs K× the memory for the same FLOPs
+        (≈0.8 GB per tensor on a 5-minute utterance at floor 60 Hz).
+        """
+        # continuous Nuttall window over 3 periods of the candidate, and
+        # its time derivative (both zero outside |t| <= 1.5/c)
+        u = t_rel[None, :] * c_k[:, None] / 3.0 + 0.5  # (F, W) in [0,1]
+        in_win = (u >= 0.0) & (u <= 1.0)
+        w = (
+            0.355768
+            - 0.487396 * jnp.cos(two_pi * u)
+            + 0.144232 * jnp.cos(2 * two_pi * u)
+            - 0.012604 * jnp.cos(3 * two_pi * u)
+        )
+        dw = (
+            0.487396 * two_pi * jnp.sin(two_pi * u)
+            - 0.144232 * 2 * two_pi * jnp.sin(2 * two_pi * u)
+            + 0.012604 * 3 * two_pi * jnp.sin(3 * two_pi * u)
+        ) * (c_k[:, None] / 3.0)
+        xw = xseg * jnp.where(in_win, w, 0.0)
+        xdw = xseg * jnp.where(in_win, dw, 0.0)
+
+        num = jnp.zeros_like(c_k)
+        den = jnp.zeros_like(c_k)
+        dev = jnp.zeros_like(c_k)
+        for h in range(1, n_harmonics + 1):
+            fh = c_k * h  # (F,)
+            ph = two_pi * fh[:, None] * t_rel[None, :]
+            cs, sn = jnp.cos(ph), jnp.sin(ph)
+            # S_w(fh) with e^{-i 2π f t}: re = Σ xw cos, im = -Σ xw sin
+            re = jnp.sum(xw * cs, axis=-1)
+            im = -jnp.sum(xw * sn, axis=-1)
+            re_d = jnp.sum(xdw * cs, axis=-1)
+            im_d = -jnp.sum(xdw * sn, axis=-1)
+            p = re * re + im * im
+            # Δf (Hz) of the dominant component near fh
+            delta = -(im_d * re - re_d * im) / (two_pi * jnp.maximum(p, 1e-20))
+            amp = jnp.sqrt(jnp.maximum(p, 0.0))
+            est = (fh + delta) / h
+            # a harmonic only votes when its IF lands near the candidate:
+            # the probe at h·c sits ~h·c/3 window-bins from the fundamental,
+            # whose main-lobe tail leaks in with ~3 % amplitude — enough to
+            # drag the weighted mean ~15 cents flat on weak-harmonic tones
+            ok = ((fh < nyq) & (jnp.abs(est - c_k) < 0.1 * c_k)).astype(
+                jnp.float32)
+            num = num + ok * amp * est
+            den = den + ok * amp
+            dev = dev + ok * amp * jnp.abs(est - c_k)
+        return num, den, dev
+
+    num, den, dev = jax.lax.map(refine_slot, c.T)  # each (K, F)
+    num, den, dev = num.T, den.T, dev.T
 
     refined = num / jnp.maximum(den, 1e-12)
     spread = dev / jnp.maximum(den * jnp.maximum(refined, 1.0), 1e-12)

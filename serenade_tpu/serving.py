@@ -136,9 +136,26 @@ class BatchingConverter:
                     break
             groups = defaultdict(list)
             for req in pending:
-                groups[self._bucket(req)].append(req)
+                try:
+                    key = self._bucket(req)
+                except Exception as e:  # noqa: BLE001 — malformed request
+                    req.error = e
+                    req.done.set()
+                    with self._lock:
+                        self.stats["errors"] += 1
+                    continue
+                groups[key].append(req)
             for (ts, tr), reqs in groups.items():
                 self._run_group(reqs, ts, tr)
+        # shutdown: fault anything still queued instead of letting callers
+        # block out their full timeout
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = RuntimeError("server shutting down")
+            req.done.set()
 
     def _run_group(self, reqs, ts: int, tr):
         try:
@@ -157,12 +174,13 @@ class BatchingConverter:
                 r.mel = mel
                 if self._conv.vocoder is not None:
                     r.wav, r.sr = self._conv.vocoder.decode(mel)
+            frame_sec = float(self._conv.config.get("shiftms", 10)) / 1000.0
             with self._lock:
                 self.stats["requests"] += len(reqs)
                 self.stats["batches"] += 1
                 self.stats["compute_sec"] += compute
                 self.stats["audio_sec"] += sum(
-                    m.shape[0] for m in mels) * 0.01
+                    m.shape[0] for m in mels) * frame_sec
         except Exception as e:  # noqa: BLE001 — fault the batch, not the server
             logger.exception("batch of %d failed", len(reqs))
             with self._lock:

@@ -117,10 +117,14 @@ def test_batching_converter_faults_bad_request_alone(tiny_experiment):
     try:
         with pytest.raises(Exception):
             b.convert(bad, ref, timeout=60)
+        # a request the DISPATCHER itself cannot bucket (missing 'hubert')
+        # must fault alone, not kill the dispatcher thread
+        with pytest.raises(Exception):
+            b.convert({"wrong": np.zeros(3, np.float32)}, ref, timeout=60)
         # server still alive: a good request succeeds afterwards
         mel, _, _ = b.convert(src, ref, timeout=120)
         assert np.isfinite(mel).all()
-        assert b.stats["errors"] >= 1
+        assert b.stats["errors"] >= 2
     finally:
         b.close()
 
