@@ -69,6 +69,7 @@ class BatchingConverter:
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "audio_sec": 0.0, "compute_sec": 0.0}
         self._refs: Dict[str, object] = {}
+        self._raw_refs: Dict[str, Dict[str, np.ndarray]] = {}
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True, name="ssc-dispatcher")
         self._thread.start()
@@ -81,9 +82,24 @@ class BatchingConverter:
         skip the reference upload entirely (the production pattern: the
         style set is small and fixed, conf/refstyles.json)."""
         self._refs[name] = self._conv.pack_reference(ref_feats)
+        self._raw_refs[name] = {k: np.asarray(v)
+                                for k, v in ref_feats.items()}
 
     def reference_names(self):
         return sorted(self._refs)
+
+    @property
+    def converter(self):
+        """The underlying api.Converter (e.g. for streaming paths that
+        bypass the batching queue)."""
+        return self._conv
+
+    def raw_reference(self, name: str):
+        """Registered style's raw feature dict (for the streaming path)."""
+        if name not in self._raw_refs:
+            raise KeyError(f"unknown reference style {name!r}; "
+                           f"registered: {self.reference_names()}")
+        return self._raw_refs[name]
 
     def convert(self, src_feats, ref, timeout: float = 300.0):
         """Blocking submit; returns (mel, wav|None, sr|None).
@@ -258,6 +274,33 @@ def decode_response(body: bytes):
     return mel, wav, sr
 
 
+def _frame_block(arrays: dict) -> bytes:
+    """Length-prefixed npz block for the /convert_stream wire format."""
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    payload = buf.getvalue()
+    return len(payload).to_bytes(4, "big") + payload
+
+
+def iter_stream_blocks(read):
+    """Client-side helper: parse a /convert_stream body (a callable or
+    file-like ``read(n)``) into dicts of arrays, in order."""
+    read = read.read if hasattr(read, "read") else read
+    while True:
+        head = read(4)
+        if len(head) < 4:
+            return
+        size = int.from_bytes(head, "big")
+        body = b""
+        while len(body) < size:
+            chunk = read(size - len(body))
+            if not chunk:
+                return
+            body += chunk
+        with np.load(io.BytesIO(body)) as z:
+            yield {k: z[k] for k in z.files}
+
+
 def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                 port: int = 8571):
     """Build (not start) a ThreadingHTTPServer around a BatchingConverter."""
@@ -284,6 +327,48 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             self._send(200, json.dumps({"ok": True, **stats}).encode(),
                        "application/json")
 
+        def _convert_stream(self, query):
+            """Chunked-transfer stream of length-prefixed npz blocks
+            ({start, mel[, wav, sr]}) as long-form regions finalize; parse
+            with ``iter_stream_blocks``.  Bypasses the batching queue —
+            this path optimizes time-to-first-audio, not throughput.
+            Optional query params: chunk_frames, overlap_frames."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                src, ref = _parse_npz(self.rfile.read(n))
+                if isinstance(ref, str):
+                    ref = batching.raw_reference(ref)
+                conv = batching.converter
+                gen = conv.convert_features_stream(
+                    src, ref,
+                    chunk_frames=int(query.get("chunk_frames", ["2048"])[0]),
+                    overlap_frames=int(
+                        query.get("overlap_frames", ["256"])[0]),
+                )
+                sr = conv.output_sample_rate
+            except Exception as e:  # noqa: BLE001 — per-request fault
+                return self._send(400, json.dumps({"error": str(e)}).encode(),
+                                  "application/json")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(b: bytes):
+                self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+            try:
+                for start, mel_seg, wav_seg in gen:
+                    arrays = {"start": np.int64(start), "mel": mel_seg}
+                    if wav_seg is not None:
+                        arrays["wav"] = wav_seg
+                        arrays["sr"] = np.int64(sr)
+                    chunk(_frame_block(arrays))
+            except Exception:  # noqa: BLE001 — mid-stream: truncate cleanly
+                logger.exception("stream conversion failed mid-flight")
+            finally:
+                self.wfile.write(b"0\r\n\r\n")
+
         def do_POST(self):
             from urllib.parse import parse_qs, urlparse
 
@@ -303,6 +388,8 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                     return self._send(
                         400, json.dumps({"error": str(e)}).encode(),
                         "application/json")
+            if parsed.path == "/convert_stream":
+                return self._convert_stream(parse_qs(parsed.query))
             if parsed.path != "/convert_features":
                 return self._send(404, b"{}", "application/json")
             try:

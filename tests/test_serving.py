@@ -241,6 +241,51 @@ def test_http_round_trip(tiny_experiment):
         b.close()
 
 
+def test_http_stream_endpoint(tiny_experiment):
+    """POST /convert_stream returns chunked length-prefixed npz blocks
+    covering the whole source, parseable with iter_stream_blocks."""
+    import http.client
+
+    from serenade_tpu.serving import (
+        BatchingConverter, encode_request, iter_stream_blocks, make_server,
+    )
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
+    server = make_server(b, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", "/convert_stream?chunk_frames=48&overlap_frames=16",
+                  body=encode_request(src, ref))
+        resp = c.getresponse()
+        assert resp.status == 200
+        blocks = list(iter_stream_blocks(resp))
+        assert len(blocks) >= 2  # actually streamed in several blocks
+        pos = 0
+        for blk in blocks:
+            assert int(blk["start"]) == pos
+            assert np.isfinite(blk["mel"]).all()
+            pos += blk["mel"].shape[0]
+        assert pos == src["hubert"].shape[0]
+
+        # registered-style streaming works too
+        b.register_reference("S", ref)
+        c.request("POST", "/convert_stream?chunk_frames=48&overlap_frames=16",
+                  body=encode_request(src, "S"))
+        resp = c.getresponse()
+        assert resp.status == 200
+        total = sum(blk["mel"].shape[0] for blk in iter_stream_blocks(resp))
+        assert total == src["hubert"].shape[0]
+    finally:
+        server.shutdown()
+        b.close()
+
+
 def test_converter_api_serenade_new_variant(tmp_path):
     """The Converter/serving path drives the SerenadeNew (f0_fluc) variant
     end to end — the modded pipeline is servable, not just decodable."""
