@@ -1,9 +1,15 @@
-"""serenade-vocoder-train: HiFiGAN vocoder GAN training on feature dumps.
+"""serenade-vocoder-train: vocoder GAN training on feature dumps.
 
-New capability relative to the reference (which consumes an externally
-pretrained vocoder): trains the implemented HiFiGAN generator against the
-MSD+MPD discriminator family on the `wave`/`logmel` pairs the standard
-preprocessing stage already dumps.
+New capability relative to the reference (which consumes externally
+pretrained vocoders): trains either vocoder family against the MSD+MPD
+discriminators —
+
+* ``--vocoder-type hifigan`` (default): mel-conditioned HiFiGAN on the
+  `wave`/`logmel` pairs the standard preprocessing stage dumps.
+* ``--vocoder-type sifigan``: the source-filter generator on
+  WORLD-analyzed conditioning (mcep+bap aux features, sine excitation,
+  dense dilation factors — the same streams stage-9 postprocessing
+  feeds, so the trained generator is drop-in for it).
 
 Config keys: generator_params / discriminator periods-scales defaults,
 vocoder_batch_size, segment_frames, lambda_{adv,fm,mel}, lr's, intervals.
@@ -23,6 +29,8 @@ def main():
     p.add_argument("--train-dumpdir", required=True)
     p.add_argument("--outdir", required=True)
     p.add_argument("--config", required=True)
+    p.add_argument("--vocoder-type", choices=("hifigan", "sifigan"),
+                   default="hifigan")
     p.add_argument("--resume", default="")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
@@ -53,35 +61,89 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
 
     gp = dict(config.get("generator_params", {}))
-    generator = HiFiGANGenerator(
-        in_channels=gp.get("in_channels", config.get("num_mels", 80)),
-        channels=gp.get("channels", 512),
-        upsample_scales=tuple(gp.get("upsample_scales", (8, 6, 5))),
-        upsample_kernel_sizes=tuple(
-            gp.get("upsample_kernel_sizes", (16, 12, 10))),
-    )
-    total_up = int(np.prod(generator.upsample_scales))
-    hop = int(config.get("hop_size", 240))
-    if total_up != hop:
-        raise SystemExit(
-            f"generator upsample product {total_up} must equal hop {hop}"
+    sr = int(config.get("sampling_rate", 24000))
+    if args.vocoder_type == "sifigan":
+        from serenade_tpu.sifigan import SiFiGANGenerator
+        from serenade_tpu.trainers.vocoder_trainer import (
+            prepare_sifigan_utterance, sample_sifigan_segments,
+            sifigan_forward,
         )
+
+        up = tuple(gp.get("upsample_scales", (5, 4, 3, 2)))
+        hop = int(np.prod(up))  # sifigan frames at its own rate (5 ms)
+        mcep_dim = int(config.get("mcep_dim", 39))
+        generator = SiFiGANGenerator(
+            in_channels=gp.get("in_channels", mcep_dim + 1 + 3),
+            channels=gp.get("channels", 512),
+            upsample_scales=up,
+            upsample_kernel_sizes=tuple(
+                gp.get("upsample_kernel_sizes", tuple(2 * u for u in up))),
+        )
+    else:
+        generator = HiFiGANGenerator(
+            in_channels=gp.get("in_channels", config.get("num_mels", 80)),
+            channels=gp.get("channels", 512),
+            upsample_scales=tuple(gp.get("upsample_scales", (8, 6, 5))),
+            upsample_kernel_sizes=tuple(
+                gp.get("upsample_kernel_sizes", (16, 12, 10))),
+        )
+        total_up = int(np.prod(generator.upsample_scales))
+        hop = int(config.get("hop_size", 240))
+        if total_up != hop:
+            raise SystemExit(
+                f"generator upsample product {total_up} must equal hop {hop}"
+            )
     discriminator = MultiScaleMultiPeriodDiscriminator()
 
     dataset = FeatsDataset(args.train_dumpdir, scaler=None)
-    items = [dataset[i] for i in range(len(dataset))]
-    logging.info("loaded %d utterances", len(items))
-
     seg_frames = int(config.get("segment_frames", 32))
     batch = int(config.get("vocoder_batch_size", 8))
     rng_np = np.random.default_rng(int(config.get("seed", 0)))
-    first = sample_mel_wav_segments(items, rng_np, batch, seg_frames, hop)
+
+    if args.vocoder_type == "sifigan":
+        items = []
+        for i in range(len(dataset)):
+            prepared = prepare_sifigan_utterance(
+                dataset[i]["wave"], sr,
+                frame_period_ms=float(config.get("sifigan_shiftms", 5.0)),
+                mcep_dim=int(config.get("mcep_dim", 39)),
+                dense_factors=tuple(
+                    config.get("dense_factors", (0.5, 1, 4, 8))),
+                upsample_scales=generator.upsample_scales,
+            )
+            if prepared is not None and prepared["c"].shape[0] > seg_frames:
+                items.append(prepared)
+        if not items:
+            raise SystemExit("no usable (voiced, long enough) utterances")
+
+        def sampler():
+            return sample_sifigan_segments(
+                items, rng_np, batch, seg_frames, hop,
+                upsample_scales=generator.upsample_scales)
+
+        gen_fwd = sifigan_forward(generator)
+    else:
+        items = [dataset[i] for i in range(len(dataset))]
+
+        def sampler():
+            return sample_mel_wav_segments(items, rng_np, batch, seg_frames,
+                                           hop)
+
+        gen_fwd = None
+    logging.info("loaded %d utterances", len(items))
+    first = sampler()
 
     import jax.numpy as jnp
 
-    gen_params = jax.jit(
-        lambda m: generator.init(jax.random.key(0), m)
-    )(jnp.asarray(first["mel"]))
+    if args.vocoder_type == "sifigan":
+        gen_params = jax.jit(
+            lambda s, c, d: generator.init(jax.random.key(0), s, c, list(d))
+        )(jnp.asarray(first["sine"]), jnp.asarray(first["c"]),
+          tuple(jnp.asarray(x) for x in first["dfs"]))
+    else:
+        gen_params = jax.jit(
+            lambda m: generator.init(jax.random.key(0), m)
+        )(jnp.asarray(first["mel"]))
     disc_params = jax.jit(
         lambda w: discriminator.init(jax.random.key(1), w)
     )(jnp.asarray(first["wav"]))
@@ -97,10 +159,11 @@ def main():
     state = create_vocoder_state(gen_params, disc_params, gen_tx, disc_tx)
     step_fn = build_vocoder_train_step(
         generator, discriminator, gen_tx, disc_tx,
-        sampling_rate=int(config.get("sampling_rate", 24000)),
+        sampling_rate=sr,
         lambda_adv=float(config.get("lambda_adv", 1.0)),
         lambda_fm=float(config.get("lambda_fm", 2.0)),
         lambda_mel=float(config.get("lambda_mel", 45.0)),
+        gen_forward=gen_fwd,
     )
 
     start_step = 0
@@ -124,8 +187,7 @@ def main():
     save_every = int(config.get("save_interval_steps", 5000))
     key = jax.random.key(int(config.get("seed", 0)))
     for step in range(start_step, max_steps):
-        batch_np = sample_mel_wav_segments(items, rng_np, batch, seg_frames,
-                                           hop)
+        batch_np = sampler()
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, jax.device_put(batch_np), sub)
         if (step + 1) % log_every == 0:

@@ -56,22 +56,28 @@ def build_vocoder_train_step(
     lambda_fm: float = 2.0,
     lambda_mel: float = 45.0,
     donate: bool = True,
+    gen_forward: Callable | None = None,
 ) -> Callable:
     """Return jitted ``(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: {"mel": (B, T, n_mels), "wav": (B, T*hop, 1)} aligned
-    segments.
+    segments for the default (HiFiGAN) forward; pass ``gen_forward``
+    (e.g. :func:`sifigan_forward`) for generators with other conditioning.
     """
 
+    if gen_forward is None:
+        def gen_forward(gen_params, batch):
+            return generator.apply(gen_params, batch["mel"])
+
     def disc_loss_fn(disc_params, gen_params, batch):
-        wav_hat = generator.apply(gen_params, batch["mel"])
+        wav_hat = gen_forward(gen_params, batch)
         wav_hat = jax.lax.stop_gradient(wav_hat)
         outs_real = discriminator.apply(disc_params, batch["wav"])
         outs_fake = discriminator.apply(disc_params, wav_hat)
         return discriminator_adversarial_loss(outs_real, outs_fake)
 
     def gen_loss_fn(gen_params, disc_params, batch):
-        wav_hat = generator.apply(gen_params, batch["mel"])
+        wav_hat = gen_forward(gen_params, batch)
         outs_fake = discriminator.apply(disc_params, wav_hat)
         outs_real = discriminator.apply(disc_params, batch["wav"])
         adv = generator_adversarial_loss(outs_fake)
@@ -136,3 +142,110 @@ def sample_mel_wav_segments(dataset_items, rng: "Any", batch_size: int,
         wavs.append(wav_seg[:, None])
     return {"mel": np.stack(mels).astype(np.float32),
             "wav": np.stack(wavs).astype(np.float32)}
+
+
+# ---------------------------------------------------------------------------
+# SiFiGAN (source-filter vocoder) training support
+# ---------------------------------------------------------------------------
+
+def sifigan_forward(generator):
+    """``gen_forward`` for :class:`serenade_tpu.sifigan.SiFiGANGenerator`:
+    the batch carries the sine excitation, aux features, and per-level
+    dense dilation factors (the stage-9 conditioning contract,
+    bin/ssc_postprocessing.py:200-245)."""
+
+    def fwd(gen_params, batch):
+        # the generator returns (waveform, source excitation); the GAN
+        # losses train on the waveform
+        wav_hat, _ = generator.apply(
+            gen_params, batch["sine"], batch["c"], list(batch["dfs"])
+        )
+        return wav_hat
+
+    return fwd
+
+
+def prepare_sifigan_utterance(
+    wav,
+    fs: int,
+    *,
+    frame_period_ms: float = 5.0,
+    mcep_dim: int = 39,
+    dense_factors=(0.5, 1, 4, 8),
+    upsample_scales=(5, 4, 3, 2),
+    f0_floor: float = 70.0,
+    f0_ceil: float = 800.0,
+    signal_types=("sine",),
+):
+    """WORLD-style analysis of one training utterance into SiFiGAN streams.
+
+    Returns ``{"c": (T, D), "sine": (T*hop, S), "dfs": [(T*cum_i,)...],
+    "wav": (T*hop,)}`` or None when no voiced frames exist.  Matches the
+    postprocessing CLI's conditioning construction so a trained generator
+    is drop-in for stage 9.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from serenade_tpu.bin.ssc_postprocessing import convert_continuous_f0
+    from serenade_tpu.ops.f0 import smooth_f0_median, yin_f0
+    from serenade_tpu.ops.sptk import ALPHA, sp2mc
+    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick
+    from serenade_tpu.sifigan import SignalGenerator
+    from serenade_tpu.sifigan.features import dense_factors_per_level
+
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    hop = int(fs * frame_period_ms / 1000.0)
+    f0, _ = yin_f0(jnp.asarray(wav), fs=fs, f0_floor=f0_floor,
+                   f0_ceil=f0_ceil, frame_period_ms=frame_period_ms)
+    f0 = np.asarray(smooth_f0_median(f0))
+    uv, cf0, ok = convert_continuous_f0(f0)
+    if not ok:
+        return None
+    sp = np.asarray(cheaptrick(jnp.asarray(wav), jnp.asarray(f0), fs=fs,
+                               frame_period_ms=frame_period_ms))
+    bap = np.asarray(band_aperiodicity(jnp.asarray(wav), jnp.asarray(f0),
+                                       fs=fs, frame_period_ms=frame_period_ms))
+    mcep = sp2mc(sp, order=mcep_dim, alpha=ALPHA[fs])
+    c = np.concatenate([mcep, bap], axis=1).astype(np.float32)
+
+    n = min(c.shape[0], len(wav) // hop)
+    c = c[:n]
+    cf0 = cf0[:n]
+    sine = SignalGenerator(fs, hop, signal_types=signal_types)(cf0)
+    dfs = dense_factors_per_level(cf0, fs, dense_factors, upsample_scales)
+    return {
+        "c": c,
+        "sine": sine[: n * hop],
+        "dfs": [d[: n * int(cum)] for d, cum in
+                zip(dfs, np.cumprod(upsample_scales))],
+        "wav": wav[: n * hop],
+    }
+
+
+def sample_sifigan_segments(items, rng, batch_size: int,
+                            segment_frames: int, hop_size: int,
+                            upsample_scales=(5, 4, 3, 2)):
+    """Random aligned (c, sine, dfs, wav) crops from prepared utterances
+    (:func:`prepare_sifigan_utterance` outputs)."""
+    import numpy as np
+
+    cum = np.cumprod(upsample_scales)
+    cs, sines, wavs = [], [], []
+    dfs_lv = [[] for _ in cum]
+    for _ in range(batch_size):
+        it = items[rng.integers(len(items))]
+        n = it["c"].shape[0]
+        s = int(rng.integers(max(n - segment_frames, 1)))
+        e = s + segment_frames
+        cs.append(it["c"][s:e])
+        sines.append(it["sine"][s * hop_size:e * hop_size])
+        wavs.append(it["wav"][s * hop_size:e * hop_size, None])
+        for i, cm in enumerate(cum):
+            dfs_lv[i].append(it["dfs"][i][s * int(cm):e * int(cm)])
+    return {
+        "c": np.stack(cs).astype(np.float32),
+        "sine": np.stack(sines).astype(np.float32),
+        "wav": np.stack(wavs).astype(np.float32),
+        "dfs": tuple(np.stack(d).astype(np.float32) for d in dfs_lv),
+    }
