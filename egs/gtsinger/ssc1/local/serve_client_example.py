@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Example client for the serenade-serve conversion server.
+
+Reads a preprocessed source utterance (the h5 dumps stage 1 writes),
+requests a conversion by registered style name, and writes the result;
+optionally streams long sources chunk by chunk.
+
+    python local/serve_client_example.py \
+        --src dump/dev/utt.h5 --style Breathy --out converted.npz \
+        [--host 127.0.0.1 --port 8571 --stream]
+
+The server must be running with the styles registered, e.g.
+    serenade-serve --expdir exp/serenade --stats dump/stats.joblib \
+        --ref-dict conf/refstyles.json
+"""
+
+import argparse
+import http.client
+
+import numpy as np
+
+from serenade_tpu.serving import (
+    decode_response, encode_request, iter_stream_blocks,
+)
+from serenade_tpu.utils.h5 import read_hdf5
+
+
+def load_src(h5path: str, score_type: str):
+    return {
+        "hubert": read_hdf5(h5path, "hubert"),
+        "score": np.asarray(read_hdf5(h5path, score_type)).reshape(-1, 1),
+        "loud": np.asarray(read_hdf5(h5path, "loud")).reshape(-1, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--src", required=True, help="source dump .h5")
+    p.add_argument("--style", required=True, help="registered style name")
+    p.add_argument("--out", required=True, help="output .npz (mel [+ wav])")
+    p.add_argument("--score-type", default="est_lf0_score")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8571)
+    p.add_argument("--stream", action="store_true",
+                   help="use /convert_stream (prints chunks as they land)")
+    args = p.parse_args()
+
+    src = load_src(args.src, args.score_type)
+    body = encode_request(src, args.style)
+    conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
+
+    if args.stream:
+        conn.request("POST", "/convert_stream", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        mels, wavs, sr = [], [], None
+        for blk in iter_stream_blocks(resp):
+            print(f"  segment @frame {int(blk['start'])}: "
+                  f"{blk['mel'].shape[0]} frames")
+            mels.append(blk["mel"])
+            if "wav" in blk:
+                wavs.append(blk["wav"])
+                sr = int(blk["sr"])
+        mel = np.concatenate(mels, axis=0)
+        wav = np.concatenate(wavs, axis=0) if wavs else None
+    else:
+        conn.request("POST", "/convert_features", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        mel, wav, sr = decode_response(resp.read())
+
+    out = {"mel": mel}
+    if wav is not None:
+        out["wav"], out["sr"] = wav, np.int64(sr)
+    np.savez(args.out, **out)
+    print(f"wrote {args.out}: mel {mel.shape}"
+          + (f", wav {wav.shape} @ {sr} Hz" if wav is not None else ""))
+
+
+if __name__ == "__main__":
+    main()

@@ -185,11 +185,23 @@ class BatchingConverter:
                 mels = self._conv.convert_features_batch(
                     [r.src for r in reqs], [r.ref for r in reqs], ts, tr,
                 )
+            voc = self._conv.vocoder
+            if voc is not None:
+                # one batched vocoder dispatch for the whole group (pad to
+                # the longest; trim each waveform to its true length)
+                tmax = max(m.shape[0] for m in mels)
+                stacked = np.stack([
+                    np.pad(m, ((0, tmax - m.shape[0]), (0, 0)))
+                    for m in mels
+                ])
+                wavs = voc.decode_batch(stacked)  # (B, tmax*hop)
+                hop = wavs.shape[1] // tmax
+                for r, mel, wav in zip(reqs, mels, wavs):
+                    r.wav = wav[: mel.shape[0] * hop]
+                    r.sr = voc.sampling_rate
             compute = time.monotonic() - t0
             for r, mel in zip(reqs, mels):
                 r.mel = mel
-                if self._conv.vocoder is not None:
-                    r.wav, r.sr = self._conv.vocoder.decode(mel)
             frame_sec = float(self._conv.config.get("shiftms", 10)) / 1000.0
             with self._lock:
                 self.stats["requests"] += len(reqs)

@@ -241,6 +241,48 @@ def test_http_round_trip(tiny_experiment):
         b.close()
 
 
+def test_group_vocoding_batches_and_trims(tiny_experiment):
+    """With a vocoder present, the dispatcher vocodes the whole group in
+    ONE batched call and trims each waveform to its true length."""
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    calls = []
+
+    class StubVocoder:
+        sampling_rate = 24000
+
+        def decode_batch(self, c):
+            calls.append(c.shape)
+            return np.zeros((c.shape[0], c.shape[1] * 240), np.float32)
+
+    old = conv.vocoder
+    conv.vocoder = StubVocoder()
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=200.0)
+    try:
+        results = [None, None]
+
+        def call(i):
+            results[i] = b.convert(src, ref, timeout=120)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(calls) == 1 and calls[0][0] == 2  # one batched dispatch
+        t_src = src["hubert"].shape[0]
+        for mel, wav, sr in results:
+            assert wav is not None and sr == 24000
+            assert wav.shape[0] == t_src * 240  # trimmed to true length
+    finally:
+        conv.vocoder = old
+        b.close()
+
+
 def test_http_stream_endpoint(tiny_experiment):
     """POST /convert_stream returns chunked length-prefixed npz blocks
     covering the whole source, parseable with iter_stream_blocks."""
