@@ -35,7 +35,12 @@ class Converter:
         n_timesteps: int = 10,
         temperature: float = 0.667,
         seed: int = 0,
+        data_mesh: Optional[int] = None,
     ):
+        """``data_mesh=N`` shards batched conversions over an N-way 'data'
+        mesh (params replicated) — serving/decode on a pod slice.  Batches
+        are padded up to a multiple of N; single-request paths are
+        unaffected."""
         import jax
         import joblib
 
@@ -80,6 +85,18 @@ class Converter:
             self._content_fn = make_content_fn(contentvec_ckpt)
 
         self._infer = jax.jit(self._infer_impl)
+
+        self.mesh = None
+        if data_mesh and data_mesh > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from serenade_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(data=data_mesh, model=1)
+            self._dp = lambda a: jax.device_put(a, NamedSharding(
+                self.mesh, P(*(("data",) + (None,) * (a.ndim - 1)))))
+            self.params = jax.device_put(
+                self.params, NamedSharding(self.mesh, P()))
 
     @property
     def output_sample_rate(self) -> Optional[int]:
@@ -293,15 +310,22 @@ class Converter:
             return out
 
         b = len(src_list)
+        n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
+        pad_b = (-b) % n_dev  # dp mesh: every device needs a sub-batch
+        if pad_b:
+            src_list = list(src_list) + [src_list[-1]] * pad_b
+            if ref_list is not None:
+                ref_list = list(ref_list) + [ref_list[-1]] * pad_b
         fluc = [("f0_fluc", "f0_fluc")] if self.variant_new else []
         ts = ts or max(bucket_length(f["hubert"].shape[0]) for f in src_list)
         src_n = [self._normalize_src(f) for f in src_list]
         src = stack(src_n, [("x", "hubert"), ("midi", "score"),
                             ("loud", "loud")] + fluc, ts)
+        bp = len(src_list)  # b + dp padding
         if packed_ref is not None:
             # device-side tile of the registered reference; no host upload
-            ref = {k: (jnp.broadcast_to(v, (b,) + v.shape[1:])
-                       if v.ndim > 1 else jnp.broadcast_to(v, (b,)))
+            ref = {k: (jnp.broadcast_to(v, (bp,) + v.shape[1:])
+                       if v.ndim > 1 else jnp.broadcast_to(v, (bp,)))
                    for k, v in packed_ref.items()}
         else:
             tr = tr or max(bucket_length(f["hubert"].shape[0])
@@ -310,12 +334,15 @@ class Converter:
             ref = stack(ref_n, [("x", "hubert"), ("midi", "score"),
                                 ("loud", "loud"), ("logmel", "logmel")]
                         + fluc, tr)
+        if self.mesh is not None:
+            src = {k: self._dp(v) for k, v in src.items()}
+            ref = {k: self._dp(v) for k, v in ref.items()}
         self._key, sub = jax.random.split(self._key)
         mels = np.asarray(jax.device_get(
             self._infer(self.params, src, ref, sub)
         ))
         return [mels[i, : f["hubert"].shape[0]]
-                for i, f in enumerate(src_list)]
+                for i, f in enumerate(src_list[:b])]
 
     def convert_wav(self, src_wav: np.ndarray, ref_wav: np.ndarray,
                     sr: int) -> Tuple[np.ndarray, Optional[np.ndarray],

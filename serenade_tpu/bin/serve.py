@@ -36,6 +36,9 @@ def build_argparser():
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--n-timesteps", type=int, default=10)
+    p.add_argument("--data-axis", type=int, default=1,
+                   help="shard batched dispatches over an N-way 'data' "
+                        "mesh (serving on a pod slice)")
     p.add_argument("--verbose", type=int, default=1)
     return p
 
@@ -53,6 +56,7 @@ def main(argv=None):
         args.expdir, args.stats, checkpoint=args.checkpoint,
         contentvec_ckpt=args.contentvec_ckpt,
         n_timesteps=args.n_timesteps,
+        data_mesh=args.data_axis if args.data_axis > 1 else None,
     )
     batching = BatchingConverter(conv, max_batch=args.max_batch,
                                  max_wait_ms=args.max_wait_ms)

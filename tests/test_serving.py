@@ -53,6 +53,7 @@ def tiny_experiment(tmp_path_factory):
 
     conv = Converter(str(tmp_path / "exp"), str(tmp_path / "stats.joblib"),
                      n_timesteps=2)
+    conv._paths = (str(tmp_path / "exp"), str(tmp_path / "stats.joblib"))
     return conv, items
 
 
@@ -391,3 +392,33 @@ def test_converter_api_serenade_new_variant(tmp_path):
         assert mel2.shape == mel.shape and np.isfinite(mel2).all()
     finally:
         bc.close()
+
+
+def test_converter_data_mesh_matches_single_device(tiny_experiment):
+    """data_mesh=8 shards the batched dispatch over the CPU test mesh and
+    matches the unsharded result (serve --data-axis on a pod slice);
+    non-multiple batch sizes pad and trim transparently."""
+    conv_ref, items = tiny_experiment
+    expdir, stats = conv_ref._paths  # set by the fixture
+
+    from serenade_tpu.api import Converter
+
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    plain = Converter(expdir, stats, n_timesteps=2, seed=7)
+    mesh = Converter(expdir, stats, n_timesteps=2, seed=7, data_mesh=8)
+    assert mesh.mesh is not None
+
+    mels_plain = plain.convert_features_batch([src] * 8, [ref] * 8)
+    mels_mesh = mesh.convert_features_batch([src] * 8, [ref] * 8)
+    out = mesh._infer  # noqa: F841
+    for a, b in zip(mels_plain, mels_mesh):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
+
+    # batch of 3 pads to 8 internally and trims back
+    mels3 = mesh.convert_features_batch([src] * 3, [ref] * 3)
+    assert len(mels3) == 3
+    for m in mels3:
+        assert m.shape[0] == src["hubert"].shape[0]
+        assert np.isfinite(m).all()
