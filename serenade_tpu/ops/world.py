@@ -91,9 +91,22 @@ def cheaptrick(
     power = jnp.abs(jnp.fft.rfft(windowed, fft_size)) ** 2  # (T, F)
     power = power + 1e-12
 
-    # frequency-domain rectangular smoothing, width 2*f0/3
     bin_hz = fs / fft_size
     F = fft_size // 2 + 1
+
+    # DC correction (WORLD CheapTrick): bins below f0 have no harmonic
+    # support and bias the envelope low; add the spectrum mirrored around
+    # f0 (P(f) += P(f0 - f) for f < f0) before smoothing
+    k = jnp.arange(F, dtype=jnp.float32)
+    f0_bins = f0_safe[:, None] / bin_hz  # (T, 1)
+    mirror = f0_bins - k[None, :]  # fractional replica bin per (frame, bin)
+    lo = jnp.clip(jnp.floor(mirror), 0.0, F - 2.0)
+    frac = jnp.clip(mirror - lo, 0.0, 1.0)
+    lo_i = lo.astype(jnp.int32)
+    p_lo = jnp.take_along_axis(power, lo_i, axis=1)
+    p_hi = jnp.take_along_axis(power, lo_i + 1, axis=1)
+    replica = (1.0 - frac) * p_lo + frac * p_hi
+    power = jnp.where(k[None, :] < f0_bins, power + replica, power)
     width_bins = (2.0 * f0_safe / 3.0) / bin_hz  # (T,)
     # smoothing via cumulative sum with fractional-width box filter
     csum = jnp.concatenate(

@@ -422,3 +422,39 @@ def test_converter_data_mesh_matches_single_device(tiny_experiment):
     for m in mels3:
         assert m.shape[0] == src["hubert"].shape[0]
         assert np.isfinite(m).all()
+
+
+def test_stream_vocodes_segments_with_context(tiny_experiment):
+    """Streaming with a vocoder: each finalized mel segment is vocoded
+    with left context and trimmed, so concatenated wav segments cover
+    exactly the source."""
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+    t_src = src["hubert"].shape[0]
+
+    class StubVocoder:
+        sampling_rate = 24000
+
+        def decode(self, mel):
+            # wav sample i encodes its frame index (hop=4 for testability)
+            return np.repeat(np.arange(mel.shape[0], dtype=np.float32), 4), 24000
+
+    old = conv.vocoder
+    conv.vocoder = StubVocoder()
+    try:
+        segs = list(conv.convert_features_stream(
+            src, ref, chunk_frames=48, overlap_frames=16,
+            vocoder_context_frames=8))
+        assert len(segs) >= 2
+        assert conv.output_sample_rate == 24000
+        total = 0
+        for start, mel_seg, wav_seg in segs:
+            assert wav_seg is not None
+            assert wav_seg.shape[0] == mel_seg.shape[0] * 4  # ctx trimmed
+            # the first emitted sample corresponds to this segment's start
+            # RELATIVE to its vocoder input (context frames come first)
+            total += mel_seg.shape[0]
+        assert total == t_src
+    finally:
+        conv.vocoder = old
