@@ -236,6 +236,23 @@ def bench_features():
     return frames / elapsed, 8 * frames / el8
 
 
+def bench_harvest():
+    """Harvest-backend F0 frames/sec (the reference's own algorithm on
+    device; the YIN-Viterbi default is benched in bench_features)."""
+    from serenade_tpu.ops.harvest import harvest_f0
+
+    n = SR * 10
+    t = np.arange(n) / SR
+    f0t = 220.0 * (1 + 0.03 * np.sin(2 * np.pi * 5.5 * t))
+    ph = 2 * np.pi * np.cumsum(f0t) / SR
+    wav = jnp.asarray(sum((0.5 / h) * np.sin(h * ph) for h in range(1, 6)),
+                      jnp.float32)
+    fn = jax.jit(lambda w: harvest_f0(w, SR, f0_floor=80.0, f0_ceil=800.0,
+                                      frame_period_ms=FRAME_MS)[0])
+    elapsed = _timeit(lambda i: fn(wav + jnp.float32(i) * 1e-9), n=5)
+    return (n // HOP) / elapsed
+
+
 def bench_batched_decode(model, params):
     """Config 4: batched full-corpus decode throughput (audio-sec/sec) —
     the reference is locked to batch=1 (serenade.py:208-218); batching is
@@ -392,6 +409,11 @@ def main():
         details["feature_frames_per_sec_batch8"] = round(grp_fps)
     except Exception as e:
         errors["features"] = f"{type(e).__name__}: {e}"
+
+    try:
+        details["harvest_frames_per_sec"] = round(bench_harvest())
+    except Exception as e:
+        errors["harvest"] = f"{type(e).__name__}: {e}"
 
     try:
         details["batched_decode_audio_sec_per_sec"] = round(
