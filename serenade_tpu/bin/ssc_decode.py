@@ -46,6 +46,10 @@ def build_argparser():
                    help="json mapping style name -> reference dump h5")
     p.add_argument("--outdir", required=True)
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--average-n", type=int, default=1,
+                   help="average the last N orbax checkpoints in the "
+                        "checkpoint's directory before decoding "
+                        "(smooths the optimization endpoint)")
     p.add_argument("--batch-size", type=int, default=1,
                    help="batch conversions with matching length buckets "
                         "(>1 exploits the packed-sequence batched inference "
@@ -178,6 +182,16 @@ def run(variant_new: bool):
             load_torch_serenade_checkpoint(args.checkpoint)
         )
         logging.info("converted torch checkpoint %s", args.checkpoint)
+    elif args.average_n > 1:
+        from serenade_tpu.checkpoint import (
+            average_checkpoints, find_last_checkpoints,
+        )
+
+        paths = find_last_checkpoints(
+            os.path.dirname(args.checkpoint), args.average_n)
+        params = average_checkpoints(paths)
+        logging.info("averaged %d checkpoints: %s", len(paths),
+                     [os.path.basename(p) for p in paths])
     else:
         params = restore_params_only(args.checkpoint)
     model = model_cls(**model_params)

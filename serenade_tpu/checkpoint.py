@@ -72,6 +72,49 @@ def restore_params_only(path: str):
     return restore_checkpoint(path)["params"]
 
 
+def find_last_checkpoints(root: str, n: int) -> list:
+    """The ``n`` highest-step checkpoint dirs under ``root`` (ascending)."""
+    if not os.path.isdir(root):
+        return []
+    found = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"checkpoint-(\d+)steps", name)
+        if m:
+            found.append((int(m.group(1)), os.path.join(root, name)))
+    return [p for _, p in sorted(found)[-n:]]
+
+
+def average_checkpoints(paths):
+    """Uniform parameter average over checkpoints (the standard
+    speech-toolkit eval trick: averaging the last N snapshots smooths the
+    optimization endpoint).  Float leaves are averaged in float32;
+    non-float leaves are taken from the last checkpoint.
+
+    The reference has no equivalent (its decode loads one .pkl,
+    ssc_decode.py:337-341); this is a beyond-parity utility surfaced as
+    ``serenade-decode --average-n``.
+    """
+    import jax
+    import numpy as np
+
+    if not paths:
+        raise ValueError("no checkpoints to average")
+    acc = restore_params_only(paths[0])
+    acc = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x, acc)
+    for p in paths[1:]:
+        nxt = restore_params_only(p)
+        acc = jax.tree_util.tree_map(
+            lambda a, b: a + np.asarray(b, np.float32)
+            if np.issubdtype(np.asarray(b).dtype, np.floating) else b,
+            acc, nxt)
+    k = float(len(paths))
+    return jax.tree_util.tree_map(
+        lambda a: (a / k).astype(np.float32)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a, acc)
+
+
 def abstract_like(tree, mesh=None):
     """Template for sharded restoration: every ``jax.Array`` leaf becomes a
     ``ShapeDtypeStruct`` carrying the leaf's sharding, so orbax places the
