@@ -66,6 +66,11 @@ class Converter:
         self.n_timesteps = n_timesteps
         self.temperature = temperature
         self._key = jax.random.key(seed)
+        # serving runs conversions from multiple threads (dispatcher +
+        # streaming handler threads); the PRNG chain must advance atomically
+        import threading
+
+        self._key_lock = threading.Lock()
 
         self.vocoder = None
         voc = self.config.get("vocoder") or {}
@@ -97,6 +102,13 @@ class Converter:
                 self.mesh, P(*(("data",) + (None,) * (a.ndim - 1)))))
             self.params = jax.device_put(
                 self.params, NamedSharding(self.mesh, P()))
+
+    def _next_key(self):
+        import jax
+
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        return sub
 
     @property
     def output_sample_rate(self) -> Optional[int]:
@@ -184,7 +196,7 @@ class Converter:
 
         src, t_src = self._pack(self._normalize_src(src_feats), False)
         ref, _ = self._pack(self._normalize_ref(ref_feats), True)
-        self._key, sub = jax.random.split(self._key)
+        sub = self._next_key()
         mel = np.asarray(jax.device_get(
             self._infer(self.params, src, ref, sub)
         ))[0, :t_src]
@@ -234,14 +246,23 @@ class Converter:
         already-final left context (re-synthesized and trimmed) so the
         HiFiGAN receptive field sees real history at segment joins.
         """
+        import jax
+
         from serenade_tpu.ops.longform import convert_in_chunks_stream
 
         keys = ("hubert", "score", "loud") + (
             ("f0_fluc",) if self.variant_new else ())
         frame_feats = {k: np.asarray(src_feats[k]) for k in keys}
+        # normalize + pack + upload the reference ONCE per request, not
+        # once per chunk (it conditions every chunk identically)
+        ref_packed, _ = self._pack(self._normalize_ref(ref_feats), True)
 
         def convert_chunk(chunk):
-            return self._convert_mel_only(chunk, ref_feats)
+            src_p, t_chunk = self._pack(self._normalize_src(chunk), False)
+            sub = self._next_key()
+            return np.asarray(jax.device_get(
+                self._infer(self.params, src_p, ref_packed, sub)
+            ))[0, :t_chunk]
 
         mel_tail = None  # last ctx frames of already-emitted mel
         for start, seg in convert_in_chunks_stream(
@@ -263,7 +284,7 @@ class Converter:
 
         src, t_src = self._pack(self._normalize_src(src_feats), False)
         ref, _ = self._pack(self._normalize_ref(ref_feats), True)
-        self._key, sub = jax.random.split(self._key)
+        sub = self._next_key()
         return np.asarray(jax.device_get(
             self._infer(self.params, src, ref, sub)
         ))[0, :t_src]
@@ -337,7 +358,7 @@ class Converter:
         if self.mesh is not None:
             src = {k: self._dp(v) for k, v in src.items()}
             ref = {k: self._dp(v) for k, v in ref.items()}
-        self._key, sub = jax.random.split(self._key)
+        sub = self._next_key()
         mels = np.asarray(jax.device_get(
             self._infer(self.params, src, ref, sub)
         ))

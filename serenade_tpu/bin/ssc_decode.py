@@ -170,6 +170,11 @@ def run(variant_new: bool):
 
     model_cls = resolve("model", config["model_type"])
     model_params = dict(config.get("model_params", {}))
+    if args.checkpoint.endswith(".pkl") and args.average_n > 1:
+        raise SystemExit(
+            "--average-n requires orbax checkpoints; a converted torch "
+            ".pkl is a single snapshot"
+        )
     if args.checkpoint.endswith(".pkl"):
         # reference torch checkpoint: convert on the fly; the GST must run
         # the checkpoint's BatchNorm running statistics exactly

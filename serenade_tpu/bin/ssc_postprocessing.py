@@ -114,9 +114,10 @@ def main():
 
     from serenade_tpu.ops.f0 import smooth_f0_median, yin_f0
     from serenade_tpu.ops.sptk import ALPHA, sp2mc
-    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick
     from serenade_tpu.sifigan import SiFiGANGenerator, SignalGenerator
-    from serenade_tpu.sifigan.features import dense_factors_per_level
+    from serenade_tpu.sifigan.features import (
+        dense_factors_per_level, world_mcep_bap,
+    )
 
     sr = int(config["sample_rate"])
     fp = float(config["frame_period"])
@@ -200,15 +201,9 @@ def main():
             grid = np.linspace(0, len(lf0) - 1, T)
             lf0 = np.maximum(np.interp(grid, np.arange(len(lf0)), lf0), 0.0)
 
-        sp = np.asarray(cheaptrick(
-            jnp.asarray(x), jnp.asarray(lf0.astype(np.float32)), fs=sr,
-            frame_period_ms=fp,
-        ))
-        bap = np.asarray(band_aperiodicity(
-            jnp.asarray(x), jnp.asarray(lf0.astype(np.float32)), fs=sr,
-            frame_period_ms=fp,
-        ))
-        mcep = sp2mc(sp, order=int(config["mcep_dim"]), alpha=ALPHA[sr])
+        mcep, bap, sp = world_mcep_bap(
+            x, lf0.astype(np.float32), sr, fp, int(config["mcep_dim"])
+        )
 
         uv, cf0, ok = convert_continuous_f0(lf0)
         if not ok:

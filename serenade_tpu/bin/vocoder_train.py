@@ -71,6 +71,13 @@ def main():
 
         up = tuple(gp.get("upsample_scales", (5, 4, 3, 2)))
         hop = int(np.prod(up))  # sifigan frames at its own rate (5 ms)
+        analysis_hop = int(sr * float(config.get("sifigan_shiftms", 5.0))
+                           / 1000.0)
+        if analysis_hop != hop:
+            raise SystemExit(
+                f"upsample product {hop} must equal the analysis hop "
+                f"{analysis_hop} (sampling_rate * sifigan_shiftms / 1000)"
+            )
         mcep_dim = int(config.get("mcep_dim", 39))
         generator = SiFiGANGenerator(
             in_channels=gp.get("in_channels", mcep_dim + 1 + 3),

@@ -190,8 +190,12 @@ class BatchingConverter:
                 # one batched vocoder dispatch for the whole group (pad to
                 # the longest; trim each waveform to its true length)
                 tmax = max(m.shape[0] for m in mels)
+                # edge-pad (not zero-pad): the conv receptive field bleeds
+                # pad content into each utterance's trimmed tail, and in
+                # normalized mel space zeros mean average energy, which is
+                # audible — repeated last frames are not
                 stacked = np.stack([
-                    np.pad(m, ((0, tmax - m.shape[0]), (0, 0)))
+                    np.pad(m, ((0, tmax - m.shape[0]), (0, 0)), mode="edge")
                     for m in mels
                 ])
                 wavs = voc.decode_batch(stacked)  # (B, tmax*hop)
@@ -298,17 +302,24 @@ def iter_stream_blocks(read):
     """Client-side helper: parse a /convert_stream body (a callable or
     file-like ``read(n)``) into dicts of arrays, in order."""
     read = read.read if hasattr(read, "read") else read
+
+    def read_exact(n):
+        out = b""
+        while len(out) < n:
+            chunk = read(n - len(out))
+            if not chunk:
+                return out
+            out += chunk
+        return out
+
     while True:
-        head = read(4)
+        head = read_exact(4)
         if len(head) < 4:
             return
         size = int.from_bytes(head, "big")
-        body = b""
-        while len(body) < size:
-            chunk = read(size - len(body))
-            if not chunk:
-                return
-            body += chunk
+        body = read_exact(size)
+        if len(body) < size:
+            return
         with np.load(io.BytesIO(body)) as z:
             yield {k: z[k] for k in z.files}
 
@@ -319,6 +330,11 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (used by /convert_stream) is only defined for
+        # HTTP/1.1; default BaseHTTPRequestHandler answers as HTTP/1.0 and
+        # RFC-compliant clients/proxies would not de-chunk
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # route through logging
             logger.debug("http: " + fmt, *args)
 
@@ -358,6 +374,11 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                         query.get("overlap_frames", ["256"])[0]),
                 )
                 sr = conv.output_sample_rate
+                # pull the FIRST segment before committing to 200: the
+                # generator is lazy, so conversion errors (bad feature
+                # dims etc.) surface here and become a real 400 instead
+                # of an empty-but-"successful" stream
+                first = next(gen, None)
             except Exception as e:  # noqa: BLE001 — per-request fault
                 return self._send(400, json.dumps({"error": str(e)}).encode(),
                                   "application/json")
@@ -369,13 +390,19 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             def chunk(b: bytes):
                 self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
 
+            def emit(seg):
+                start, mel_seg, wav_seg = seg
+                arrays = {"start": np.int64(start), "mel": mel_seg}
+                if wav_seg is not None:
+                    arrays["wav"] = wav_seg
+                    arrays["sr"] = np.int64(sr)
+                chunk(_frame_block(arrays))
+
             try:
-                for start, mel_seg, wav_seg in gen:
-                    arrays = {"start": np.int64(start), "mel": mel_seg}
-                    if wav_seg is not None:
-                        arrays["wav"] = wav_seg
-                        arrays["sr"] = np.int64(sr)
-                    chunk(_frame_block(arrays))
+                if first is not None:
+                    emit(first)
+                for seg in gen:
+                    emit(seg)
             except Exception:  # noqa: BLE001 — mid-stream: truncate cleanly
                 logger.exception("stream conversion failed mid-flight")
             finally:

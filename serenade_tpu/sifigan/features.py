@@ -80,3 +80,26 @@ class SignalGenerator:
             else:
                 raise ValueError(f"unknown signal type {kind!r}")
         return np.stack(parts, axis=-1).astype(np.float32)
+
+
+def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int):
+    """CheapTrick + band-aperiodicity analysis → ``(mcep, bap, sp)``.
+
+    The SiFiGAN aux-feature contract, shared by stage-9 postprocessing
+    (bin/ssc_postprocessing.py) and the vocoder trainer
+    (trainers/vocoder_trainer.py) so training and synthesis conditioning
+    cannot drift apart.
+    """
+    import jax.numpy as jnp
+
+    from serenade_tpu.ops.sptk import ALPHA, sp2mc
+    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick
+
+    wav_j = jnp.asarray(np.asarray(wav, np.float32))
+    f0_j = jnp.asarray(np.asarray(f0, np.float32).reshape(-1))
+    sp = np.asarray(cheaptrick(wav_j, f0_j, fs=fs,
+                               frame_period_ms=frame_period_ms))
+    bap = np.asarray(band_aperiodicity(wav_j, f0_j, fs=fs,
+                                       frame_period_ms=frame_period_ms))
+    mcep = sp2mc(sp, order=mcep_dim, alpha=ALPHA[fs])
+    return mcep, bap, sp

@@ -189,10 +189,10 @@ def prepare_sifigan_utterance(
 
     from serenade_tpu.bin.ssc_postprocessing import convert_continuous_f0
     from serenade_tpu.ops.f0 import smooth_f0_median, yin_f0
-    from serenade_tpu.ops.sptk import ALPHA, sp2mc
-    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick
     from serenade_tpu.sifigan import SignalGenerator
-    from serenade_tpu.sifigan.features import dense_factors_per_level
+    from serenade_tpu.sifigan.features import (
+        dense_factors_per_level, world_mcep_bap,
+    )
 
     wav = np.asarray(wav, np.float32).reshape(-1)
     hop = int(fs * frame_period_ms / 1000.0)
@@ -202,11 +202,7 @@ def prepare_sifigan_utterance(
     uv, cf0, ok = convert_continuous_f0(f0)
     if not ok:
         return None
-    sp = np.asarray(cheaptrick(jnp.asarray(wav), jnp.asarray(f0), fs=fs,
-                               frame_period_ms=frame_period_ms))
-    bap = np.asarray(band_aperiodicity(jnp.asarray(wav), jnp.asarray(f0),
-                                       fs=fs, frame_period_ms=frame_period_ms))
-    mcep = sp2mc(sp, order=mcep_dim, alpha=ALPHA[fs])
+    mcep, bap, _ = world_mcep_bap(wav, f0, fs, frame_period_ms, mcep_dim)
     c = np.concatenate([mcep, bap], axis=1).astype(np.float32)
 
     n = min(c.shape[0], len(wav) // hop)

@@ -219,18 +219,25 @@ def test_http_round_trip(tiny_experiment):
         assert np.isfinite(mel).all()
         assert wav is None  # tiny config has no vocoder checkpoint
 
-        # malformed body -> 400, server keeps serving
+        # malformed body -> 400, server keeps serving (HTTP/1.1 keep-alive:
+        # each response body must be drained before the next request)
         c.request("POST", "/convert_features", body=b"not-an-npz")
-        assert c.getresponse().status == 400
+        r = c.getresponse()
+        assert r.status == 400
+        r.read()
         c.request("GET", "/healthz")
-        assert c.getresponse().status == 200
+        r = c.getresponse()
+        assert r.status == 200
+        r.read()
 
         # register a style over HTTP, convert by name
         from serenade_tpu.serving import encode_reference
 
         c.request("POST", "/register_reference?name=Breathy",
                   body=encode_reference(ref))
-        assert c.getresponse().status == 200
+        r = c.getresponse()
+        assert r.status == 200
+        r.read()
         c.request("POST", "/convert_features",
                   body=encode_request(src, "Breathy"))
         resp = c.getresponse()
