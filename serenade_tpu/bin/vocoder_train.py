@@ -193,6 +193,14 @@ def main():
     log_every = int(config.get("log_interval_steps", 100))
     save_every = int(config.get("save_interval_steps", 5000))
     key = jax.random.key(int(config.get("seed", 0)))
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(args.outdir)
+    except Exception:  # noqa: BLE001 — TB optional, like the SSC trainer
+        logging.warning("tensorboardX unavailable; scalar logs only")
+
     for step in range(start_step, max_steps):
         batch_np = sampler()
         key, sub = jax.random.split(key)
@@ -204,12 +212,17 @@ def main():
                 float(m["train/gen_loss"]), float(m["train/disc_loss"]),
                 float(m["train/mel_loss"]),
             )
+            if writer is not None:
+                for k, v in m.items():
+                    writer.add_scalar(k, float(v), step + 1)
         if (step + 1) % save_every == 0 or step + 1 == max_steps:
             save_checkpoint(
                 args.outdir, step + 1,
                 {"generator": jax.device_get(state.gen_params),
                  "discriminator": jax.device_get(state.disc_params)},
             )
+    if writer is not None:
+        writer.close()
     logging.info("vocoder training finished at %d steps", max_steps)
 
 
