@@ -43,12 +43,10 @@ def build_argparser():
     return p
 
 
-def main(argv=None):
-    args = build_argparser().parse_args(argv)
-    logging.basicConfig(
-        level=logging.INFO if args.verbose else logging.WARNING,
-        format="%(asctime)s (%(module)s) %(levelname)s: %(message)s",
-    )
+def build_app(args):
+    """Assemble (server, batching) from parsed args — the whole CLI minus
+    serve_forever, so tests can run the real entry path on an ephemeral
+    port."""
     from serenade_tpu.api import Converter
     from serenade_tpu.serving import BatchingConverter, make_server
 
@@ -81,8 +79,19 @@ def main(argv=None):
             batching.register_reference(style, feats)
             logging.info("registered reference style %r (%s)", style, h5path)
     server = make_server(batching, host=args.host, port=args.port)
+    return server, batching
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s (%(module)s) %(levelname)s: %(message)s",
+    )
+    server, batching = build_app(args)
     logging.info("serving on %s:%d (max_batch=%d, wait=%.0fms)",
-                 args.host, args.port, args.max_batch, args.max_wait_ms)
+                 args.host, server.server_address[1], args.max_batch,
+                 args.max_wait_ms)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

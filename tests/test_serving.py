@@ -465,3 +465,48 @@ def test_stream_vocodes_segments_with_context(tiny_experiment):
         assert total == t_src
     finally:
         conv.vocoder = old
+
+
+def test_serve_cli_build_app(tiny_experiment):
+    """The real serve CLI assembly: parse args, preload a ref-dict style,
+    serve a named conversion over HTTP on an ephemeral port."""
+    import http.client
+    import json
+
+    from serenade_tpu.bin.serve import build_app, build_argparser
+    from serenade_tpu.serving import decode_response, encode_request
+
+    conv, items = tiny_experiment
+    expdir, stats = conv._paths
+    keys = list(items)
+    src = items[keys[0]]
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        # the ref-dict points at an h5 dump; reuse the fixture's dump dir
+        dump_h5 = f"{expdir}/../dump/{keys[1]}.h5"
+        rd = f"{td}/refstyles.json"
+        with open(rd, "w") as f:
+            json.dump({"Breathy": dump_h5}, f)
+
+        args = build_argparser().parse_args([
+            "--expdir", expdir, "--stats", stats, "--ref-dict", rd,
+            "--port", "0", "--n-timesteps", "2", "--max-wait-ms", "5",
+        ])
+        server, batching = build_app(args)
+        try:
+            assert batching.reference_names() == ["Breathy"]
+            port = server.server_address[1]
+            threading.Thread(target=server.serve_forever,
+                             daemon=True).start()
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            c.request("POST", "/convert_features",
+                      body=encode_request(src, "Breathy"))
+            resp = c.getresponse()
+            assert resp.status == 200, resp.read()
+            mel, _, _ = decode_response(resp.read())
+            assert mel.shape[0] == src["hubert"].shape[0]
+        finally:
+            server.shutdown()
+            batching.close()
