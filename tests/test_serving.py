@@ -510,3 +510,46 @@ def test_serve_cli_build_app(tiny_experiment):
         finally:
             server.shutdown()
             batching.close()
+
+
+def test_concurrent_mixed_length_stress(tiny_experiment):
+    """12 concurrent requests with three different source lengths: every
+    request completes, groups form per bucket, results have the right
+    per-request lengths."""
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    base, ref = items[keys[0]], items[keys[1]]
+
+    def clipped(n):
+        return {k: np.asarray(v)[:n] for k, v in base.items()}
+
+    t_full = base["hubert"].shape[0]
+    lengths = [t_full, t_full // 2, t_full // 3]
+    srcs = [clipped(lengths[i % 3]) for i in range(12)]
+
+    b = BatchingConverter(conv, max_batch=6, max_wait_ms=150.0)
+    try:
+        b.register_reference("S", ref)
+        results = [None] * 12
+
+        def call(i):
+            results[i] = b.convert(srcs[i], "S", timeout=180)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert all(r is not None for r in results)
+        for i, (mel, _, _) in enumerate(results):
+            assert mel.shape[0] == srcs[i]["hubert"].shape[0]
+            assert np.isfinite(mel).all()
+        assert b.stats["requests"] == 12
+        assert b.stats["errors"] == 0
+        # batching really happened (far fewer dispatches than requests)
+        assert b.stats["batches"] <= 8, b.stats
+    finally:
+        b.close()
