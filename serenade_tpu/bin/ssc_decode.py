@@ -60,6 +60,10 @@ def build_argparser():
                    choices=("euler", "midpoint", "ab2"),
                    help="CFM ODE solver (euler = reference parity; ab2 = "
                         "2nd-order at the same cost)")
+    p.add_argument("--data-axis", type=int, default=1,
+                   help="shard each decode batch over an N-way 'data' "
+                        "device mesh (params replicated) — full-corpus "
+                        "decode on a pod slice; combine with --batch-size")
     p.add_argument("--num-shards", type=int, default=1,
                    help="partition the utterance list for array-job decode"
                         " (reference n_jobs sharding)")
@@ -201,6 +205,24 @@ def run(variant_new: bool):
         params = restore_params_only(args.checkpoint)
     model = model_cls(**model_params)
 
+    # optional mesh data parallelism: params replicated, each batch
+    # sharded on 'data' (the pod-slice full-corpus decode path)
+    _dp = None
+    if args.data_axis > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from serenade_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.data_axis, model=1)
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
+        def _dp(a):
+            return jax.device_put(a, NamedSharding(
+                mesh, P(*(("data",) + (None,) * (a.ndim - 1)))))
+
+        logging.info("decode batches sharded over a %d-way data mesh",
+                     args.data_axis)
+
     @jax.jit
     def infer(params, src, ref, key):
         kwargs = {}
@@ -293,8 +315,16 @@ def run(variant_new: bool):
     for (Ts, Tr), work in groups.items():
         for chunk_start in range(0, len(work), bs):
             chunk = work[chunk_start:chunk_start + bs]
+            true_n = len(chunk)
+            if _dp is not None:  # every mesh device needs a sub-batch
+                pad_n = (-true_n) % args.data_axis
+                chunk = chunk + [chunk[-1]] * pad_n
             src = stack_src(chunk, Ts)
             ref = stack_ref(chunk, Tr)
+            if _dp is not None:
+                src = {k: _dp(v) for k, v in src.items()}
+                ref = {k: _dp(v) for k, v in ref.items()}
+            chunk = chunk[:true_n]
             key, sub = jax.random.split(key)
             start = time.time()
             mels = np.asarray(jax.device_get(infer(params, src, ref, sub)))

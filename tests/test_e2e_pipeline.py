@@ -164,6 +164,7 @@ def test_stats_train_decode(workdir):
     _run_cli(decode_main, [
         "--dumpdir", dump, "--stats", stats_path, "--outdir", outdir,
         "--checkpoint", ckpt, "--n-timesteps", "2", "--batch-size", "2",
+        "--data-axis", "2",  # mesh-dp decode on the virtual CPU devices
     ])
     decoded = [f for f in os.listdir(outdir) if f.endswith(".h5")]
     assert decoded, "no decoded outputs written"
