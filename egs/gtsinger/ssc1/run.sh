@@ -36,6 +36,7 @@ pretrain=""
 resume=""
 checkpoint=""
 model_axis=1
+decode_data_axis=1   # mesh-dp per decode process (pod slices)
 variant=""            # "" or "new" (SerenadeNew / -modded CLIs)
 skip_gtmidi=false     # true => no GT score MIDI (datasets without JSON scores)
 
@@ -129,6 +130,7 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
                 --ref-dict "${ref_dict}" \
                 --outdir "${expdir}/decoded/${split}" \
                 --checkpoint "${ckpt}" \
+                --data-axis "${decode_data_axis}" \
                 --num-shards "${n_jobs}" --shard JOB \
             || { cat "${expdir}/decoded/decode.${split}."*.log; exit 1; }
     done
@@ -146,6 +148,7 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
             --outdir "${expdir}/decoded/${train_set}" \
             --checkpoint "${ckpt}" \
             --batch-size 8 \
+            --data-axis "${decode_data_axis}" \
             --num-shards "${n_jobs}" --shard JOB \
         || { cat "${expdir}/decoded/decode.${train_set}."*.log; exit 1; }
 fi
@@ -198,6 +201,7 @@ if [ "${stage}" -le 8 ] && [ "${stop_stage}" -ge 8 ]; then
                 --ref-dict "${ref_dict}" \
                 --outdir "${expdir}_cyclic/decoded/${split}" \
                 --checkpoint "${ckpt}" \
+                --data-axis "${decode_data_axis}" \
                 --num-shards "${n_jobs}" --shard JOB \
             || { cat "${expdir}_cyclic/decoded/decode.${split}."*.log; exit 1; }
     done
