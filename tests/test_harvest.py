@@ -163,3 +163,29 @@ def test_output_contract(harvest_out):
         assert f0.shape == (N_FRAMES,) and vuv.shape == (N_FRAMES,)
         assert np.all((f0 > 0) == (vuv > 0))
         assert np.all((f0 == 0) | ((f0 >= FLOOR) & (f0 <= CEIL)))
+
+
+@pytest.mark.slow
+def test_harvest_backend_through_feature_group_path():
+    """The preprocess CLI's group path with --f0-backend harvest: fused
+    mel+loudness program plus the harvest F0 in one vmapped dispatch."""
+    from serenade_tpu.features import FeatureConfig, extract_signal_features_group
+
+    cfg = FeatureConfig.from_dict(dict(
+        sampling_rate=FS, fft_size=512, hop_size=240, win_length=480,
+        num_mels=80, fmin=0, fmax=12000, shiftms=10,
+    ))
+    n = 128 * 240  # one length bucket
+    t_ax = np.arange(n) / FS
+    ph = 2 * np.pi * np.cumsum(261.6 * (1 + 0.02 * np.sin(
+        2 * np.pi * 5 * t_ax))) / FS
+    wavs = [sum((0.4 / h) * np.sin(h * ph) for h in range(1, 5)).astype(
+        np.float32),
+        np.zeros(n, np.float32)]
+    out = extract_signal_features_group(wavs, cfg, 80.0, 800.0, "harvest")
+    voiced = out[0]["f0"][out[0]["f0"] > 0]
+    assert voiced.size > 80
+    assert abs(np.median(voiced) - 261.6) < 5.0
+    assert out[0]["logmel"].shape[1] == 80
+    # silent group member stays unvoiced
+    assert (out[1]["f0"] > 0).mean() < 0.05
