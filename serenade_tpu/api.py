@@ -93,15 +93,10 @@ class Converter:
 
         self.mesh = None
         if data_mesh and data_mesh > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from serenade_tpu.parallel import make_mesh
+            from serenade_tpu.parallel import make_mesh, replicated
 
             self.mesh = make_mesh(data=data_mesh, model=1)
-            self._dp = lambda a: jax.device_put(a, NamedSharding(
-                self.mesh, P(*(("data",) + (None,) * (a.ndim - 1)))))
-            self.params = jax.device_put(
-                self.params, NamedSharding(self.mesh, P()))
+            self.params = jax.device_put(self.params, replicated(self.mesh))
 
     def _next_key(self):
         import jax
@@ -215,14 +210,9 @@ class Converter:
         (mel, wav or None, sr or None)."""
         from serenade_tpu.ops.longform import convert_in_chunks
 
-        keys = ("hubert", "score", "loud") + (
-            ("f0_fluc",) if self.variant_new else ())
-        frame_feats = {k: np.asarray(src_feats[k]) for k in keys}
-
-        def convert_chunk(chunk):
-            return self._convert_mel_only(chunk, ref_feats)
-
-        mel = convert_in_chunks(frame_feats, convert_chunk,
+        frame_feats = self._source_frame_feats(src_feats)
+        mel = convert_in_chunks(frame_feats,
+                                self._chunk_converter(ref_feats),
                                 chunk_frames=chunk_frames,
                                 overlap_frames=overlap_frames)
         if self.vocoder is not None:
@@ -246,27 +236,12 @@ class Converter:
         already-final left context (re-synthesized and trimmed) so the
         HiFiGAN receptive field sees real history at segment joins.
         """
-        import jax
-
         from serenade_tpu.ops.longform import convert_in_chunks_stream
 
-        keys = ("hubert", "score", "loud") + (
-            ("f0_fluc",) if self.variant_new else ())
-        frame_feats = {k: np.asarray(src_feats[k]) for k in keys}
-        # normalize + pack + upload the reference ONCE per request, not
-        # once per chunk (it conditions every chunk identically)
-        ref_packed, _ = self._pack(self._normalize_ref(ref_feats), True)
-
-        def convert_chunk(chunk):
-            src_p, t_chunk = self._pack(self._normalize_src(chunk), False)
-            sub = self._next_key()
-            return np.asarray(jax.device_get(
-                self._infer(self.params, src_p, ref_packed, sub)
-            ))[0, :t_chunk]
-
+        frame_feats = self._source_frame_feats(src_feats)
         mel_tail = None  # last ctx frames of already-emitted mel
         for start, seg in convert_in_chunks_stream(
-                frame_feats, convert_chunk,
+                frame_feats, self._chunk_converter(ref_feats),
                 chunk_frames=chunk_frames, overlap_frames=overlap_frames):
             wav_seg = None
             if self.vocoder is not None:
@@ -279,15 +254,28 @@ class Converter:
             mel_tail = seg[-vocoder_context_frames:]
             yield start, seg, wav_seg
 
-    def _convert_mel_only(self, src_feats, ref_feats):
+    def _source_frame_feats(self, src_feats):
+        """The frame-aligned source streams chunked for long-form paths."""
+        keys = ("hubert", "score", "loud") + (
+            ("f0_fluc",) if self.variant_new else ())
+        return {k: np.asarray(src_feats[k]) for k in keys}
+
+    def _chunk_converter(self, ref_feats):
+        """Per-chunk mel converter with the reference normalized, packed,
+        and uploaded ONCE (it conditions every chunk identically) — shared
+        by the offline and streaming long-form paths."""
         import jax
 
-        src, t_src = self._pack(self._normalize_src(src_feats), False)
-        ref, _ = self._pack(self._normalize_ref(ref_feats), True)
-        sub = self._next_key()
-        return np.asarray(jax.device_get(
-            self._infer(self.params, src, ref, sub)
-        ))[0, :t_src]
+        ref_packed, _ = self._pack(self._normalize_ref(ref_feats), True)
+
+        def convert_chunk(chunk):
+            src_p, t_chunk = self._pack(self._normalize_src(chunk), False)
+            sub = self._next_key()
+            return np.asarray(jax.device_get(
+                self._infer(self.params, src_p, ref_packed, sub)
+            ))[0, :t_chunk]
+
+        return convert_chunk
 
     def pack_reference(self, ref_feats: Dict[str, np.ndarray]):
         """Normalize + pad one reference to its bucket and place it on
@@ -356,8 +344,10 @@ class Converter:
                                 ("loud", "loud"), ("logmel", "logmel")]
                         + fluc, tr)
         if self.mesh is not None:
-            src = {k: self._dp(v) for k, v in src.items()}
-            ref = {k: self._dp(v) for k, v in ref.items()}
+            from serenade_tpu.parallel import shard_batch
+
+            src = shard_batch(src, self.mesh)
+            ref = shard_batch(ref, self.mesh)
         sub = self._next_key()
         mels = np.asarray(jax.device_get(
             self._infer(self.params, src, ref, sub)

@@ -207,19 +207,12 @@ def run(variant_new: bool):
 
     # optional mesh data parallelism: params replicated, each batch
     # sharded on 'data' (the pod-slice full-corpus decode path)
-    _dp = None
+    dp_mesh = None
     if args.data_axis > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from serenade_tpu.parallel import make_mesh, replicated
 
-        from serenade_tpu.parallel import make_mesh
-
-        mesh = make_mesh(data=args.data_axis, model=1)
-        params = jax.device_put(params, NamedSharding(mesh, P()))
-
-        def _dp(a):
-            return jax.device_put(a, NamedSharding(
-                mesh, P(*(("data",) + (None,) * (a.ndim - 1)))))
-
+        dp_mesh = make_mesh(data=args.data_axis, model=1)
+        params = jax.device_put(params, replicated(dp_mesh))
         logging.info("decode batches sharded over a %d-way data mesh",
                      args.data_axis)
 
@@ -316,14 +309,16 @@ def run(variant_new: bool):
         for chunk_start in range(0, len(work), bs):
             chunk = work[chunk_start:chunk_start + bs]
             true_n = len(chunk)
-            if _dp is not None:  # every mesh device needs a sub-batch
+            if dp_mesh is not None:  # every mesh device needs a sub-batch
                 pad_n = (-true_n) % args.data_axis
                 chunk = chunk + [chunk[-1]] * pad_n
             src = stack_src(chunk, Ts)
             ref = stack_ref(chunk, Tr)
-            if _dp is not None:
-                src = {k: _dp(v) for k, v in src.items()}
-                ref = {k: _dp(v) for k, v in ref.items()}
+            if dp_mesh is not None:
+                from serenade_tpu.parallel import shard_batch
+
+                src = shard_batch(src, dp_mesh)
+                ref = shard_batch(ref, dp_mesh)
             chunk = chunk[:true_n]
             key, sub = jax.random.split(key)
             start = time.time()

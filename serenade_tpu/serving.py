@@ -94,11 +94,14 @@ class BatchingConverter:
         bypass the batching queue)."""
         return self._conv
 
-    def raw_reference(self, name: str):
-        """Registered style's raw feature dict (for the streaming path)."""
-        if name not in self._raw_refs:
+    def _require_style(self, name: str) -> None:
+        if name not in self._refs:
             raise KeyError(f"unknown reference style {name!r}; "
                            f"registered: {self.reference_names()}")
+
+    def raw_reference(self, name: str):
+        """Registered style's raw feature dict (for the streaming path)."""
+        self._require_style(name)
         return self._raw_refs[name]
 
     def convert(self, src_feats, ref, timeout: float = 300.0):
@@ -107,9 +110,8 @@ class BatchingConverter:
         ``ref`` is a feature dict (ad-hoc) or a registered style name.
         Thread-safe: many callers batch together transparently.
         """
-        if isinstance(ref, str) and ref not in self._refs:
-            raise KeyError(f"unknown reference style {ref!r}; "
-                           f"registered: {self.reference_names()}")
+        if isinstance(ref, str):
+            self._require_style(ref)
         req = _Request(src=src_feats, ref=ref)
         self._queue.put(req)
         if not req.done.wait(timeout):
