@@ -6,13 +6,16 @@ serenade/bin/ssc_decode.py:344-455, batch=1 by construction).  Two layers:
 
 * ``BatchingConverter`` — wraps :class:`serenade_tpu.api.Converter` with a
   submission queue and a dispatcher thread that groups concurrent requests
-  by (source-bucket, reference-bucket) and runs each group through ONE
-  batched jitted inference.  Static bucket shapes mean a handful of
-  compiled programs serve every request size; batching amortizes the
-  per-dispatch tunnel/PCIe latency and fills the MXU.
-* ``ConversionServer`` — a dependency-free stdlib HTTP front
-  (``ThreadingHTTPServer``): POST ``/convert_features`` with an ``.npz``
-  body, GET ``/healthz`` for liveness + rolling stats.
+  by (source-bucket, reference-bucket-or-style) and runs each group
+  through ONE batched jitted inference (one batched vocoder dispatch
+  too).  Static bucket shapes mean a handful of compiled programs serve
+  every request size; batching amortizes the per-dispatch tunnel/PCIe
+  latency and fills the MXU.  Styles registered once stay device
+  resident.
+* ``make_server`` — a dependency-free stdlib HTTP front
+  (``ThreadingHTTPServer``): POST ``/convert_features`` /
+  ``/register_reference`` / streaming ``/convert_stream`` with ``.npz``
+  bodies, GET ``/healthz`` for liveness + rolling stats.
 
 Durability: a request that fails (bad payload, feature mismatch) fails
 alone — the dispatcher catches per-batch errors and faults only that
