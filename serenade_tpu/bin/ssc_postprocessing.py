@@ -153,9 +153,19 @@ def main():
     )
     params = None
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):
-        from serenade_tpu.sifigan.convert import load_sifigan_checkpoint
+        if os.path.isdir(args.checkpoint_path):
+            # orbax checkpoint from serenade-vocoder-train --vocoder-type
+            # sifigan ({"generator", "discriminator"} params)
+            from serenade_tpu.checkpoint import restore_checkpoint
 
-        params = load_sifigan_checkpoint(args.checkpoint_path, model)
+            restored = restore_checkpoint(args.checkpoint_path)
+            params = restored["params"]["generator"]
+            logger.info("loaded in-framework SiFiGAN checkpoint %s",
+                        args.checkpoint_path)
+        else:  # released torch pickle: convert on the fly
+            from serenade_tpu.sifigan.convert import load_sifigan_checkpoint
+
+            params = load_sifigan_checkpoint(args.checkpoint_path, model)
 
     scaler = None
     if args.stats and os.path.exists(args.stats):
