@@ -58,6 +58,14 @@ def load_vocoder(checkpoint: str, config: dict):
             "fused" if jax.default_backend() not in ("cpu", "gpu")
             else "conv"),
     )
+    import os
+
+    if os.path.isdir(checkpoint):
+        # orbax checkpoint from serenade-vocoder-train ({"generator", ...})
+        from serenade_tpu.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(checkpoint)["params"]["generator"]
+        return model, params
     sd = load_torch_vocoder_checkpoint(checkpoint)
     params = convert_hifigan_generator(
         sd,

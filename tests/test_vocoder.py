@@ -118,3 +118,43 @@ def test_converter_matches_torch():
     y = model.apply(params, jnp.asarray(mel.transpose(0, 2, 1)))
     ours = np.asarray(y)[0, :, 0]
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_vocoder_loads_inframework_orbax_checkpoint(tmp_path):
+    """Vocoder accepts serenade-vocoder-train orbax checkpoints alongside
+    torch pickles — a self-trained HiFiGAN plugs into decode/serving."""
+    import jax
+    import numpy as np
+    import yaml
+
+    from serenade_tpu.checkpoint import save_checkpoint
+    from serenade_tpu.utils.h5 import write_hdf5
+    from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
+    from serenade_tpu.vocoder.vocoder import Vocoder
+
+    gp = dict(in_channels=8, channels=16, upsample_scales=[4, 2],
+              upsample_kernel_sizes=[8, 4], resblock_kernel_sizes=[3],
+              resblock_dilations=[[1, 3]], use_additional_convs=True)
+    gen = HiFiGANGenerator(
+        in_channels=8, channels=16, upsample_scales=(4, 2),
+        upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),),
+    )
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 10, 8)))
+    save_checkpoint(str(tmp_path / "voc"), 5,
+                    {"generator": params, "discriminator": {}})
+
+    cfg_path = tmp_path / "voc.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(dict(sampling_rate=24000, generator_params=gp), f)
+    stats_path = str(tmp_path / "stats.h5")
+    write_hdf5(stats_path, "mean", np.zeros(8, np.float32))
+    write_hdf5(stats_path, "scale", np.ones(8, np.float32))
+
+    voc = Vocoder(str(tmp_path / "voc" / "checkpoint-5steps"),
+                  str(cfg_path), stats_path, take_norm_feat=False)
+    wav, sr = voc.decode(np.random.default_rng(0).normal(
+        size=(12, 8)).astype(np.float32))
+    assert sr == 24000
+    assert wav.shape[0] == 12 * 8  # upsample product
+    assert np.isfinite(wav).all()
