@@ -37,6 +37,7 @@ resume=""
 checkpoint=""
 model_axis=1
 decode_data_axis=1   # mesh-dp per decode process (pod slices)
+decode_batch_size=8  # bucket-batched conversions per dispatch
 variant=""            # "" or "new" (SerenadeNew / -modded CLIs)
 skip_gtmidi=false     # true => no GT score MIDI (datasets without JSON scores)
 
@@ -130,6 +131,7 @@ if [ "${stage}" -le 4 ] && [ "${stop_stage}" -ge 4 ]; then
                 --ref-dict "${ref_dict}" \
                 --outdir "${expdir}/decoded/${split}" \
                 --checkpoint "${ckpt}" \
+                --batch-size "${decode_batch_size}" \
                 --data-axis "${decode_data_axis}" \
                 --num-shards "${n_jobs}" --shard JOB \
             || { cat "${expdir}/decoded/decode.${split}."*.log; exit 1; }
@@ -147,7 +149,7 @@ if [ "${stage}" -le 5 ] && [ "${stop_stage}" -ge 5 ]; then
             --stats "${dumpdir}/stats.joblib" \
             --outdir "${expdir}/decoded/${train_set}" \
             --checkpoint "${ckpt}" \
-            --batch-size 8 \
+            --batch-size "${decode_batch_size}" \
             --data-axis "${decode_data_axis}" \
             --num-shards "${n_jobs}" --shard JOB \
         || { cat "${expdir}/decoded/decode.${train_set}."*.log; exit 1; }
@@ -201,6 +203,7 @@ if [ "${stage}" -le 8 ] && [ "${stop_stage}" -ge 8 ]; then
                 --ref-dict "${ref_dict}" \
                 --outdir "${expdir}_cyclic/decoded/${split}" \
                 --checkpoint "${ckpt}" \
+                --batch-size "${decode_batch_size}" \
                 --data-axis "${decode_data_axis}" \
                 --num-shards "${n_jobs}" --shard JOB \
             || { cat "${expdir}_cyclic/decoded/decode.${split}."*.log; exit 1; }

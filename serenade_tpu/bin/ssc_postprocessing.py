@@ -94,7 +94,9 @@ def main():
                    help="joblib scaler for aux features (sifigan training "
                         "stats); identity normalization when absent")
     p.add_argument("--checkpoint-path", default=None,
-                   help="SiFiGAN torch checkpoint (converted on the fly); "
+                   help="SiFiGAN checkpoint: a released torch .pkl "
+                        "(converted on the fly) or an orbax directory from "
+                        "serenade-vocoder-train --vocoder-type sifigan; "
                         "random init when absent (smoke/testing only)")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
@@ -155,13 +157,20 @@ def main():
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):
         if os.path.isdir(args.checkpoint_path):
             # orbax checkpoint from serenade-vocoder-train --vocoder-type
-            # sifigan ({"generator", "discriminator"} params)
-            from serenade_tpu.checkpoint import restore_checkpoint
+            # sifigan
+            from serenade_tpu.checkpoint import restore_generator_params
 
-            restored = restore_checkpoint(args.checkpoint_path)
-            params = restored["params"]["generator"]
+            params = restore_generator_params(args.checkpoint_path)
             logger.info("loaded in-framework SiFiGAN checkpoint %s",
                         args.checkpoint_path)
+            if args.stats:
+                logger.warning(
+                    "--stats given with an in-framework checkpoint: the "
+                    "trainer conditions on RAW mcep/bap (no scaler); a "
+                    "released-model scaler here will mis-scale the aux "
+                    "features — drop --stats unless you trained with the "
+                    "same normalization"
+                )
         else:  # released torch pickle: convert on the fly
             from serenade_tpu.sifigan.convert import load_sifigan_checkpoint
 

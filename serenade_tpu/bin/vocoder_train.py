@@ -193,6 +193,24 @@ def main():
     log_every = int(config.get("log_interval_steps", 100))
     save_every = int(config.get("save_interval_steps", 5000))
     key = jax.random.key(int(config.get("seed", 0)))
+    if args.vocoder_type == "hifigan":
+        # identity vocoder stats beside the checkpoints: training consumed
+        # RAW logmel, so the Vocoder wrapper's renormalization must be a
+        # no-op — point the `vocoder:` config block's `stats` here
+        from serenade_tpu.utils.h5 import write_hdf5
+
+        stats_path = os.path.join(args.outdir, "stats.h5")
+        n_mels = int(generator.in_channels)
+        write_hdf5(stats_path, "mean", np.zeros(n_mels, np.float32))
+        write_hdf5(stats_path, "scale", np.ones(n_mels, np.float32))
+        import yaml as _yaml
+
+        with open(os.path.join(args.outdir, "config.yml"), "w") as f:
+            _yaml.safe_dump(dict(config), f)
+        logging.info("wrote identity stats.h5 + config.yml beside the "
+                     "checkpoints (vocoder: block can point at %s)",
+                     args.outdir)
+
     writer = None
     try:
         from tensorboardX import SummaryWriter

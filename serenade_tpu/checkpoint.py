@@ -72,6 +72,13 @@ def restore_params_only(path: str):
     return restore_checkpoint(path)["params"]
 
 
+def restore_generator_params(path: str):
+    """Generator params from a serenade-vocoder-train checkpoint (layout
+    contract: ``{"generator", "discriminator"}`` under ``params``) — the
+    one place the convention is encoded for the Vocoder / stage-9 loaders."""
+    return restore_checkpoint(path)["params"]["generator"]
+
+
 def find_last_checkpoints(root: str, n: int) -> list:
     """The ``n`` highest-step checkpoint dirs under ``root`` (ascending)."""
     if not os.path.isdir(root):

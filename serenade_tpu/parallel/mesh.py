@@ -80,6 +80,11 @@ def make_mesh(
         if n % model != 0:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
+    if data * model > n:
+        raise ValueError(
+            f"mesh data={data} x model={model} needs {data * model} "
+            f"devices but only {n} are available"
+        )
     if data * model != n:
         devices = devices[: data * model]
     dev_array = np.asarray(devices).reshape(data, model)

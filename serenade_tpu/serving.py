@@ -84,9 +84,11 @@ class BatchingConverter:
         packed once and kept device-resident — requests that pass the name
         skip the reference upload entirely (the production pattern: the
         style set is small and fixed, conf/refstyles.json)."""
-        self._refs[name] = self._conv.pack_reference(ref_feats)
+        # raw first: _refs gates availability, so a concurrent lookup that
+        # passes the gate must already find the raw copy
         self._raw_refs[name] = {k: np.asarray(v)
                                 for k, v in ref_feats.items()}
+        self._refs[name] = self._conv.pack_reference(ref_feats)
 
     def reference_names(self):
         return sorted(self._refs)

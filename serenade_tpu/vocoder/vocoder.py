@@ -61,10 +61,11 @@ def load_vocoder(checkpoint: str, config: dict):
     import os
 
     if os.path.isdir(checkpoint):
-        # orbax checkpoint from serenade-vocoder-train ({"generator", ...})
-        from serenade_tpu.checkpoint import restore_checkpoint
+        # orbax checkpoint from serenade-vocoder-train; its stats.h5
+        # (identity — training consumed raw logmel) sits beside it
+        from serenade_tpu.checkpoint import restore_generator_params
 
-        params = restore_checkpoint(checkpoint)["params"]["generator"]
+        params = restore_generator_params(checkpoint)
         return model, params
     sd = load_torch_vocoder_checkpoint(checkpoint)
     params = convert_hifigan_generator(

@@ -76,3 +76,63 @@ def test_gan_step_updates_and_learns():
         np.asarray(jax.tree_util.tree_leaves(state.disc_params)[0]),
         np.asarray(jax.tree_util.tree_leaves(disc_params)[0]),
     )
+
+
+def test_vocoder_train_cli_artifacts_load_into_vocoder(tmp_path):
+    """The complete self-trained-vocoder loop: the CLI trains a tiny
+    HiFiGAN, writes checkpoint + identity stats.h5 + config.yml, and the
+    Vocoder wrapper loads that trio directly and synthesizes."""
+    import sys
+
+    import yaml
+
+    from serenade_tpu.utils.h5 import write_hdf5
+    from serenade_tpu.vocoder.vocoder import Vocoder
+
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    t = np.arange(24000) / SR
+    for i, f0 in enumerate((220.0, 330.0)):
+        wav = (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        write_hdf5(str(dump / f"utt{i}.h5"), "wave", wav)
+        write_hdf5(str(dump / f"utt{i}.h5"), "logmel",
+                   np.random.default_rng(i).normal(
+                       size=(len(wav) // 48, 8)).astype(np.float32))
+
+    cfg = dict(sampling_rate=SR, num_mels=8, hop_size=48,
+               segment_frames=8, vocoder_batch_size=2,
+               vocoder_train_max_steps=2, save_interval_steps=2,
+               log_interval_steps=1,
+               generator_params=dict(channels=16, in_channels=8,
+                                     upsample_scales=[8, 6],
+                                     upsample_kernel_sizes=[16, 12],
+                                     resblock_kernel_sizes=[3],
+                                     resblock_dilations=[[1, 3]]))
+    cfg_path = tmp_path / "voc.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from serenade_tpu.bin.vocoder_train import main
+
+    outdir = str(tmp_path / "exp")
+    old = sys.argv
+    sys.argv = ["prog", "--train-dumpdir", str(dump), "--outdir", outdir,
+                "--config", str(cfg_path)]
+    try:
+        main()
+    finally:
+        sys.argv = old
+
+    import os
+
+    assert os.path.exists(os.path.join(outdir, "stats.h5"))
+    assert os.path.exists(os.path.join(outdir, "config.yml"))
+    ckpt = os.path.join(outdir, "checkpoint-2steps")
+    assert os.path.isdir(ckpt)
+
+    voc = Vocoder(ckpt, os.path.join(outdir, "config.yml"),
+                  os.path.join(outdir, "stats.h5"), take_norm_feat=False)
+    wav, sr = voc.decode(np.random.default_rng(0).normal(
+        size=(10, 8)).astype(np.float32))
+    assert sr == SR and wav.shape[0] == 10 * 48
+    assert np.isfinite(wav).all()
