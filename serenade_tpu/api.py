@@ -355,26 +355,35 @@ class Converter:
         return [mels[i, : f["hubert"].shape[0]]
                 for i, f in enumerate(src_list[:b])]
 
+    def extract_from_wav(self, wav: np.ndarray, sr: int,
+                         name: str = "utt") -> Dict[str, np.ndarray]:
+        """On-device feature extraction from raw audio (mel/loudness/F0 +
+        ContentVec + transcribed score) into the feature-dict form every
+        convert_* method takes — the serving path for raw-audio requests,
+        where the wire payload is ~48x smaller than 768-d content
+        features.  Requires a ContentVec checkpoint."""
+        if self._content_fn is None:
+            raise RuntimeError(
+                "raw-audio conversion requires contentvec_ckpt; use "
+                "convert_features with precomputed dumps otherwise"
+            )
+        from serenade_tpu.features import FeatureConfig, extract_features
+
+        fc = FeatureConfig.from_dict(self.config)
+        f = extract_features(name, np.asarray(wav), sr, fc,
+                             content_fn=self._content_fn,
+                             with_f0_fluc=self.variant_new)
+        if f is None:
+            raise ValueError(f"feature extraction failed for {name}")
+        f["score"] = f["est_lf0_score"]
+        return f
+
     def convert_wav(self, src_wav: np.ndarray, ref_wav: np.ndarray,
                     sr: int) -> Tuple[np.ndarray, Optional[np.ndarray],
                                       Optional[int]]:
         """Raw-audio conversion (extracts features on the fly; requires a
         ContentVec checkpoint)."""
-        if self._content_fn is None:
-            raise RuntimeError(
-                "convert_wav requires contentvec_ckpt; use convert_features "
-                "with precomputed dumps otherwise"
-            )
-        from serenade_tpu.features import FeatureConfig, extract_features
-
-        fc = FeatureConfig.from_dict(self.config)
-        feats = {}
-        for name, wav in (("src", src_wav), ("ref", ref_wav)):
-            f = extract_features(name, wav, sr, fc,
-                                 content_fn=self._content_fn,
-                                 with_f0_fluc=self.variant_new)
-            if f is None:
-                raise ValueError(f"feature extraction failed for {name}")
-            f["score"] = f["est_lf0_score"]
-            feats[name] = f
-        return self.convert_features(feats["src"], feats["ref"])
+        return self.convert_features(
+            self.extract_from_wav(src_wav, sr, "src"),
+            self.extract_from_wav(ref_wav, sr, "ref"),
+        )

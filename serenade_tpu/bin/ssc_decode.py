@@ -58,8 +58,14 @@ def build_argparser():
     p.add_argument("--temperature", type=float, default=0.667)
     p.add_argument("--solver", default="euler",
                    choices=("euler", "midpoint", "ab2"),
-                   help="CFM ODE solver (euler = reference parity; ab2 = "
-                        "2nd-order at the same cost)")
+                   help="CFM ODE solver (euler = reference parity). "
+                        "Measured against the converged flow on a trained "
+                        "field (tests/test_cfm_solvers.py::"
+                        "test_solver_quality_on_trained_field): "
+                        "'ab2 --n-timesteps 7' BEATS euler-10 in MCD "
+                        "(0.23 vs 0.32 dB) at 70%% of its cost, ab2-6 "
+                        "matches it at 60%%, ab2-5 trades +0.2 dB for "
+                        "half cost")
     p.add_argument("--data-axis", type=int, default=1,
                    help="shard each decode batch over an N-way 'data' "
                         "device mesh (params replicated) — full-corpus "
@@ -193,11 +199,21 @@ def run(variant_new: bool):
         logging.info("converted torch checkpoint %s", args.checkpoint)
     elif args.average_n > 1:
         from serenade_tpu.checkpoint import (
-            average_checkpoints, find_last_checkpoints,
+            average_checkpoints, checkpoint_step, find_last_checkpoints,
         )
 
+        # anchor the window at the given checkpoint: average the N
+        # checkpoints ENDING at its step, so pointing --checkpoint at an
+        # older snapshot does not silently average the newest N instead
+        anchor = checkpoint_step(args.checkpoint)
+        if anchor is None:
+            logging.warning(
+                "--average-n: %s is not a step-named checkpoint; averaging "
+                "the newest %d in its directory", args.checkpoint,
+                args.average_n)
         paths = find_last_checkpoints(
-            os.path.dirname(args.checkpoint), args.average_n)
+            os.path.dirname(args.checkpoint), args.average_n,
+            max_step=anchor)
         params = average_checkpoints(paths)
         logging.info("averaged %d checkpoints: %s", len(paths),
                      [os.path.basename(p) for p in paths])

@@ -1,8 +1,10 @@
 """serenade-postprocessing: WORLD re-analysis + SiFiGAN re-synthesis.
 
 Counterpart of reference bin/ssc_postprocessing.py:75-241 (hydra CLI):
-for every converted wav, re-analyze with the WORLD-class ops (F0 via YIN
-with voice-type ranges, CheapTrick envelope, band aperiodicity), read the
+for every converted wav, re-analyze with the WORLD-class ops (F0 via
+Harvest with voice-type ranges — the reference's analyzer,
+ssc_postprocessing.py:147-153; ``--f0-backend yin`` keeps the faster
+YIN-Viterbi — CheapTrick envelope, D4C aperiodicity), read the
 `lf0` target written by decode, mel-cepstrum-code the envelope
 (sp2mc), build continuous F0 + sine excitation + dense dilation factors,
 and synthesize `*_sifigan.wav` with the SiFiGAN generator.
@@ -98,6 +100,11 @@ def main():
                         "(converted on the fly) or an orbax directory from "
                         "serenade-vocoder-train --vocoder-type sifigan; "
                         "random init when absent (smoke/testing only)")
+    p.add_argument("--f0-backend", default="harvest",
+                   choices=("harvest", "harvest_native", "yin"),
+                   help="re-analysis F0 estimator; the reference runs WORLD "
+                        "Harvest here (ssc_postprocessing.py:147-153), "
+                        "'yin' keeps the faster YIN-Viterbi path")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
 
@@ -211,10 +218,28 @@ def main():
             continue
         lf0 = np.asarray(lf0).reshape(-1)
 
-        # WORLD-class re-analysis on device
-        f0_cvt, _ = yin_f0(jnp.asarray(x), fs=sr, f0_floor=float(f0_floor),
-                           f0_ceil=float(f0_ceil), frame_period_ms=fp)
-        f0_cvt = np.asarray(smooth_f0_median(f0_cvt))
+        # re-analysis F0 (bucket-padded so the jitted estimators compile
+        # once per length bucket, not once per utterance)
+        from serenade_tpu.features import _bucketed
+
+        x_b, n_frames = _bucketed(np.asarray(x, np.float32), hop)
+        if args.f0_backend == "harvest_native":
+            from serenade_tpu.native import harvest_f0_native
+
+            f0_cvt = harvest_f0_native(
+                x, fs=sr, f0_floor=float(f0_floor), f0_ceil=float(f0_ceil),
+                frame_period_ms=fp)[0]
+        elif args.f0_backend == "harvest":
+            from serenade_tpu.ops.harvest import harvest_f0
+
+            f0_cvt = harvest_f0(
+                jnp.asarray(x_b), fs=sr, f0_floor=float(f0_floor),
+                f0_ceil=float(f0_ceil), frame_period_ms=fp)[0]
+        else:
+            f0_cvt, _ = yin_f0(jnp.asarray(x_b), fs=sr,
+                               f0_floor=float(f0_floor),
+                               f0_ceil=float(f0_ceil), frame_period_ms=fp)
+        f0_cvt = np.asarray(smooth_f0_median(jnp.asarray(f0_cvt)))[:n_frames]
         T = len(f0_cvt)
         if len(lf0) != T:
             grid = np.linspace(0, len(lf0) - 1, T)

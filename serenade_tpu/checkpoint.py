@@ -33,18 +33,54 @@ def _ckpt_dir(root: str, step: int) -> str:
     return os.path.join(os.path.abspath(root), f"checkpoint-{step}steps")
 
 
+def _ckpt_state(step: int, params, opt_state, epochs: int) -> dict:
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    state["meta"] = {
+        "step": np.asarray(step), "epochs": np.asarray(epochs)
+    }
+    return state
+
+
 def save_checkpoint(root: str, step: int, params, opt_state=None,
                     epochs: int = 0) -> str:
     path = _ckpt_dir(root, step)
     with ocp.StandardCheckpointer() as saver:
-        state = {"params": params}
-        if opt_state is not None:
-            state["opt_state"] = opt_state
-        state["meta"] = {
-            "step": np.asarray(step), "epochs": np.asarray(epochs)
-        }
-        saver.save(path, state, force=True)
+        saver.save(path, _ckpt_state(step, params, opt_state, epochs),
+                   force=True)
     return path
+
+
+class AsyncSaver:
+    """Non-blocking checkpoint saves: device arrays are snapshotted
+    synchronously (so training may mutate state immediately) and the
+    serialization/commit runs on background threads — the step loop no
+    longer stalls for the full write every ``save_interval_steps``
+    (the reference's torch.save, trainers/base.py:98-111, and round-2's
+    synchronous orbax save both block).
+
+    Orbax guarantees ordering: a save issued while the previous one is
+    still committing first waits for it, so checkpoints never interleave.
+    Call :meth:`wait` before reading a just-written checkpoint and
+    :meth:`close` at shutdown (both idempotent).
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, root: str, step: int, params, opt_state=None,
+             epochs: int = 0) -> str:
+        path = _ckpt_dir(root, step)
+        self._ckptr.save(path, args=ocp.args.StandardSave(
+            _ckpt_state(step, params, opt_state, epochs)), force=True)
+        return path
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    def close(self):
+        self._ckptr.close()
 
 
 def find_latest_checkpoint(root: str) -> Optional[str]:
@@ -79,16 +115,28 @@ def restore_generator_params(path: str):
     return restore_checkpoint(path)["params"]["generator"]
 
 
-def find_last_checkpoints(root: str, n: int) -> list:
-    """The ``n`` highest-step checkpoint dirs under ``root`` (ascending)."""
+def find_last_checkpoints(root: str, n: int,
+                          max_step: Optional[int] = None) -> list:
+    """The ``n`` highest-step checkpoint dirs under ``root`` (ascending).
+
+    With ``max_step``, only checkpoints at or below that step count — the
+    averaging window ends at the anchor checkpoint instead of silently
+    sliding to the newest snapshots."""
     if not os.path.isdir(root):
         return []
     found = []
     for name in os.listdir(root):
         m = re.fullmatch(r"checkpoint-(\d+)steps", name)
-        if m:
+        if m and (max_step is None or int(m.group(1)) <= max_step):
             found.append((int(m.group(1)), os.path.join(root, name)))
     return [p for _, p in sorted(found)[-n:]]
+
+
+def checkpoint_step(path: str) -> Optional[int]:
+    """Step count encoded in a ``checkpoint-<N>steps`` path, else None."""
+    m = re.fullmatch(r"checkpoint-(\d+)steps",
+                     os.path.basename(os.path.normpath(path)))
+    return int(m.group(1)) if m else None
 
 
 def average_checkpoints(paths):

@@ -108,25 +108,39 @@ def _interval_f0(sig, valid_len: int, frame_samples, fs_d: float):
     forward/backward fills instead of event lists, so the shape is static.
 
     sig: (..., T); frame_samples: (F,) int. Returns (..., F), 0 = invalid.
+
+    Event positions are carried as (integer cell, fractional offset) pairs
+    rather than absolute float32 coordinates: the fills run on the exact
+    int32 cell index and the sub-sample fraction is gathered per event, so
+    the interval (cell difference + fraction difference) keeps full
+    sub-sample precision at any position — an absolute float32 coordinate
+    loses ~0.06-0.25 samples of ULP past 1-2M decimated samples
+    (multi-minute audio), degrading late-utterance candidates.
     """
+    n = sig.shape[-1]
     a, b = sig[..., :-1], sig[..., 1:]
     ev = (a > 0) & (b <= 0) & (a != b)
-    t = jnp.arange(sig.shape[-1] - 1, dtype=jnp.float32)
-    pos = t + a / jnp.where(a == b, 1.0, a - b)
-    pos = jnp.where(ev & (t < valid_len - 1), pos, jnp.nan)
+    t = jnp.arange(n - 1, dtype=jnp.int32)
+    frac = a / jnp.where(a == b, 1.0, a - b)  # [0, 1) within the cell
+    ev = ev & (t < valid_len - 1)
 
-    prevp = jax.lax.cummax(jnp.where(jnp.isnan(pos), -jnp.inf, pos), axis=pos.ndim - 1)
-    nextp = jax.lax.cummin(
-        jnp.where(jnp.isnan(pos), jnp.inf, pos), axis=pos.ndim - 1, reverse=True
-    )
-    s = jnp.clip(frame_samples, 0, sig.shape[-1] - 2)
-    pv = prevp[..., s]
+    prev_cell = jax.lax.cummax(jnp.where(ev, t, -1), axis=sig.ndim - 1)
+    next_cell = jax.lax.cummin(jnp.where(ev, t, n), axis=sig.ndim - 1,
+                               reverse=True)
+    s = jnp.clip(frame_samples, 0, n - 2)
+    pv = prev_cell[..., s]
     # read the forward fill one cell later: an event inside cell s is the
-    # PREVIOUS event (pos >= s), and nextp[s] would return the same event,
-    # collapsing the interval to zero exactly when a frame lands on an event
-    nx = nextp[..., jnp.minimum(s + 1, sig.shape[-1] - 2)]
-    good = jnp.isfinite(pv) & jnp.isfinite(nx) & (nx > pv + 1e-3)
-    return jnp.where(good, fs_d / jnp.maximum(nx - pv, 1e-3), 0.0)
+    # PREVIOUS event (pos >= s), and next_cell[s] would return the same
+    # event, collapsing the interval to zero when a frame lands on an event
+    nx = next_cell[..., jnp.minimum(s + 1, n - 2)]
+    good = (pv >= 0) & (nx < n)
+    pv_c = jnp.clip(pv, 0, n - 2)
+    nx_c = jnp.clip(nx, 0, n - 2)
+    frac_pv = jnp.take_along_axis(frac, pv_c, axis=-1)
+    frac_nx = jnp.take_along_axis(frac, nx_c, axis=-1)
+    interval = (nx - pv).astype(jnp.float32) + (frac_nx - frac_pv)
+    good = good & (interval > 1e-3)
+    return jnp.where(good, fs_d / jnp.maximum(interval, 1e-3), 0.0)
 
 
 def _merge_channel_runs(cand, n_slots: int):

@@ -15,7 +15,9 @@ serenade/bin/ssc_decode.py:344-455, batch=1 by construction).  Two layers:
 * ``make_server`` — a dependency-free stdlib HTTP front
   (``ThreadingHTTPServer``): POST ``/convert_features`` /
   ``/register_reference`` / streaming ``/convert_stream`` with ``.npz``
-  bodies, GET ``/healthz`` for liveness + rolling stats.
+  bodies, POST ``/convert_wav`` (raw RIFF or npz audio in, wav out —
+  ~48x less wire traffic than feature upload; the fast path on
+  transfer-bound links), GET ``/healthz`` for liveness + rolling stats.
 
 Durability: a request that fails (bad payload, feature mismatch) fails
 alone — the dispatcher catches per-batch errors and faults only that
@@ -62,10 +64,11 @@ class BatchingConverter:
     """
 
     def __init__(self, converter, max_batch: int = 8,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, max_references: int = 64):
         self._conv = converter
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
+        self._max_references = max_references
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -83,7 +86,17 @@ class BatchingConverter:
         """Register a named style reference.  Its normalized features are
         packed once and kept device-resident — requests that pass the name
         skip the reference upload entirely (the production pattern: the
-        style set is small and fixed, conf/refstyles.json)."""
+        style set is small and fixed, conf/refstyles.json).
+
+        Capped at ``max_references`` distinct styles (re-registering an
+        existing name is always allowed): each registration pins features
+        device-resident, so an unbounded registry is a memory-exhaustion
+        vector on a reachable port."""
+        if name not in self._refs and len(self._refs) >= self._max_references:
+            raise ValueError(
+                f"reference registry full ({self._max_references}); "
+                "re-register an existing name or raise max_references"
+            )
         # raw first: _refs gates availability, so a concurrent lookup that
         # passes the gate must already find the raw copy
         self._raw_refs[name] = {k: np.asarray(v)
@@ -125,9 +138,37 @@ class BatchingConverter:
             raise req.error
         return req.mel, req.wav, req.sr
 
-    def close(self):
+    def convert_wav(self, src_wav, sr: int, ref, timeout: float = 300.0):
+        """Raw-audio submit: on-device feature extraction (mel/loudness/F0
+        + ContentVec) happens in the CALLING thread, then the request
+        batches through the normal queue.  ``ref`` is a registered style
+        name or a (ref_wav, ref_sr) tuple.  The raw-audio wire payload is
+        ~48x smaller than pre-extracted 768-d content features — on
+        transfer-bound links (tunnel, WAN) this is the fast path."""
+        src_feats = self._conv.extract_from_wav(src_wav, sr, "src")
+        if not isinstance(ref, str):
+            ref_wav, ref_sr = ref
+            ref = self._conv.extract_from_wav(ref_wav, ref_sr, "ref")
+        return self.convert(src_feats, ref, timeout=timeout)
+
+    def close(self, join_timeout: float = 5.0):
         self._stop.set()
-        self._thread.join(timeout=5.0)
+        self._thread.join(timeout=join_timeout)
+        if self._thread.is_alive():
+            # the in-flight dispatch outlived the join (e.g. a first compile
+            # through the tunnel takes minutes): fault everything still
+            # queued here so blocked callers fail now instead of waiting
+            # out their full submit timeout
+            logger.warning(
+                "dispatcher still busy after %.1fs; faulting queued requests",
+                join_timeout)
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                req.error = RuntimeError("server shutting down")
+                req.done.set()
 
     # -- dispatcher side ------------------------------------------------
 
@@ -239,6 +280,10 @@ _SRC_KEYS = ("hubert", "score", "loud")
 _REF_KEYS = _SRC_KEYS + ("logmel",)
 
 
+class _PayloadTooLarge(ValueError):
+    """POST body exceeds the server's max_body_bytes cap (HTTP 413)."""
+
+
 def _parse_npz(body: bytes):
     with np.load(io.BytesIO(body)) as z:
         src = {k: z[f"src_{k}"] for k in _SRC_KEYS}
@@ -297,6 +342,24 @@ def decode_response(body: bytes):
     return mel, wav, sr
 
 
+def encode_wav_request(src_wav, sr: int, ref) -> bytes:
+    """Client-side helper: npz body for POST /convert_wav.  ``ref`` is a
+    registered style name or a (ref_wav, ref_sr) tuple.  (Plain RIFF wav
+    bytes + ``?style=<name>`` work too — this helper is for the ad-hoc
+    reference case or when the query string is inconvenient.)"""
+    arrays = {"src_wav": np.asarray(src_wav, np.float32),
+              "sr": np.int64(sr)}
+    if isinstance(ref, str):
+        arrays["ref_name"] = np.asarray(ref)
+    else:
+        ref_wav, ref_sr = ref
+        arrays["ref_wav"] = np.asarray(ref_wav, np.float32)
+        arrays["ref_sr"] = np.int64(ref_sr)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
 def _frame_block(arrays: dict) -> bytes:
     """Length-prefixed npz block for the /convert_stream wire format."""
     buf = io.BytesIO()
@@ -305,9 +368,16 @@ def _frame_block(arrays: dict) -> bytes:
     return len(payload).to_bytes(4, "big") + payload
 
 
-def iter_stream_blocks(read):
+def iter_stream_blocks(read, strict: bool = True):
     """Client-side helper: parse a /convert_stream body (a callable or
-    file-like ``read(n)``) into dicts of arrays, in order."""
+    file-like ``read(n)``) into dicts of arrays, in order.
+
+    The server ends every stream with a terminal marker block —
+    ``{done: 1}`` on success or ``{error: <msg>}`` after a mid-stream
+    failure — so truncated output is distinguishable from a complete
+    conversion.  The marker is consumed, not yielded: on ``error`` this
+    raises RuntimeError; with ``strict`` (default) a stream that ends
+    without any marker (connection cut) also raises."""
     read = read.read if hasattr(read, "read") else read
 
     def read_exact(n):
@@ -322,18 +392,37 @@ def iter_stream_blocks(read):
     while True:
         head = read_exact(4)
         if len(head) < 4:
+            if strict:
+                raise RuntimeError(
+                    "stream ended without a terminal marker (truncated)")
             return
         size = int.from_bytes(head, "big")
         body = read_exact(size)
         if len(body) < size:
+            if strict:
+                raise RuntimeError(
+                    "stream ended mid-block (truncated)")
             return
         with np.load(io.BytesIO(body)) as z:
-            yield {k: z[k] for k in z.files}
+            blk = {k: z[k] for k in z.files}
+        if "error" in blk:
+            read(1)  # drain EOF so the connection stays reusable
+            raise RuntimeError(f"server stream failed: {blk['error']}")
+        if "done" in blk:
+            # drain the end-of-stream so file-likes (http.client chunked
+            # responses) see EOF and the connection can be reused
+            read(1)
+            return
+        yield blk
 
 
 def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
-                port: int = 8571):
-    """Build (not start) a ThreadingHTTPServer around a BatchingConverter."""
+                port: int = 8571, max_body_bytes: int = 256 << 20):
+    """Build (not start) a ThreadingHTTPServer around a BatchingConverter.
+
+    ``max_body_bytes`` caps every POST body (413 beyond it) — feature
+    payloads are a few MB, so the default 256 MB only stops hostile or
+    runaway uploads from exhausting host memory on a reachable port."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -352,6 +441,19 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             self.end_headers()
             self.wfile.write(body)
 
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", "0"))
+            if n > max_body_bytes:
+                raise _PayloadTooLarge(
+                    f"body of {n} bytes exceeds the server cap of "
+                    f"{max_body_bytes}")
+            return self.rfile.read(n)
+
+        def _fault(self, e: Exception):
+            code = 413 if isinstance(e, _PayloadTooLarge) else 400
+            return self._send(code, json.dumps({"error": str(e)}).encode(),
+                              "application/json")
+
         def do_GET(self):
             if self.path != "/healthz":
                 return self._send(404, b"{}", "application/json")
@@ -369,8 +471,7 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             this path optimizes time-to-first-audio, not throughput.
             Optional query params: chunk_frames, overlap_frames."""
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                src, ref = _parse_npz(self.rfile.read(n))
+                src, ref = _parse_npz(self._read_body())
                 if isinstance(ref, str):
                     ref = batching.raw_reference(ref)
                 conv = batching.converter
@@ -387,8 +488,7 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                 # of an empty-but-"successful" stream
                 first = next(gen, None)
             except Exception as e:  # noqa: BLE001 — per-request fault
-                return self._send(400, json.dumps({"error": str(e)}).encode(),
-                                  "application/json")
+                return self._fault(e)
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
@@ -405,15 +505,64 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                     arrays["sr"] = np.int64(sr)
                 chunk(_frame_block(arrays))
 
+            # every stream ends with a terminal marker block before the
+            # chunked terminator: {done: 1} on success, {error: msg} on a
+            # mid-stream failure — otherwise a truncated conversion would
+            # parse as a complete, successful stream
             try:
                 if first is not None:
                     emit(first)
                 for seg in gen:
                     emit(seg)
-            except Exception:  # noqa: BLE001 — mid-stream: truncate cleanly
+                chunk(_frame_block({"done": np.int64(1)}))
+            except Exception as e:  # noqa: BLE001 — mid-stream fault
                 logger.exception("stream conversion failed mid-flight")
+                try:
+                    chunk(_frame_block({"error": np.asarray(str(e))}))
+                except Exception:  # noqa: BLE001 — socket already gone
+                    pass
             finally:
                 self.wfile.write(b"0\r\n\r\n")
+
+        def _convert_wav(self, query):
+            """Raw audio in, audio out: the transfer-light serving path
+            (a 24 kHz waveform is ~48x smaller on the wire than the 768-d
+            content features /convert_features uploads).  Body is either
+            RIFF wav bytes + ``?style=<registered>`` or an npz from
+            ``encode_wav_request`` (src_wav/sr + ref_name | ref_wav/
+            ref_sr).  Responds with RIFF wav bytes when a vocoder is
+            loaded, else an npz with the mel."""
+            try:
+                body = self._read_body()
+                if body[:4] == b"RIFF":
+                    from serenade_tpu.utils.audio import read_wav
+
+                    src_wav, sr = read_wav(io.BytesIO(body))
+                    style = query.get("style", [""])[0]
+                    if not style:
+                        raise ValueError(
+                            "RIFF body needs ?style=<registered name>")
+                    ref = style
+                else:
+                    with np.load(io.BytesIO(body)) as z:
+                        src_wav = z["src_wav"]
+                        sr = int(z["sr"])
+                        if "ref_name" in z.files:
+                            ref = str(z["ref_name"])
+                        else:
+                            ref = (z["ref_wav"], int(z["ref_sr"]))
+                mel, wav, out_sr = batching.convert_wav(src_wav, sr, ref)
+                if wav is not None:
+                    from serenade_tpu.utils.audio import write_wav
+
+                    buf = io.BytesIO()
+                    write_wav(buf, wav, out_sr)
+                    return self._send(200, buf.getvalue(), "audio/wav")
+                buf = io.BytesIO()
+                np.savez(buf, mel=mel)
+                self._send(200, buf.getvalue(), "application/octet-stream")
+            except Exception as e:  # noqa: BLE001 — per-request fault
+                self._fault(e)
 
         def do_POST(self):
             from urllib.parse import parse_qs, urlparse
@@ -424,23 +573,21 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                     name = parse_qs(parsed.query).get("name", [""])[0]
                     if not name:
                         raise ValueError("missing ?name=<style>")
-                    n = int(self.headers.get("Content-Length", "0"))
                     batching.register_reference(
-                        name, _parse_ref_npz(self.rfile.read(n)))
+                        name, _parse_ref_npz(self._read_body()))
                     return self._send(
                         200, json.dumps({"ok": True, "name": name}).encode(),
                         "application/json")
                 except Exception as e:  # noqa: BLE001 — per-request fault
-                    return self._send(
-                        400, json.dumps({"error": str(e)}).encode(),
-                        "application/json")
+                    return self._fault(e)
             if parsed.path == "/convert_stream":
                 return self._convert_stream(parse_qs(parsed.query))
+            if parsed.path == "/convert_wav":
+                return self._convert_wav(parse_qs(parsed.query))
             if parsed.path != "/convert_features":
                 return self._send(404, b"{}", "application/json")
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                src, ref = _parse_npz(self.rfile.read(n))
+                src, ref = _parse_npz(self._read_body())
                 mel, wav, sr = batching.convert(src, ref)
                 buf = io.BytesIO()
                 out = {"mel": mel}
@@ -449,7 +596,6 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                 np.savez(buf, **out)
                 self._send(200, buf.getvalue(), "application/octet-stream")
             except Exception as e:  # noqa: BLE001 — per-request fault
-                self._send(400, json.dumps({"error": str(e)}).encode(),
-                           "application/json")
+                self._fault(e)
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -21,6 +21,7 @@ from typing import Any, Callable, Dict, Iterable, Optional
 import jax
 
 from serenade_tpu.checkpoint import (
+    AsyncSaver,
     find_latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -76,6 +77,11 @@ class SSCTrainer:
         self.profile_dir = config.get("profile_dir")
         self.profile_steps = tuple(config.get("profile_steps", (10, 15)))
         self._profiling = False
+        # interval saves commit on background threads by default so the
+        # step loop never stalls for the write (`async_checkpointing:
+        # false` restores fully synchronous saves)
+        self._async_save = bool(config.get("async_checkpointing", True))
+        self._saver = AsyncSaver() if self._async_save else None
 
         if writer is None and _is_main_process():
             try:
@@ -96,6 +102,7 @@ class SSCTrainer:
                 self.epochs += 1
         finally:
             self.save(self.steps)
+            self.wait_for_saves()
         logger.info("finished training at step %d", self.steps)
 
     def _prep_batch(self, batch):
@@ -195,12 +202,28 @@ class SSCTrainer:
         # writes only its addressable shards into the ocdbt store, so on a
         # multi-host mesh ALL processes reach this call (no rank-0 gate —
         # unlike the reference's torch.save, trainers/base.py:98-111)
-        path = save_checkpoint(
-            self.outdir, step, self.state.params,
-            self.state.opt_state, epochs=self.epochs,
-        )
+        t0 = time.time()
+        if self._saver is not None:
+            path = self._saver.save(
+                self.outdir, step, self.state.params,
+                self.state.opt_state, epochs=self.epochs,
+            )
+        else:
+            path = save_checkpoint(
+                self.outdir, step, self.state.params,
+                self.state.opt_state, epochs=self.epochs,
+            )
         if _is_main_process():
-            logger.info("saved checkpoint: %s", path)
+            logger.info(
+                "saved checkpoint: %s (%s, step blocked %.3fs)", path,
+                "async commit" if self._saver is not None else "sync",
+                time.time() - t0)
+
+    def wait_for_saves(self):
+        """Block until every async checkpoint commit has finished (no-op
+        for synchronous saves)."""
+        if self._saver is not None:
+            self._saver.wait()
 
     def resume(self, path: Optional[str] = None, load_only_params: bool = False):
         path = path or find_latest_checkpoint(self.outdir)

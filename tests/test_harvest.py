@@ -189,3 +189,27 @@ def test_harvest_backend_through_feature_group_path():
     assert out[0]["logmel"].shape[1] == 80
     # silent group member stays unvoiced
     assert (out[1]["f0"] > 0).mean() < 0.05
+
+
+def test_interval_f0_precision_position_independent():
+    """Event positions are (int cell, fraction) pairs, so sub-sample
+    precision does not degrade with absolute position: a pure tone's
+    interval-F0 estimate at the END of a multi-minute signal is as exact
+    as at the start (absolute float32 coordinates lose ~0.06-0.25 samples
+    of ULP past 1-2M samples)."""
+    import jax.numpy as jnp
+
+    from serenade_tpu.ops.harvest import _interval_f0
+
+    fs_d = 4000.0
+    f0 = 123.4
+    n = 3_000_000  # ~12.5 minutes at the decimated rate
+    t = np.arange(n, dtype=np.float64)
+    sig = jnp.asarray(np.sin(2 * np.pi * f0 * t / fs_d), jnp.float32)
+    frames = jnp.asarray([100, n // 2, n - 100], jnp.int32)
+    est = np.asarray(_interval_f0(sig, n, frames, fs_d))
+    err_cents = 1200.0 * np.abs(np.log2(est / f0))
+    # start and end must BOTH be sub-cent; with absolute float32
+    # positions the last frame drifts by several cents
+    assert err_cents.max() < 1.0, (est, err_cents)
+    assert abs(err_cents[2] - err_cents[0]) < 0.5

@@ -96,8 +96,10 @@ def test_postprocessing_with_trained_orbax_checkpoint(tmp_path):
         ), f)
 
     old = sys.argv
+    # exercise the yin fallback flag here (the first test covers the
+    # harvest default, the reference's stage-9 analyzer)
     sys.argv = ["prog", "--in-dir", str(tmp_path), "--config", str(cfg),
-                "--checkpoint-path", ckpt]
+                "--checkpoint-path", ckpt, "--f0-backend", "yin"]
     try:
         main()
     finally:

@@ -553,3 +553,228 @@ def test_concurrent_mixed_length_stress(tiny_experiment):
         assert b.stats["batches"] <= 8, b.stats
     finally:
         b.close()
+
+
+def test_stream_terminal_markers():
+    """The stream wire format ends with {done} or {error}; a stream that
+    just stops is reported as truncated instead of parsing as complete
+    (a mid-flight failure used to emit the normal chunked terminator)."""
+    import io
+
+    import pytest
+
+    from serenade_tpu.serving import _frame_block, iter_stream_blocks
+
+    seg = {"start": np.int64(0), "mel": np.zeros((4, 8), np.float32)}
+
+    ok = _frame_block(seg) + _frame_block({"done": np.int64(1)})
+    blocks = list(iter_stream_blocks(io.BytesIO(ok)))
+    assert len(blocks) == 1 and blocks[0]["mel"].shape == (4, 8)
+
+    err = _frame_block(seg) + _frame_block({"error": np.asarray("boom")})
+    it = iter_stream_blocks(io.BytesIO(err))
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+    truncated = _frame_block(seg)  # no marker: connection died
+    it = iter_stream_blocks(io.BytesIO(truncated))
+    next(it)
+    with pytest.raises(RuntimeError, match="truncated"):
+        next(it)
+    # lenient mode (strict=False) keeps the old stop-at-EOF behavior
+    assert len(list(iter_stream_blocks(io.BytesIO(truncated),
+                                       strict=False))) == 1
+
+
+def test_register_reference_cap(tiny_experiment):
+    """The style registry is bounded: registrations beyond max_references
+    fail instead of pinning unbounded device memory; re-registering an
+    existing name always succeeds."""
+    import pytest
+
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    ref = items[list(items)[1]]
+    b = BatchingConverter(conv, max_wait_ms=1.0, max_references=2)
+    try:
+        b.register_reference("A", ref)
+        b.register_reference("B", ref)
+        with pytest.raises(ValueError, match="registry full"):
+            b.register_reference("C", ref)
+        b.register_reference("A", ref)  # overwrite is fine
+        assert b.reference_names() == ["A", "B"]
+    finally:
+        b.close()
+
+
+def test_http_body_size_cap(tiny_experiment):
+    """POST bodies beyond max_body_bytes are rejected with 413 before the
+    server reads them."""
+    import http.client
+
+    from serenade_tpu.serving import (
+        BatchingConverter, encode_request, make_server,
+    )
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    b = BatchingConverter(conv, max_wait_ms=1.0)
+    server = make_server(b, host="127.0.0.1", port=0, max_body_bytes=1024)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = encode_request(src, ref)
+        assert len(body) > 1024
+        for path in ("/convert_features", "/convert_stream",
+                     "/register_reference?name=X"):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            c.request("POST", path, body=body)
+            resp = c.getresponse()
+            assert resp.status == 413, (path, resp.status)
+            resp.read()
+            c.close()
+    finally:
+        server.shutdown()
+        b.close()
+
+
+def test_close_faults_queued_requests_on_stuck_dispatcher(tiny_experiment):
+    """If the dispatcher outlives close()'s join (e.g. a minutes-long first
+    compile), close() itself drains the queue so blocked callers fault
+    immediately instead of waiting out their full submit timeout."""
+    import time as _time
+
+    from serenade_tpu.serving import BatchingConverter, _Request
+
+    conv, _ = tiny_experiment
+    b = BatchingConverter(conv, max_wait_ms=1.0)
+    # simulate a stuck in-flight dispatch: occupy the dispatcher thread
+    release = threading.Event()
+    orig_run = b._run_group
+
+    def slow_run(reqs, ts, tr):
+        release.wait(30.0)
+        orig_run(reqs, ts, tr)
+
+    b._run_group = slow_run
+    stuck = _Request(src={"hubert": np.zeros((4, 8), np.float32)}, ref="X")
+    b._queue.put(stuck)  # enters slow_run via the dispatch loop
+    _time.sleep(0.3)
+    queued = _Request(src={"hubert": np.zeros((4, 8), np.float32)}, ref="X")
+    b._queue.put(queued)  # still in the queue when close() gives up
+    t0 = _time.monotonic()
+    b.close(join_timeout=0.5)
+    assert _time.monotonic() - t0 < 5.0
+    assert queued.done.is_set()
+    assert isinstance(queued.error, RuntimeError)
+    release.set()
+
+
+def test_convert_wav_endpoint(tiny_experiment, tmp_path):
+    """POST /convert_wav: raw audio in (RIFF + ?style= or npz with an
+    ad-hoc reference wav), wav/mel out — features are extracted on the
+    server, so the wire payload is ~48x smaller than /convert_features."""
+    import http.client
+    import io as _io
+
+    from tests.test_e2e_pipeline import fake_content_fn, synth_wav
+    from serenade_tpu.serving import (
+        BatchingConverter, encode_wav_request, make_server,
+    )
+    from serenade_tpu.utils.audio import read_wav
+
+    conv, items = tiny_experiment
+    src_path, ref_path = tmp_path / "s.wav", tmp_path / "r.wav"
+    synth_wav(str(src_path), 220.0)
+    synth_wav(str(ref_path), 330.0)
+    src_wav, sr = read_wav(str(src_path))
+    ref_wav, _ = read_wav(str(ref_path))
+
+    old_content = conv._content_fn
+    conv._content_fn = fake_content_fn
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
+    server = make_server(b, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # npz body with an ad-hoc reference waveform
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        c.request("POST", "/convert_wav",
+                  body=encode_wav_request(src_wav, sr, (ref_wav, sr)))
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        body = resp.read()
+        with np.load(_io.BytesIO(body)) as z:  # no vocoder -> npz mel
+            mel = z["mel"]
+        assert np.isfinite(mel).all() and mel.shape[0] > 0
+
+        # RIFF body + registered style (feature dict registered as usual)
+        ref_feats = conv.extract_from_wav(ref_wav, sr, "ref")
+        b.register_reference("Breathy", ref_feats)
+        c.request("POST", "/convert_wav?style=Breathy",
+                  body=src_path.read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        with np.load(_io.BytesIO(resp.read())) as z:
+            mel2 = z["mel"]
+        assert mel2.shape == mel.shape
+
+        # RIFF body without a style is a clean 400
+        c.request("POST", "/convert_wav", body=src_path.read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        server.shutdown()
+        b.close()
+        conv._content_fn = old_content
+
+
+def test_convert_wav_returns_riff_with_vocoder(tiny_experiment, tmp_path):
+    """With a vocoder loaded the endpoint answers audio/wav RIFF bytes."""
+    import http.client
+
+    from tests.test_e2e_pipeline import fake_content_fn, synth_wav
+    from serenade_tpu.serving import BatchingConverter, make_server
+    from serenade_tpu.utils.audio import read_wav
+
+    conv, _ = tiny_experiment
+    synth_wav(str(tmp_path / "s.wav"), 220.0)
+    src_wav, sr = read_wav(str(tmp_path / "s.wav"))
+
+    class StubVocoder:
+        sampling_rate = 24000
+
+        def decode_batch(self, c):
+            return np.zeros((c.shape[0], c.shape[1] * 240), np.float32)
+
+    old_content, old_voc = conv._content_fn, conv.vocoder
+    conv._content_fn = fake_content_fn
+    conv.vocoder = StubVocoder()
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
+    server = make_server(b, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        ref_feats = conv.extract_from_wav(src_wav, sr, "ref")
+        b.register_reference("S", ref_feats)
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        c.request("POST", "/convert_wav?style=S",
+                  body=(tmp_path / "s.wav").read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        assert resp.getheader("Content-Type") == "audio/wav"
+        body = resp.read()
+        assert body[:4] == b"RIFF"
+        import io as _io
+
+        y, out_sr = read_wav(_io.BytesIO(body))
+        assert out_sr == 24000 and len(y) > 0
+    finally:
+        server.shutdown()
+        b.close()
+        conv._content_fn, conv.vocoder = old_content, old_voc

@@ -116,3 +116,58 @@ def test_resume_restores_optimizer_structure_and_trains(tmp_path):
     w1 = np.asarray(jax.device_get(t1.state.params["params"]["w"]))
     w2 = np.asarray(jax.device_get(t2.state.params["params"]["w"]))
     assert not np.allclose(w1, w2)  # continued training moved the weights
+
+
+def test_async_checkpointing_snapshot_semantics(tmp_path):
+    """Async (default) interval saves must snapshot the state at the save
+    step even though training keeps mutating it while the commit runs in
+    the background: the async run's checkpoints restore bit-identically
+    to a fully synchronous run's, and no checkpoint is lost or partial."""
+    import numpy as np
+
+    from serenade_tpu.checkpoint import restore_checkpoint
+    from serenade_tpu.trainers import (
+        build_optimizer, build_train_step, create_train_state,
+    )
+
+    class _Quadratic:
+        def apply(self, params, x, *, rng, deterministic, rngs=None):
+            w = params["params"]["w"]
+            loss = jnp.mean(jnp.square(x @ w))
+            return {"cfm_loss": loss, "prior_loss": jnp.float32(0.0),
+                    "loss": loss}
+
+    def run_one(outdir, use_async):
+        params = {"params": {"w": jnp.ones((3, 3))}}
+        tx, _ = build_optimizer({
+            "optimizer_type": "AdamW", "optimizer_params": {"lr": 1e-2},
+            "scheduler_type": "ConstantLR", "scheduler_params": {},
+            "grad_norm": 1.0,
+        })
+        step = build_train_step(
+            _Quadratic(), tx, donate=False,
+            batch_to_model_args=lambda b: ((b["x"],), {}),
+        )
+        t = SSCTrainer(
+            config={"train_max_steps": 8, "log_interval_steps": 4,
+                    "save_interval_steps": 4, "eval_interval_steps": 1000,
+                    "async_checkpointing": use_async},
+            train_step=step, state=create_train_state(params, tx),
+            train_iter=iter([{"xs": jnp.ones((2, 3))} for _ in range(8)]),
+            outdir=str(outdir), rng=jax.random.key(0))
+        t._writer = None
+        assert (t._saver is not None) == use_async
+        t.run()  # run() waits for pending commits in its finally
+
+    run_one(tmp_path / "async", True)
+    run_one(tmp_path / "sync", False)
+
+    for step_n in (4, 8):
+        a = restore_checkpoint(
+            str(tmp_path / "async" / f"checkpoint-{step_n}steps"))
+        s = restore_checkpoint(
+            str(tmp_path / "sync" / f"checkpoint-{step_n}steps"))
+        assert int(a["meta"]["step"]) == step_n
+        np.testing.assert_array_equal(
+            np.asarray(a["params"]["params"]["w"]),
+            np.asarray(s["params"]["params"]["w"]))
