@@ -40,6 +40,9 @@ decode_data_axis=1   # mesh-dp per decode process (pod slices)
 decode_batch_size=8  # bucket-batched conversions per dispatch
 variant=""            # "" or "new" (SerenadeNew / -modded CLIs)
 skip_gtmidi=false     # true => no GT score MIDI (datasets without JSON scores)
+sifigan_ckpt=pt_models/sifigan/checkpoint.pkl  # torch .pkl or orbax dir
+sifigan_stats=pt_models/sifigan/stats.joblib   # released-model scaler
+sifigan_conf=""       # stage-9 yaml (sample_rate/generator dims overrides)
 
 . ./path.sh
 . ./utils/parse_options.sh
@@ -178,6 +181,7 @@ fi
 
 if [ "${stage}" -le 7 ] && [ "${stop_stage}" -ge 7 ]; then
     echo "stage 7: cyclic fine-tuning"
+    mkdir -p "${expdir}_cyclic"
     ckpt="${checkpoint:-$(latest_ckpt ${expdir})}"
     python -m serenade_tpu.bin.ssc_train${suffix} \
         --train-dumpdir "${dumpdir}/${train_set}_cyclic" \
@@ -212,11 +216,16 @@ fi
 
 if [ "${stage}" -le 9 ] && [ "${stop_stage}" -ge 9 ]; then
     echo "stage 9: SiFiGAN post-processing"
+    post_args=()
+    # released torch .pkl OR an orbax dir from serenade-vocoder-train
+    # --vocoder-type sifigan; random weights (smoke only) when absent
+    [ -e "${sifigan_ckpt}" ] && post_args+=(--checkpoint-path "${sifigan_ckpt}")
+    [ -f "${sifigan_stats}" ] && post_args+=(--stats "${sifigan_stats}")
+    [ -n "${sifigan_conf}" ] && post_args+=(--config "${sifigan_conf}")
     for split in ${dev_set} ${eval_set}; do
         python -m serenade_tpu.bin.ssc_postprocessing \
             --in-dir "${expdir}_cyclic/decoded/${split}" \
-            --checkpoint-path pt_models/sifigan/checkpoint.pkl \
-            --stats pt_models/sifigan/stats.joblib || true
+            "${post_args[@]+"${post_args[@]}"}"
     done
 fi
 

@@ -35,6 +35,43 @@ def ensure_experiment(work: str):
     return work
 
 
+def ensure_contentvec_ckpt(work: str) -> str:
+    """Random-weights FULL-SIZE ContentVec torch checkpoint (the released
+    config; throughput-identical to real weights) for the raw-audio path."""
+    path = os.path.join(work, "contentvec_random.pt")
+    if os.path.exists(path):
+        return path
+    import torch
+    import transformers
+
+    config = transformers.HubertConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, classifier_proj_size=256,
+        apply_spec_augment=False,
+    )
+
+    class HubertModelWithFinalProj(transformers.HubertModel):
+        def __init__(self, config):
+            super().__init__(config)
+            self.final_proj = torch.nn.Linear(
+                config.hidden_size, config.classifier_proj_size)
+
+    torch.manual_seed(0)
+    torch.save(HubertModelWithFinalProj(config).eval().state_dict(), path)
+    return path
+
+
+def synth_wav_request(rng, n_src_frames: int, sr: int = 24000):
+    """A raw 24 kHz waveform request (the transfer-light serving path:
+    ~48x smaller on the wire than 768-d features)."""
+    n = n_src_frames * 240
+    t = np.arange(n) / sr
+    f0 = rng.uniform(150.0, 350.0)
+    wav = 0.3 * np.sin(2 * np.pi * f0 * t * (1 + 0.01 * np.sin(2 * np.pi * 5 * t)))
+    wav += 0.01 * rng.normal(size=n)
+    return wav.astype(np.float32)
+
+
 def synth_request(rng, n_src: int, n_ref: int):
     """Feature dicts with realistic shapes/ranges (identity-ish scalers of
     the synthetic experiment make exact values uncritical for throughput)."""
@@ -62,6 +99,11 @@ def main():
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
     ap.add_argument("--n-timesteps", type=int, default=10)
+    ap.add_argument("--raw-audio", action="store_true",
+                    help="clients POST raw waveforms against a registered "
+                         "style (server-side mel/loudness/F0 + ContentVec "
+                         "on device) instead of uploading 768-d features — "
+                         "the transfer-bound fix for tunnel/WAN links")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -76,16 +118,27 @@ def main():
 
     conv = Converter(os.path.join(work, "exp"),
                      os.path.join(work, "stats.joblib"),
-                     n_timesteps=args.n_timesteps)
+                     n_timesteps=args.n_timesteps,
+                     contentvec_ckpt=(ensure_contentvec_ckpt(work)
+                                      if args.raw_audio else None))
     b = BatchingConverter(conv, max_batch=args.max_batch,
                           max_wait_ms=args.max_wait_ms)
     rng = np.random.default_rng(0)
     src, ref = synth_request(rng, args.src_frames, args.ref_frames)
 
+    if args.raw_audio:
+        b.register_reference("S", ref)  # style registered once, on device
+
+        def submit(r):
+            b.convert_wav(synth_wav_request(r, args.src_frames), 24000, "S")
+    else:
+        def submit(r):
+            b.convert(*synth_request(r, args.src_frames, args.ref_frames))
+
     # warmup: compile the bucket's batched programs (batch 1 and full)
-    b.convert(src, ref)
-    warm = [threading.Thread(target=b.convert, args=synth_request(
-        rng, args.src_frames, args.ref_frames)) for _ in range(args.max_batch)]
+    submit(rng)
+    warm = [threading.Thread(target=submit, args=(np.random.default_rng(i),))
+            for i in range(args.max_batch)]
     for t in warm:
         t.start()
     for t in warm:
@@ -98,9 +151,8 @@ def main():
     def client(i):
         r = np.random.default_rng(100 + i)
         for _ in range(args.requests_per_client):
-            s, rf = synth_request(r, args.src_frames, args.ref_frames)
             t0 = time.monotonic()
-            b.convert(s, rf)
+            submit(r)
             dt = time.monotonic() - t0
             with lock:
                 latencies.append(dt)

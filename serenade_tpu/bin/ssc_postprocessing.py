@@ -105,6 +105,13 @@ def main():
                    help="re-analysis F0 estimator; the reference runs WORLD "
                         "Harvest here (ssc_postprocessing.py:147-153), "
                         "'yin' keeps the faster YIN-Viterbi path")
+    p.add_argument("--ap-backend", default="bandap",
+                   choices=("bandap", "d4c"),
+                   help="aperiodicity estimator: 'bandap' (autocorrelation, "
+                        "calibrated to ~0.3 dB of true band noise ratios) or "
+                        "'d4c' (WORLD's static-group-delay D4C, the "
+                        "reference's pyworld.d4c algorithm — see "
+                        "ops/world.py for the measured comparison)")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
 
@@ -246,7 +253,8 @@ def main():
             lf0 = np.maximum(np.interp(grid, np.arange(len(lf0)), lf0), 0.0)
 
         mcep, bap, sp = world_mcep_bap(
-            x, lf0.astype(np.float32), sr, fp, int(config["mcep_dim"])
+            x, lf0.astype(np.float32), sr, fp, int(config["mcep_dim"]),
+            ap_backend=args.ap_backend,
         )
 
         uv, cf0, ok = convert_continuous_f0(lf0)

@@ -59,10 +59,19 @@ class FeatsDataset:
         return len(self.files)
 
     def _load(self, path: str) -> dict:
+        mel = read_hdf5(path, self.logmel_type)
+        if mel is None and self.logmel_type != "logmel":
+            # cyclic fine-tuning (logmel_type=cyclic_logmel) evaluates on
+            # the ORIGINAL dev dumps, which have no injected cyclic key —
+            # their cyclic target is their own mel (identity conversion).
+            # The reference recipe ships this combination too
+            # (run.sh:244-267 passes dump/dev with serenade_cyclic.yaml)
+            # but its lazy loader only crashes at the first eval.
+            mel = read_hdf5(path, "logmel")
         item = {
             "wave": np.asarray(read_hdf5(path, "wave")),
             "hubert": _as_2d(read_hdf5(path, "hubert")),
-            "logmel": _as_2d(read_hdf5(path, self.logmel_type)),
+            "logmel": _as_2d(mel),
             "score": _as_2d(read_hdf5(path, self.score_type)),
             "midi": _as_2d(read_hdf5(path, "midi")),
             "loud": _as_2d(read_hdf5(path, "loud")),

@@ -321,6 +321,29 @@ class WNConv1d(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def masked_group_norm(x, mask, scale, bias, *, num_groups: int = 8,
+                      epsilon: float = 1e-5, out_dtype=None):
+    """Functional masked GroupNorm (see :class:`MaskedGroupNorm`); shared
+    by the module and the fused-Block1D fallback path."""
+    b, t, c = x.shape
+    g = num_groups
+    assert c % g == 0, f"channels {c} not divisible by groups {g}"
+    xf = x.astype(jnp.float32).reshape(b, t, g, c // g)
+    if mask is None:
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    else:
+        m = mask.astype(jnp.float32).reshape(b, t, 1, 1)
+        denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True) * (c // g), 1.0)
+        mean = jnp.sum(xf * m, axis=(1, 3), keepdims=True) / denom
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True) / denom
+    y = (xf - mean) * lax.rsqrt(var + epsilon)
+    y = y.reshape(b, t, c) * scale + bias
+    if mask is not None:
+        y = y * mask
+    return y.astype(out_dtype if out_dtype is not None else x.dtype)
+
+
 class MaskedGroupNorm(nn.Module):
     """GroupNorm over (time, channels/group) with padding excluded.
 
@@ -337,26 +360,12 @@ class MaskedGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        b, t, c = x.shape
-        g = self.num_groups
-        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-
-        xf = x.astype(jnp.float32).reshape(b, t, g, c // g)
-        if mask is None:
-            mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-            var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-        else:
-            m = mask.astype(jnp.float32).reshape(b, t, 1, 1)
-            denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True) * (c // g), 1.0)
-            mean = jnp.sum(xf * m, axis=(1, 3), keepdims=True) / denom
-            var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True) / denom
-        y = (xf - mean) * lax.rsqrt(var + self.epsilon)
-        y = y.reshape(b, t, c) * scale + bias
-        if mask is not None:
-            y = y * mask
-        return y.astype(self.dtype)
+        return masked_group_norm(x, mask, scale, bias,
+                                 num_groups=self.num_groups,
+                                 epsilon=self.epsilon, out_dtype=self.dtype)
 
 
 class SpeakerAdaLayerNorm(nn.Module):

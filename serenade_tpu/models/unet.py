@@ -20,9 +20,11 @@ self-attention (see transformer.py docstring).
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from serenade_tpu.models.layers import (
@@ -31,14 +33,71 @@ from serenade_tpu.models.layers import (
     MaskedGroupNorm,
     SpeakerAdaLayerNorm,
     TimestepEmbedding,
+    conv1d,
+    masked_group_norm,
     mish,
     sinusoidal_time_embedding,
 )
 from serenade_tpu.models.transformer import BasicTransformerBlock
 
 
+def default_block1d_backend() -> str:
+    """'xla' everywhere — measured faster than the fused Pallas Block1D
+    (ops/block1d_pallas.py) at training shapes on v5e (2026-08-17,
+    docs/PROFILING.md): per-program device times B16/T512/C512 bf16 are
+    fwd 116 us (xla) vs 120 us (fused) and fwd+bwd 217 vs 325 us — XLA's
+    saved-activation backward beats the kernel's recompute, and chained
+    fused calls additionally lose cross-block fusion (6-block chain 3.1
+    vs 14.3 ms).  The kernel remains available for experimentation via
+    SERENADE_BLOCK1D_BACKEND=fused."""
+    forced = os.environ.get("SERENADE_BLOCK1D_BACKEND")
+    if forced in ("fused", "xla"):
+        return forced
+    return "xla"
+
+
+class _ConvParams(nn.Module):
+    """Parameter twin of Conv1d (same names/shapes/inits) so Block1D can
+    dispatch between fused and unfused execution over ONE param tree."""
+
+    kernel_size: int
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(in_axis=(0, 1), out_axis=2),
+            (self.kernel_size, cin, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
+class _NormParams(nn.Module):
+    """Parameter twin of MaskedGroupNorm (names scale/bias)."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return scale, bias
+
+
 class Block1D(nn.Module):
-    """conv(k3) → masked GroupNorm → Mish (reference decoder.py:66-77)."""
+    """conv(k3) → masked GroupNorm → Mish (reference decoder.py:66-77).
+
+    On TPU the whole block (conv tap-concat matmul + masked GroupNorm +
+    Mish, forward AND backward) runs as fused Pallas kernels
+    (ops/block1d_pallas.py) when the shape fits VMEM; otherwise — and on
+    CPU/GPU — the equivalent unfused path runs.  Both paths share one
+    parameter tree (checkpoints are backend-independent).
+    """
 
     dim_out: int
     groups: int = 8
@@ -47,11 +106,27 @@ class Block1D(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        x = Conv1d(self.dim_out, kernel_size=3, dtype=self.dtype,
-                   param_dtype=self.param_dtype, name="conv")(x * mask)
-        x = MaskedGroupNorm(num_groups=self.groups, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="norm")(x, mask)
-        return mish(x) * mask
+        b, t, cin = x.shape
+        kernel, cbias = _ConvParams(3, self.dim_out, self.param_dtype,
+                                    name="conv")(cin)
+        scale, nbias = _NormParams(self.dim_out, self.param_dtype,
+                                   name="norm")()
+        if default_block1d_backend() == "fused":
+            from serenade_tpu.ops.block1d_pallas import (
+                block1d_supported, fused_block1d,
+            )
+
+            if block1d_supported(b, t, cin, self.dim_out, self.groups,
+                                 self.dtype):
+                return fused_block1d(
+                    x.astype(self.dtype), mask, kernel, cbias, scale, nbias,
+                    groups=self.groups)
+        h = (x * mask).astype(self.dtype)
+        h = conv1d(h, kernel.astype(self.dtype), cbias.astype(self.dtype),
+                   padding=(1, 1))
+        h = masked_group_norm(h, mask, scale, nbias, num_groups=self.groups,
+                              out_dtype=self.dtype)
+        return mish(h) * mask
 
 
 class ResnetBlock1D(nn.Module):

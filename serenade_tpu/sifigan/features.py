@@ -82,24 +82,31 @@ class SignalGenerator:
         return np.stack(parts, axis=-1).astype(np.float32)
 
 
-def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int):
-    """CheapTrick + band-aperiodicity analysis → ``(mcep, bap, sp)``.
+def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int,
+                  ap_backend: str = "bandap"):
+    """CheapTrick + aperiodicity analysis → ``(mcep, bap, sp)``.
 
     The SiFiGAN aux-feature contract, shared by stage-9 postprocessing
     (bin/ssc_postprocessing.py) and the vocoder trainer
     (trainers/vocoder_trainer.py) so training and synthesis conditioning
     cannot drift apart.
+
+    ``ap_backend``: 'bandap' (default — the autocorrelation estimator,
+    calibrated to ~0.3 dB of true band noise ratios) or 'd4c' (WORLD's
+    static-group-delay D4C, the reference's pyworld.d4c algorithm); see
+    ops/world.py for the measured comparison.
     """
     import jax.numpy as jnp
 
     from serenade_tpu.ops.sptk import ALPHA, sp2mc
-    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick
+    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick, d4c
 
     wav_j = jnp.asarray(np.asarray(wav, np.float32))
     f0_j = jnp.asarray(np.asarray(f0, np.float32).reshape(-1))
     sp = np.asarray(cheaptrick(wav_j, f0_j, fs=fs,
                                frame_period_ms=frame_period_ms))
-    bap = np.asarray(band_aperiodicity(wav_j, f0_j, fs=fs,
-                                       frame_period_ms=frame_period_ms))
+    ap_fn = d4c if ap_backend == "d4c" else band_aperiodicity
+    bap = np.asarray(ap_fn(wav_j, f0_j, fs=fs,
+                           frame_period_ms=frame_period_ms))
     mcep = sp2mc(sp, order=mcep_dim, alpha=ALPHA[fs])
     return mcep, bap, sp

@@ -225,3 +225,106 @@ def test_band_aperiodicity_known_noise_ratio(f0_val):
             # 80 Hz, a=0.01: at the accuracy limit; must stay strongly
             # periodic (conservative in the less-noisy direction)
             assert np.all(est <= -15.0), f"f0={f0_val} a={a}: est {est}"
+
+
+def _voice_like(f0_val, a, rng):
+    """Harmonic stack with 1/h amplitudes (voice-like spectral decay —
+    D4C's LoveTrain gate requires energy concentrated below 4 kHz) mixed
+    with white noise at overall noise power fraction `a`.  Returns the
+    signal and the TRUE per-band noise/total power ratios in dB."""
+    t = np.arange(SR * 2) / SR
+    harm = np.zeros_like(t)
+    for h in range(1, int(11900 / f0_val)):
+        harm += (1.0 / h) * np.sin(
+            2 * np.pi * f0_val * h * t + rng.uniform(0, 2 * np.pi))
+    harm /= np.sqrt(np.mean(harm ** 2))
+    noise = rng.normal(size=t.shape)
+    noise /= np.sqrt(np.mean(noise ** 2))
+    x = (np.sqrt(1 - a) * harm + np.sqrt(a) * noise).astype(np.float32)
+
+    H = np.fft.rfft(harm)
+    N = np.fft.rfft(noise)
+    freqs = np.fft.rfftfreq(len(t), 1 / SR)
+    true_db = []
+    for b in range(3):
+        m = (freqs >= b * 3000) & (freqs < (b + 1) * 3000)
+        pn = a * np.sum(np.abs(N[m]) ** 2)
+        ph = (1 - a) * np.sum(np.abs(H[m]) ** 2)
+        true_db.append(10 * np.log10(pn / (pn + ph)))
+    return x, np.asarray(true_db)
+
+
+@pytest.mark.parametrize("f0_val", [80.0, 150.0, 300.0])
+def test_d4c_static_group_delay_measure(f0_val):
+    """WORLD D4C (ops/world.d4c — the reference's pyworld.d4c algorithm,
+    ssc_postprocessing.py:167-168) on voice-like harmonic+noise signals:
+
+    * the LoveTrain gate passes voiced frames and zeroes unvoiced ones;
+    * coarse aperiodicity is MONOTONE in the true noise fraction per band;
+    * the upper bands track the true ratio within 4 dB at a<=0.1 — while
+      the sorted-spectrum ratio saturates at high a in the low band (the
+      measured D4C behavior; that compression is WHY band_aperiodicity
+      stays the default bap extractor, see ops/world.py docstring).
+    """
+    from serenade_tpu.ops.world import d4c
+
+    rng = np.random.default_rng(int(f0_val) + 7)
+    n_frames = int(SR * 2 / (SR * HOP_MS / 1000))
+    f0_track = np.full(n_frames, f0_val, np.float32)
+
+    prev = None
+    for a in (0.01, 0.1, 0.3):
+        x, true_db = _voice_like(f0_val, a, rng)
+        bap = np.asarray(d4c(x, f0_track, fs=SR, frame_period_ms=HOP_MS))
+        assert bap.shape == (n_frames, 3)
+        assert np.all(bap <= 0.0)
+        est = bap[20:-20].mean(axis=0)
+        # voiced frames pass the gate (not all-zero = fully aperiodic);
+        # at a=0.3 the LoveTrain gate may legitimately declare low-pitch
+        # heavily-noisy frames aperiodic, so only require it at a<=0.1
+        if a <= 0.1:
+            assert est[0] < -0.5, (a, est)
+        # monotone in the noise fraction, every band
+        if prev is not None:
+            assert np.all(est >= prev - 0.2), (a, est, prev)
+        prev = est
+        if a <= 0.1:
+            assert np.all(np.abs(est[1:] - true_db[1:]) <= 4.0), (
+                f"a={a}: d4c {est} vs true {true_db}")
+
+    # unvoiced frames are fully aperiodic (0 dB)
+    x, _ = _voice_like(f0_val, 0.1, rng)
+    bap = np.asarray(d4c(x, np.zeros(n_frames, np.float32), fs=SR,
+                         frame_period_ms=HOP_MS))
+    assert np.all(bap == 0.0)
+
+    # pure noise fails the LoveTrain gate even with a (wrong) f0 track
+    noise = rng.normal(size=SR * 2).astype(np.float32)
+    bap = np.asarray(d4c(noise, f0_track, fs=SR, frame_period_ms=HOP_MS))
+    assert np.all(bap[20:-20] >= -1.0)
+
+
+def test_band_aperiodicity_beats_d4c_calibration():
+    """The measured comparison behind the default-bap choice: on the
+    voice-like grid, band_aperiodicity's RMS error against the true
+    per-band noise ratios must stay well below true-D4C's."""
+    from serenade_tpu.ops.world import band_aperiodicity, d4c
+
+    rng = np.random.default_rng(42)
+    n_frames = int(SR * 2 / (SR * HOP_MS / 1000))
+    errs_bandap, errs_d4c = [], []
+    for f0_val in (150.0, 300.0):
+        f0_track = np.full(n_frames, f0_val, np.float32)
+        for a in (0.01, 0.1, 0.3):
+            x, true_db = _voice_like(f0_val, a, rng)
+            e_b = np.asarray(band_aperiodicity(
+                x, f0_track, fs=SR, frame_period_ms=HOP_MS))[20:-20].mean(0)
+            e_d = np.asarray(d4c(
+                x, f0_track, fs=SR, frame_period_ms=HOP_MS))[20:-20].mean(0)
+            errs_bandap.extend(np.abs(e_b - true_db))
+            errs_d4c.extend(np.abs(e_d - true_db))
+    rms_b = float(np.sqrt(np.mean(np.square(errs_bandap))))
+    rms_d = float(np.sqrt(np.mean(np.square(errs_d4c))))
+    print(f"bap-vs-truth RMS: bandap {rms_b:.2f} dB, d4c {rms_d:.2f} dB")
+    assert rms_b <= 1.0, rms_b          # the tightened calibration bound
+    assert rms_b < 0.5 * rms_d, (rms_b, rms_d)

@@ -132,3 +132,62 @@ def test_decode_notes_simple():
     assert len(pitches) == 2
     assert abs(pitches[0] - 57.0) < 0.01  # A3
     assert intervals[0][0] == 5
+
+
+def test_note_pitch_accuracy_yin_vs_analytic():
+    """Quantifies the documented YIN-for-pYIN substitution (reference
+    decoding.py:36-45 uses librosa.pyin) at the NOTE level, on the signal
+    classes where pYIN's HMM smoothing matters most: steady tone, vibrato,
+    and a one-semitone glide with analytically known pitch.
+
+    Measured bound (documented in PARITY.md): note-level median pitch
+    error ≤5 cents steady, ≤10 cents vibrato, ≤20 cents glide; note
+    onset/offset frame agreement is exact for clean peak logits.
+    """
+    import numpy as np
+
+    from serenade_tpu.modules.phoneme_midi.decoding import (
+        FramewiseDecoder, hz_to_midi,
+    )
+
+    sr, hop = 24000, 240  # 10 ms frames
+    n_frames = 220
+    t = np.arange(n_frames * hop) / sr
+    f0_true = np.zeros_like(t)
+
+    def fill(fr0, fr1, fn):
+        s0, s1 = fr0 * hop, fr1 * hop
+        f0_true[s0:s1] = fn(t[s0:s1] - t[s0])
+
+    # steady 220 Hz / vibrato 330 Hz +-50 cents @ 5.5 Hz / glide +100 cents
+    fill(10, 61, lambda tt: 220.0 * np.ones_like(tt))
+    fill(70, 131, lambda tt: 330.0 * 2.0 ** (
+        (50.0 / 1200.0) * np.sin(2 * np.pi * 5.5 * tt)))
+    fill(140, 201, lambda tt: 440.0 * 2.0 ** (tt / tt[-1] * 100.0 / 1200.0))
+
+    phase = 2 * np.pi * np.cumsum(f0_true) / sr
+    audio = np.where(f0_true > 0, 0.4 * np.sin(phase), 0.0).astype(np.float32)
+
+    # clean logits: +8 at onset/offset peaks, activation high inside notes
+    pred = np.full((n_frames, 3), -8.0, np.float32)
+    notes = [(10, 60), (70, 130), (140, 200)]
+    for on, off in notes:
+        pred[on, 0] = 8.0
+        pred[off, 1] = 8.0
+        pred[on:off + 1, 2] = 8.0
+
+    dec = FramewiseDecoder(dict(
+        sample_rate=sr, win_length=1024, hop_length=hop,
+        onset_threshold=0.5, offset_threshold=0.5, pitch_sum="median",
+    ))
+    pitches, intervals = dec.decode(pred, audio=audio)
+
+    assert intervals == [(on, off + 1) for on, off in notes]
+
+    # truth for the median summarizer = median of the analytic trajectory
+    bounds_cents = (5.0, 10.0, 20.0)
+    for (on, off), pitch, bound in zip(notes, pitches, bounds_cents):
+        seg = f0_true[on * hop:(off + 1) * hop]
+        true_midi = float(np.median(hz_to_midi(seg[seg > 0])))
+        err_cents = abs(pitch - true_midi) * 100.0
+        assert err_cents < bound, (pitch, true_midi, err_cents, bound)
