@@ -106,13 +106,16 @@ def bench_conversion(model, vocoder, params, voc_params):
 
     @jax.jit
     def convert_fast(params, src, ref, key):
-        # quality-equivalent fast mode: 2nd-order AB2 at 5 steps ≈ 10-step
-        # Euler accuracy at half the UNet evaluations (tests/test_cfm_solvers)
+        # QUALITY-EQUIVALENT fast mode: 2nd-order AB2 at 7 steps BEATS
+        # 10-step Euler accuracy-to-converged-flow at 70% of the UNet
+        # evaluations (measured on a trained field, tests/test_cfm_solvers
+        # ::test_solver_quality_on_trained_field: MCD 0.23 vs 0.32 dB;
+        # ab2-5 is the half-cost mode trading ~+0.2 dB)
         return model.apply(
             params, src["x"], src["lengths"], src["midi"], src["loud"],
             ref["ref_x"], ref["ref_lengths"], ref["ref_logmel"],
             ref["ref_midi"], ref["ref_loud"], rng=key,
-            n_timesteps=5, solver="ab2", method="inference",
+            n_timesteps=7, solver="ab2", method="inference",
         )
 
     vocode = jax.jit(lambda vp, mel: vocoder.apply(vp, mel))
@@ -385,7 +388,7 @@ def main():
     )()
 
     rtf, rtf_fast = bench_conversion(model, vocoder, params, voc_params)
-    details["conversion_rtf_ab2_5step"] = round(rtf_fast, 5)
+    details["conversion_rtf_ab2_7step"] = round(rtf_fast, 5)
 
     try:
         sps, mfu, flops = bench_train(Serenade(dtype=jnp.bfloat16))

@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """Example client for the serenade-serve conversion server.
 
-Reads a preprocessed source utterance (the h5 dumps stage 1 writes),
-requests a conversion by registered style name, and writes the result;
-optionally streams long sources chunk by chunk.
+Reads a preprocessed source utterance (the h5 dumps stage 1 writes) OR a
+raw wav, requests a conversion by registered style name, and writes the
+result; optionally streams long sources chunk by chunk.
 
     python local/serve_client_example.py \
         --src dump/dev/utt.h5 --style Breathy --out converted.npz \
         [--host 127.0.0.1 --port 8571 --stream]
+    python local/serve_client_example.py \
+        --src source.wav --style Breathy --out converted.wav
+        # raw-audio path: ~48x less upload; the server extracts features
+        # on device (it must run with --contentvec-ckpt)
 
 The server must be running with the styles registered, e.g.
     serenade-serve --expdir exp/serenade --stats dump/stats.joblib \
@@ -45,9 +49,28 @@ def main():
                    help="use /convert_stream (prints chunks as they land)")
     args = p.parse_args()
 
+    conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
+    if args.src.endswith(".wav"):
+        with open(args.src, "rb") as f:
+            conn.request("POST", f"/convert_wav?style={args.style}",
+                         body=f.read())
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        body = resp.read()
+        if resp.getheader("Content-Type") == "audio/wav":
+            with open(args.out, "wb") as f:
+                f.write(body)
+            print(f"wrote {args.out} ({len(body)} bytes of audio)")
+        else:
+            import io
+
+            with np.load(io.BytesIO(body)) as z:
+                np.savez(args.out, mel=z["mel"])
+            print(f"wrote {args.out} (mel only; server has no vocoder)")
+        return
+
     src = load_src(args.src, args.score_type)
     body = encode_request(src, args.style)
-    conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
 
     if args.stream:
         conn.request("POST", "/convert_stream", body=body)

@@ -130,10 +130,14 @@ def main():
         b.register_reference("S", ref)  # style registered once, on device
 
         def submit(r):
-            b.convert_wav(synth_wav_request(r, args.src_frames), 24000, "S")
+            # generous timeout: first-compile of the batched extraction
+            # programs through a cold tunnel terminal can take >5 min
+            b.convert_wav(synth_wav_request(r, args.src_frames), 24000, "S",
+                          timeout=3600.0)
     else:
         def submit(r):
-            b.convert(*synth_request(r, args.src_frames, args.ref_frames))
+            b.convert(*synth_request(r, args.src_frames, args.ref_frames),
+                      timeout=3600.0)
 
     # warmup: compile the bucket's batched programs (batch 1 and full)
     submit(rng)

@@ -290,12 +290,19 @@ class Converter:
     def convert_features_batch(
         self, src_list, ref_list=None, ts: Optional[int] = None,
         tr: Optional[int] = None, packed_ref=None,
+        pad_batch_pow2: bool = False,
     ):
         """Batched conversion: one jitted dispatch for N (src, ref) pairs
         padded to shared (ts, tr) buckets (serving.BatchingConverter's
         dispatch path; same packed-sequence batching as the decode CLI).
         Pass either per-request ``ref_list`` or one ``packed_ref`` from
         :meth:`pack_reference` shared by the whole batch.
+
+        ``pad_batch_pow2`` pads the batch axis to the next power of two
+        (serving: bounds the compiled-program count to log2(max_batch)
+        per bucket pair — without it every distinct group size compiles
+        its own program, which on slow-compile links stalls live traffic
+        for minutes).
 
         Returns a list of per-request mels trimmed to true lengths.
         """
@@ -320,7 +327,11 @@ class Converter:
 
         b = len(src_list)
         n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
-        pad_b = (-b) % n_dev  # dp mesh: every device needs a sub-batch
+        target = b
+        if pad_batch_pow2:
+            target = 1 << (b - 1).bit_length()
+        target += (-target) % n_dev  # dp mesh: every device needs a sub-batch
+        pad_b = target - b
         if pad_b:
             src_list = list(src_list) + [src_list[-1]] * pad_b
             if ref_list is not None:
@@ -377,6 +388,37 @@ class Converter:
             raise ValueError(f"feature extraction failed for {name}")
         f["score"] = f["est_lf0_score"]
         return f
+
+    def extract_from_wav_batch(self, wavs, srs) -> list:
+        """Batched on-device extraction for N raw waveforms: same-bucket
+        utterances share one fused mel/loudness/F0 program and ContentVec
+        dispatches batch (features.extract_features_batch — the
+        preprocessing fast path, reused by the serving dispatcher).
+        Returns a list of feature dicts (None where extraction failed)."""
+        if self._content_fn is None:
+            raise RuntimeError(
+                "raw-audio conversion requires contentvec_ckpt; use "
+                "convert_features with precomputed dumps otherwise"
+            )
+        from serenade_tpu.features import (
+            FeatureConfig, extract_features_batch,
+        )
+
+        fc = FeatureConfig.from_dict(self.config)
+        names = [f"req{i}" for i in range(len(wavs))]
+        feats = extract_features_batch(
+            [(n, np.asarray(w), sr, None)
+             for n, w, sr in zip(names, wavs, srs)],
+            fc, content_fn=self._content_fn,
+            with_f0_fluc=self.variant_new, pad_group_pow2=True,
+        )
+        out = []
+        for n in names:
+            f = feats.get(n)
+            if f is not None:
+                f["score"] = f["est_lf0_score"]
+            out.append(f)
+        return out
 
     def convert_wav(self, src_wav: np.ndarray, ref_wav: np.ndarray,
                     sr: int) -> Tuple[np.ndarray, Optional[np.ndarray],

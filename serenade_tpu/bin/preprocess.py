@@ -109,8 +109,12 @@ def make_content_fn(ckpt_path, batch_size: int = 8):
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     model = ContentVecEncoder()
-    params = convert_hf_hubert(sd)
-    infer = jax.jit(lambda w: model.apply(params, w))
+    # params must be jit ARGUMENTS, not closure captures: captured trees
+    # bake ~380 MB of weight constants into the HLO, which bloats the
+    # executable and overflows the remote-compile request body on
+    # tunneled backends (HTTP 413)
+    params = jax.device_put(convert_hf_hubert(sd))
+    infer = jax.jit(lambda p, w: model.apply(p, w))
 
     def _bucket(audio16k):
         # bucket to 2 s multiples: one compile per bucket, not per length
@@ -123,7 +127,7 @@ def make_content_fn(ckpt_path, batch_size: int = 8):
 
     def content_fn(audio16k):
         wav, n_frames = _bucket(audio16k)
-        out = infer(jnp.asarray(wav)[None])
+        out = infer(params, jnp.asarray(wav)[None])
         return np.asarray(out[0])[:n_frames]
 
     def batch(audios16k):
@@ -137,8 +141,12 @@ def make_content_fn(ckpt_path, batch_size: int = 8):
         for idxs in groups.values():
             for lo in range(0, len(idxs), batch_size):
                 chunk = idxs[lo:lo + batch_size]
-                out = infer(jnp.stack(
-                    [jnp.asarray(prepped[i][0]) for i in chunk]))
+                # pow2 padding bounds the compiled-program count per
+                # bucket (serving shares this path; sizes vary per window)
+                target = 1 << (len(chunk) - 1).bit_length()
+                run = chunk + [chunk[-1]] * (target - len(chunk))
+                out = infer(params, jnp.stack(
+                    [jnp.asarray(prepped[i][0]) for i in run]))
                 out = np.asarray(out)
                 for j, i in enumerate(chunk):
                     results[i] = out[j][:prepped[i][1]]

@@ -6,6 +6,11 @@ request-batched conversions over HTTP.  See serenade_tpu/serving.py for
 the batching dispatcher and the wire format (npz bodies; client helpers
 ``serving.encode_request`` / ``serving.decode_response``).
 
+Endpoints: POST ``/convert_features`` (npz feature upload),
+``/convert_wav`` (raw RIFF + ``?style=`` or npz audio — ~48x less wire
+traffic; needs ``--contentvec-ckpt``), ``/convert_stream`` (chunked
+long-form), ``/register_reference``, GET ``/healthz``.
+
     serenade-serve --expdir exp/serenade --stats data/stats.joblib \
         --host 0.0.0.0 --port 8571 --max-batch 8 --max-wait-ms 10
 """

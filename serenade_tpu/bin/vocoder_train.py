@@ -43,7 +43,7 @@ def main():
     import optax
 
     from serenade_tpu.checkpoint import (
-        find_latest_checkpoint, restore_checkpoint, save_checkpoint,
+        AsyncSaver, find_latest_checkpoint, restore_checkpoint,
     )
     from serenade_tpu.config import load_config
     from serenade_tpu.datasets.feats_dataset import FeatsDataset
@@ -219,6 +219,7 @@ def main():
     except Exception:  # noqa: BLE001 — TB optional, like the SSC trainer
         logging.warning("tensorboardX unavailable; scalar logs only")
 
+    saver = AsyncSaver()
     for step in range(start_step, max_steps):
         batch_np = sampler()
         key, sub = jax.random.split(key)
@@ -234,11 +235,14 @@ def main():
                 for k, v in m.items():
                     writer.add_scalar(k, float(v), step + 1)
         if (step + 1) % save_every == 0 or step + 1 == max_steps:
-            save_checkpoint(
+            # background-committing save (same snapshot semantics as the
+            # SSC trainer): the GAN step loop never stalls on the write
+            saver.save(
                 args.outdir, step + 1,
-                {"generator": jax.device_get(state.gen_params),
-                 "discriminator": jax.device_get(state.disc_params)},
+                {"generator": state.gen_params,
+                 "discriminator": state.disc_params},
             )
+    saver.wait()
     if writer is not None:
         writer.close()
     logging.info("vocoder training finished at %d steps", max_steps)

@@ -284,6 +284,7 @@ def extract_features_batch(
     with_f0_fluc: bool = False,
     f0_backend: str = "viterbi",
     max_group: int = 8,
+    pad_group_pow2: bool = False,
 ) -> Dict[str, Optional[Dict[str, np.ndarray]]]:
     """Batched extraction over ``(utt_id, audio, fs, gt_note_seq)`` items.
 
@@ -293,6 +294,11 @@ def extract_features_batch(
     shapes), but offline extraction stops paying per-utterance dispatch
     latency.  Returns ``{utt_id: feats_or_None}`` (None = skipped, same
     contract as the per-utterance path).
+
+    ``pad_group_pow2`` pads each device group to the next power of two
+    (repeating the last utterance, results dropped) so ONLINE serving
+    compiles at most log2(max_group) signal programs per bucket instead
+    of one per distinct group size.
     """
     prepared = []
     for utt_id, audio, fs, gt_note_seq in items:
@@ -320,8 +326,12 @@ def extract_features_batch(
     for (padded_len, minf0, maxf0), idxs in groups.items():
         for lo in range(0, len(idxs), max_group):
             chunk = idxs[lo:lo + max_group]
+            run = chunk
+            if pad_group_pow2:
+                target = 1 << (len(chunk) - 1).bit_length()
+                run = chunk + [chunk[-1]] * (target - len(chunk))
             sigs = extract_signal_features_group(
-                [prepared[i][2] for i in chunk], config, minf0, maxf0,
+                [prepared[i][2] for i in run], config, minf0, maxf0,
                 f0_backend,
             )
             for i, sig in zip(chunk, sigs):

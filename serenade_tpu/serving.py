@@ -43,9 +43,13 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class _Request:
-    src: Dict[str, np.ndarray]
+    src: Optional[Dict[str, np.ndarray]]
     # either a feature dict (ad-hoc reference) or a registered style name
     ref: object
+    # raw-audio requests: (wav, sr) materialized to src/ref features by
+    # the dispatcher in BATCHED device programs
+    raw_src: Optional[tuple] = None
+    raw_ref: Optional[tuple] = None
     done: threading.Event = field(default_factory=threading.Event)
     mel: Optional[np.ndarray] = None
     wav: Optional[np.ndarray] = None
@@ -139,17 +143,27 @@ class BatchingConverter:
         return req.mel, req.wav, req.sr
 
     def convert_wav(self, src_wav, sr: int, ref, timeout: float = 300.0):
-        """Raw-audio submit: on-device feature extraction (mel/loudness/F0
-        + ContentVec) happens in the CALLING thread, then the request
-        batches through the normal queue.  ``ref`` is a registered style
-        name or a (ref_wav, ref_sr) tuple.  The raw-audio wire payload is
-        ~48x smaller than pre-extracted 768-d content features — on
+        """Raw-audio submit: the request enqueues with its waveform and the
+        DISPATCHER extracts features for the whole pending window in
+        batched device programs (mel/loudness/F0 vmapped per length
+        bucket + batched ContentVec — the preprocessing fast path), then
+        converts as usual.  ``ref`` is a registered style name or a
+        (ref_wav, ref_sr) tuple.  The raw-audio wire payload is ~48x
+        smaller than pre-extracted 768-d content features — on
         transfer-bound links (tunnel, WAN) this is the fast path."""
-        src_feats = self._conv.extract_from_wav(src_wav, sr, "src")
-        if not isinstance(ref, str):
+        if isinstance(ref, str):
+            self._require_style(ref)
+            req = _Request(src=None, ref=ref, raw_src=(src_wav, sr))
+        else:
             ref_wav, ref_sr = ref
-            ref = self._conv.extract_from_wav(ref_wav, ref_sr, "ref")
-        return self.convert(src_feats, ref, timeout=timeout)
+            req = _Request(src=None, ref=None, raw_src=(src_wav, sr),
+                           raw_ref=(ref_wav, ref_sr))
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("conversion timed out")
+        if req.error is not None:
+            raise req.error
+        return req.mel, req.wav, req.sr
 
     def close(self, join_timeout: float = 5.0):
         self._stop.set()
@@ -198,6 +212,7 @@ class BatchingConverter:
                     pending.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            pending = self._materialize_raw(pending)
             groups = defaultdict(list)
             for req in pending:
                 try:
@@ -221,17 +236,68 @@ class BatchingConverter:
             req.error = RuntimeError("server shutting down")
             req.done.set()
 
+    def _materialize_raw(self, pending):
+        """Batch-extract features for raw-audio requests in the window
+        (one vmapped signal program per length bucket + batched ContentVec
+        dispatches); a request whose extraction fails faults alone."""
+        raws = [r for r in pending if r.raw_src is not None]
+        if not raws:
+            return pending
+        wavs, srs, owners = [], [], []
+        for r in raws:
+            wavs.append(r.raw_src[0])
+            srs.append(r.raw_src[1])
+            owners.append((r, "src"))
+            if r.raw_ref is not None:
+                wavs.append(r.raw_ref[0])
+                srs.append(r.raw_ref[1])
+                owners.append((r, "ref"))
+        try:
+            feats = self._conv.extract_from_wav_batch(wavs, srs)
+        except Exception as e:  # noqa: BLE001 — fault the raw subset
+            logger.exception("raw-audio extraction failed for %d requests",
+                             len(raws))
+            with self._lock:
+                self.stats["errors"] += len(raws)
+            for r in raws:
+                r.error = e
+                r.done.set()
+            return [r for r in pending if r.raw_src is None]
+        for (r, slot), f in zip(owners, feats):
+            if r.error is not None:
+                continue
+            if f is None:
+                r.error = ValueError(f"feature extraction failed ({slot})")
+                continue
+            if slot == "src":
+                r.src = f
+            else:
+                r.ref = f
+        out = []
+        for r in pending:
+            if r.error is not None:
+                with self._lock:
+                    self.stats["errors"] += 1
+                r.done.set()
+            else:
+                out.append(r)
+        return out
+
     def _run_group(self, reqs, ts: int, tr):
         try:
             t0 = time.monotonic()
+            # pow2 batch padding: bounded program count per bucket pair
+            # (a fresh conversion program per distinct group size would
+            # stall live traffic for minutes on slow-compile links)
             if isinstance(tr, str):  # registered style: device-resident ref
                 mels = self._conv.convert_features_batch(
                     [r.src for r in reqs], ts=ts,
-                    packed_ref=self._refs[tr],
+                    packed_ref=self._refs[tr], pad_batch_pow2=True,
                 )
             else:
                 mels = self._conv.convert_features_batch(
                     [r.src for r in reqs], [r.ref for r in reqs], ts, tr,
+                    pad_batch_pow2=True,
                 )
             voc = self._conv.vocoder
             if voc is not None:

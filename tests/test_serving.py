@@ -778,3 +778,52 @@ def test_convert_wav_returns_riff_with_vocoder(tiny_experiment, tmp_path):
         server.shutdown()
         b.close()
         conv._content_fn, conv.vocoder = old_content, old_voc
+
+
+def test_raw_requests_batch_extraction(tiny_experiment, tmp_path):
+    """Concurrent raw-audio requests must share BATCHED extraction calls
+    (the dispatcher materializes the whole pending window at once) and
+    still convert correctly; a corrupt waveform faults alone."""
+    from tests.test_e2e_pipeline import fake_content_fn, synth_wav
+    from serenade_tpu.serving import BatchingConverter
+    from serenade_tpu.utils.audio import read_wav
+
+    conv, _ = tiny_experiment
+    synth_wav(str(tmp_path / "s.wav"), 220.0)
+    synth_wav(str(tmp_path / "r.wav"), 330.0)
+    src_wav, sr = read_wav(str(tmp_path / "s.wav"))
+    ref_wav, _ = read_wav(str(tmp_path / "r.wav"))
+
+    old_content = conv._content_fn
+    conv._content_fn = fake_content_fn
+    calls = []
+    orig_batch = conv.extract_from_wav_batch
+
+    def counting_batch(wavs, srs):
+        calls.append(len(wavs))
+        return orig_batch(wavs, srs)
+
+    conv.extract_from_wav_batch = counting_batch
+    b = BatchingConverter(conv, max_batch=8, max_wait_ms=300.0)
+    try:
+        b.register_reference("S", conv.extract_from_wav(ref_wav, sr, "ref"))
+        results = [None] * 4
+
+        def call(i):
+            results[i] = b.convert_wav(src_wav, sr, "S", timeout=180)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert all(r is not None for r in results)
+        for mel, _, _ in results:
+            assert np.isfinite(mel).all()
+        # the 4 concurrent raw requests extracted in ONE batched call
+        assert calls and max(calls) >= 4, calls
+    finally:
+        conv.extract_from_wav_batch = orig_batch
+        conv._content_fn = old_content
+        b.close()
