@@ -51,8 +51,10 @@ def main():
 
     conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
     if args.src.endswith(".wav"):
+        from urllib.parse import quote
+
         with open(args.src, "rb") as f:
-            conn.request("POST", f"/convert_wav?style={args.style}",
+            conn.request("POST", f"/convert_wav?style={quote(args.style)}",
                          body=f.read())
         resp = conn.getresponse()
         assert resp.status == 200, resp.read()
@@ -64,9 +66,12 @@ def main():
         else:
             import io
 
+            # np.savez appends .npz when the name lacks it — report the
+            # file that actually exists
+            out = args.out if args.out.endswith(".npz") else args.out + ".npz"
             with np.load(io.BytesIO(body)) as z:
-                np.savez(args.out, mel=z["mel"])
-            print(f"wrote {args.out} (mel only; server has no vocoder)")
+                np.savez(out, mel=z["mel"])
+            print(f"wrote {out} (mel only; server has no vocoder)")
         return
 
     src = load_src(args.src, args.score_type)

@@ -290,7 +290,7 @@ class Converter:
     def convert_features_batch(
         self, src_list, ref_list=None, ts: Optional[int] = None,
         tr: Optional[int] = None, packed_ref=None,
-        pad_batch_pow2: bool = False,
+        pad_batch_pow2: bool = False, return_device: bool = False,
     ):
         """Batched conversion: one jitted dispatch for N (src, ref) pairs
         padded to shared (ts, tr) buckets (serving.BatchingConverter's
@@ -309,18 +309,38 @@ class Converter:
         import jax
         import jax.numpy as jnp
 
-        from serenade_tpu.collaters.ssc import bucket_length, pad_to
+        from serenade_tpu.collaters.ssc import (
+            bucket_length, next_pow2, pad_to,
+        )
 
         def stack(feats_list, keys, T):
-            def pad(a):
+            def pad_np(a):
                 a = np.asarray(a, np.float32)
                 if a.ndim == 1:
                     a = a[:, None]
                 return pad_to(a, T)
 
-            out = {name: jnp.asarray(np.stack(
-                [pad(f[src_key]) for f in feats_list]))
-                for name, src_key in keys}
+            def pad_dev(a):
+                a = a.astype(jnp.float32)
+                if a.ndim == 1:
+                    a = a[:, None]
+                if a.shape[0] >= T:
+                    return a[:T]
+                return jnp.pad(a, ((0, T - a.shape[0]), (0, 0)))
+
+            out = {}
+            for name, src_key in keys:
+                vals = [f[src_key] for f in feats_list]
+                if any(isinstance(v, jax.Array) for v in vals):
+                    # device-resident features (raw-audio serving keeps
+                    # extracted hubert on device): pad/stack there so the
+                    # 768-d streams never round-trip host<->device
+                    out[name] = jnp.stack([
+                        pad_dev(v) if isinstance(v, jax.Array)
+                        else jnp.asarray(pad_np(v)) for v in vals])
+                else:
+                    out[name] = jnp.asarray(
+                        np.stack([pad_np(v) for v in vals]))
             out["lengths"] = jnp.asarray(
                 [f["hubert"].shape[0] for f in feats_list])
             return out
@@ -329,7 +349,7 @@ class Converter:
         n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
         target = b
         if pad_batch_pow2:
-            target = 1 << (b - 1).bit_length()
+            target = next_pow2(b)
         target += (-target) % n_dev  # dp mesh: every device needs a sub-batch
         pad_b = target - b
         if pad_b:
@@ -360,9 +380,13 @@ class Converter:
             src = shard_batch(src, self.mesh)
             ref = shard_batch(ref, self.mesh)
         sub = self._next_key()
-        mels = np.asarray(jax.device_get(
-            self._infer(self.params, src, ref, sub)
-        ))
+        out = self._infer(self.params, src, ref, sub)
+        if return_device:
+            # (B_padded, ts, 80) device mels + true lengths of the b real
+            # rows: the serving dispatcher chains the vocoder on device,
+            # so mels are fetched once (for clients) and never re-uploaded
+            return out, [f["hubert"].shape[0] for f in src_list[:b]]
+        mels = np.asarray(jax.device_get(out))
         return [mels[i, : f["hubert"].shape[0]]
                 for i, f in enumerate(src_list[:b])]
 

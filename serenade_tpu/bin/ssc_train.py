@@ -105,6 +105,7 @@ def main(dataset_name: str = DEFAULT_DATASET):
         args.dev_dumpdir, scaler=scaler,
         score_type=config.get("score_type", "est_lf0_score"),
         logmel_type=config.get("logmel_type", "logmel"),
+        logmel_fallback=True,  # original dev dumps carry no cyclic key
     )
     collater = collater_cls()
     batch_size = int(config.get("batch_size", 4))

@@ -25,6 +25,23 @@ def bucket_length(n: int, multiple: int = 64, min_len: int = 64) -> int:
     return max(min_len, ((n + multiple - 1) // multiple) * multiple)
 
 
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (and >= 1)."""
+    return 1 << max(n - 1, 0).bit_length()
+
+
+def pad_pow2(seq: list) -> list:
+    """Pad a non-empty sequence to the next power-of-two length by
+    repeating its last element (callers drop the padding's results).
+
+    Bounds the compiled-program count per bucket to log2(max_batch)
+    sizes: online serving sees every group size 1..max_batch, and a fresh
+    program per distinct size stalls live traffic for minutes on
+    slow-compile links."""
+    seq = list(seq)
+    return seq + [seq[-1]] * (next_pow2(len(seq)) - len(seq))
+
+
 def pad_to(x: np.ndarray, length: int) -> np.ndarray:
     pad = length - x.shape[0]
     if pad <= 0:

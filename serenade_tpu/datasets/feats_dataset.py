@@ -19,7 +19,7 @@ from typing import Dict
 import numpy as np
 
 from serenade_tpu.config import register
-from serenade_tpu.utils.h5 import find_files, read_hdf5
+from serenade_tpu.utils.h5 import find_files, hdf5_has, read_hdf5
 
 logger = logging.getLogger(__name__)
 
@@ -42,6 +42,7 @@ class FeatsDataset:
         return_utt_id: bool = False,
         query: str = "*.h5",
         allow_cache: bool = False,
+        logmel_fallback: bool = False,
     ):
         self.files = sorted(find_files(root_dir, query))
         if not self.files:
@@ -53,21 +54,33 @@ class FeatsDataset:
         self.score_type = score_type
         self.logmel_type = logmel_type
         self.return_utt_id = return_utt_id
+        self.logmel_fallback = logmel_fallback
         self._cache: Dict[int, dict] = {} if allow_cache else None
 
     def __len__(self):
         return len(self.files)
 
     def _load(self, path: str) -> dict:
-        mel = read_hdf5(path, self.logmel_type)
-        if mel is None and self.logmel_type != "logmel":
+        if (self.logmel_type != "logmel" and self.logmel_fallback
+                and not hdf5_has(path, self.logmel_type)):
             # cyclic fine-tuning (logmel_type=cyclic_logmel) evaluates on
             # the ORIGINAL dev dumps, which have no injected cyclic key —
             # their cyclic target is their own mel (identity conversion).
             # The reference recipe ships this combination too
             # (run.sh:244-267 passes dump/dev with serenade_cyclic.yaml)
-            # but its lazy loader only crashes at the first eval.
+            # but its lazy loader only crashes at the first eval.  The
+            # fallback is opt-in (dev/eval datasets only): on a TRAIN dump
+            # a missing cyclic key means stage-6 injection failed, and
+            # silently training on identity targets would hide it.
             mel = read_hdf5(path, "logmel")
+        else:
+            mel = read_hdf5(path, self.logmel_type)
+        if mel is None:
+            raise KeyError(
+                f"{path} has no {self.logmel_type!r} dataset"
+                + (" (stage-6 cyclic_logmel injection missing?)"
+                   if self.logmel_type != "logmel" else "")
+            )
         item = {
             "wave": np.asarray(read_hdf5(path, "wave")),
             "hubert": _as_2d(read_hdf5(path, "hubert")),

@@ -185,10 +185,22 @@ def extract_features(
     )
 
 
-def _prepare_audio(utt_id, audio, fs, config: FeatureConfig) -> np.ndarray:
+def validate_waveform(audio, name: str = "audio") -> np.ndarray:
+    """Host-side sanity check for an incoming waveform (serving enqueues
+    call this so a malformed request faults ALONE, before it can join a
+    batched extraction window).  Returns the mono float array."""
     audio = to_mono(np.asarray(audio))
+    if audio.size == 0:
+        raise ValueError(f"{name}: empty waveform")
+    if not np.isfinite(audio).all():
+        raise ValueError(f"{name}: non-finite samples")
     if np.abs(audio).max() > 1.0:
-        raise ValueError(f"{utt_id}: audio not normalized to [-1, 1]")
+        raise ValueError(f"{name}: audio not normalized to [-1, 1]")
+    return audio
+
+
+def _prepare_audio(utt_id, audio, fs, config: FeatureConfig) -> np.ndarray:
+    audio = validate_waveform(audio, utt_id)
     if fs != config.sampling_rate:
         audio = resample(audio, fs, config.sampling_rate)
     # length alignment pad (reference preprocess.py:430-432)
@@ -300,9 +312,15 @@ def extract_features_batch(
     compiles at most log2(max_group) signal programs per bucket instead
     of one per distinct group size.
     """
+    out: Dict[str, Optional[Dict[str, np.ndarray]]] = {}
     prepared = []
     for utt_id, audio, fs, gt_note_seq in items:
-        audio_p = _prepare_audio(utt_id, audio, fs, config)
+        try:
+            audio_p = _prepare_audio(utt_id, audio, fs, config)
+        except Exception as e:  # noqa: BLE001 — a bad item skips ALONE
+            logger.warning("skipping %s: %s", utt_id, e)
+            out[utt_id] = None
+            continue
         audio_b, n_frames = _bucketed(audio_p, config.hop_size)
         minf0, maxf0 = f0_range_for(utt_id, f0_table)
         prepared.append(
@@ -322,14 +340,14 @@ def extract_features_batch(
         ]
         huberts = dict(enumerate(content_fn.batch(audio16ks)))
 
-    out: Dict[str, Optional[Dict[str, np.ndarray]]] = {}
     for (padded_len, minf0, maxf0), idxs in groups.items():
         for lo in range(0, len(idxs), max_group):
             chunk = idxs[lo:lo + max_group]
             run = chunk
             if pad_group_pow2:
-                target = 1 << (len(chunk) - 1).bit_length()
-                run = chunk + [chunk[-1]] * (target - len(chunk))
+                from serenade_tpu.collaters.ssc import pad_pow2
+
+                run = pad_pow2(chunk)
             sigs = extract_signal_features_group(
                 [prepared[i][2] for i in run], config, minf0, maxf0,
                 f0_backend,

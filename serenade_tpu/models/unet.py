@@ -116,6 +116,9 @@ class Block1D(nn.Module):
                 block1d_supported, fused_block1d,
             )
 
+            # fused kernel contract: mask is a contiguous prefix (true for
+            # every mask this model builds — iota length masks, halved per
+            # UNet level); non-prefix masks must take the unfused path
             if block1d_supported(b, t, cin, self.dim_out, self.groups,
                                  self.dtype):
                 return fused_block1d(

@@ -31,9 +31,14 @@ Backward is two more Pallas kernels under ``jax.custom_vjp``:
 * weight-grad: ``dW[j] = tap_j^T @ dy`` — three matmuls per batch row
   accumulated in a VMEM-resident f32 block.
 
-Masks must be contiguous prefixes (the model's iota masks; lengths are
-taken as ``sum(mask)``) — arbitrary masks fall back to the unfused path
-in models/layers.py.  Shapes are gated by a VMEM-fit check
+CALLER CONTRACT: masks must be contiguous prefixes (the kernel derives
+``lengths = sum(mask)`` and masks positions [0, n) — an interior-zero
+mask would silently compute different activations AND gradients than
+the unfused path; it cannot be detected here because the mask is a
+traced array).  Every Block1D mask in this model is built from lengths
+via iota (utils/masking.py), which satisfies the contract; any new
+caller with non-prefix masks must use the unfused path in
+models/layers.py.  Shapes are gated by a VMEM-fit check
 (:func:`block1d_supported`); callers fall back when it returns False.
 """
 

@@ -363,8 +363,11 @@ def d4c(
     b0 = int(np.ceil(100.0 * fft_size / fs))
     b1 = int(np.ceil(4000.0 * fft_size / fs))
     b2 = int(np.ceil(7900.0 * fft_size / fs))
-    csum = jnp.cumsum(p_lt[:, b0:b2 + 1], axis=1)
-    ap0 = csum[:, b1 - b0] / jnp.maximum(csum[:, b2 - b0], 1e-20)
+    # WORLD's D4CLoveTrainSub zeroes bins [0, b0] and accumulates from
+    # b0+1, so the 100 Hz boundary bin itself is excluded from both the
+    # (100 Hz, 4 kHz] numerator and the (100 Hz, 7.9 kHz] denominator
+    csum = jnp.cumsum(p_lt[:, b0 + 1:b2 + 1], axis=1)
+    ap0 = csum[:, b1 - b0 - 1] / jnp.maximum(csum[:, b2 - b0 - 1], 1e-20)
     suitable = (f0 > 0) & (ap0 > threshold)
 
     # ---- 2-3. static centroid + smoothed power spectrum -----------------

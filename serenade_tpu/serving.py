@@ -96,16 +96,19 @@ class BatchingConverter:
         existing name is always allowed): each registration pins features
         device-resident, so an unbounded registry is a memory-exhaustion
         vector on a reachable port."""
-        if name not in self._refs and len(self._refs) >= self._max_references:
-            raise ValueError(
-                f"reference registry full ({self._max_references}); "
-                "re-register an existing name or raise max_references"
-            )
-        # raw first: _refs gates availability, so a concurrent lookup that
-        # passes the gate must already find the raw copy
-        self._raw_refs[name] = {k: np.asarray(v)
-                                for k, v in ref_feats.items()}
-        self._refs[name] = self._conv.pack_reference(ref_feats)
+        packed = self._conv.pack_reference(ref_feats)
+        raw = {k: np.asarray(v) for k, v in ref_feats.items()}
+        with self._lock:  # check+insert atomic: handler threads race here
+            if (name not in self._refs
+                    and len(self._refs) >= self._max_references):
+                raise ValueError(
+                    f"reference registry full ({self._max_references}); "
+                    "re-register an existing name or raise max_references"
+                )
+            # raw first: _refs gates availability, so a concurrent lookup
+            # that passes the gate must already find the raw copy
+            self._raw_refs[name] = raw
+            self._refs[name] = packed
 
     def reference_names(self):
         return sorted(self._refs)
@@ -151,11 +154,18 @@ class BatchingConverter:
         (ref_wav, ref_sr) tuple.  The raw-audio wire payload is ~48x
         smaller than pre-extracted 768-d content features — on
         transfer-bound links (tunnel, WAN) this is the fast path."""
+        from serenade_tpu.features import validate_waveform
+
+        # validate HERE so a malformed request faults alone at submit time
+        # (extraction is batched across the whole pending window — one bad
+        # waveform must not collateral-fault other clients' requests)
+        src_wav = validate_waveform(src_wav, "src_wav")
         if isinstance(ref, str):
             self._require_style(ref)
             req = _Request(src=None, ref=ref, raw_src=(src_wav, sr))
         else:
             ref_wav, ref_sr = ref
+            ref_wav = validate_waveform(ref_wav, "ref_wav")
             req = _Request(src=None, ref=None, raw_src=(src_wav, sr),
                            raw_ref=(ref_wav, ref_sr))
         self._queue.put(req)
@@ -285,48 +295,70 @@ class BatchingConverter:
 
     def _run_group(self, reqs, ts: int, tr):
         try:
+            import jax
+
             t0 = time.monotonic()
             # pow2 batch padding: bounded program count per bucket pair
             # (a fresh conversion program per distinct group size would
             # stall live traffic for minutes on slow-compile links)
+            common = dict(ts=ts, pad_batch_pow2=True, return_device=True)
             if isinstance(tr, str):  # registered style: device-resident ref
-                mels = self._conv.convert_features_batch(
-                    [r.src for r in reqs], ts=ts,
-                    packed_ref=self._refs[tr], pad_batch_pow2=True,
+                mels_dev, lens = self._conv.convert_features_batch(
+                    [r.src for r in reqs], packed_ref=self._refs[tr],
+                    **common,
                 )
             else:
-                mels = self._conv.convert_features_batch(
-                    [r.src for r in reqs], [r.ref for r in reqs], ts, tr,
-                    pad_batch_pow2=True,
+                mels_dev, lens = self._conv.convert_features_batch(
+                    [r.src for r in reqs], [r.ref for r in reqs], tr=tr,
+                    **common,
                 )
+            b = len(reqs)
             voc = self._conv.vocoder
-            if voc is not None:
-                # one batched vocoder dispatch for the whole group (pad to
-                # the longest; trim each waveform to its true length)
-                tmax = max(m.shape[0] for m in mels)
-                # edge-pad (not zero-pad): the conv receptive field bleeds
-                # pad content into each utterance's trimmed tail, and in
-                # normalized mel space zeros mean average energy, which is
-                # audible — repeated last frames are not
-                stacked = np.stack([
-                    np.pad(m, ((0, tmax - m.shape[0]), (0, 0)), mode="edge")
-                    for m in mels
-                ])
-                wavs = voc.decode_batch(stacked)  # (B, tmax*hop)
-                hop = wavs.shape[1] // tmax
-                for r, mel, wav in zip(reqs, mels, wavs):
-                    r.wav = wav[: mel.shape[0] * hop]
+            if (voc is not None and hasattr(voc, "decode_batch_device")
+                    and self._conv.mesh is None):
+                # device chain: edge-pad + generator + int16 quantize in
+                # one jitted program — the mel is fetched once (for the
+                # client) and never re-uploaded, and the waveform comes
+                # back as int16 (the PCM16 the RIFF writer emits anyway),
+                # halving the fetch on slow links
+                bp = mels_dev.shape[0]
+                y16 = voc.decode_batch_device(
+                    mels_dev, lens + [lens[-1]] * (bp - b))
+                mels_host = np.asarray(jax.device_get(mels_dev[:b]))
+                wavs = np.asarray(jax.device_get(y16[:b]))
+                hop = wavs.shape[1] // mels_dev.shape[1]
+                for i, r in enumerate(reqs):
+                    r.mel = mels_host[i, : lens[i]]
+                    r.wav = (wavs[i, : lens[i] * hop].astype(np.float32)
+                             / 32767.0)
                     r.sr = voc.sampling_rate
+            else:
+                mels_host = np.asarray(jax.device_get(mels_dev[:b]))
+                mels = [mels_host[i, : lens[i]] for i in range(b)]
+                if voc is not None:
+                    # host path (custom vocoders without the device tail,
+                    # or dp-mesh conversions): one batched dispatch,
+                    # edge-padded to the longest row
+                    tmax = max(m.shape[0] for m in mels)
+                    stacked = np.stack([
+                        np.pad(m, ((0, tmax - m.shape[0]), (0, 0)),
+                               mode="edge")
+                        for m in mels
+                    ])
+                    wavs = voc.decode_batch(stacked)  # (B, tmax*hop)
+                    hop = wavs.shape[1] // tmax
+                    for r, mel, wav in zip(reqs, mels, wavs):
+                        r.wav = wav[: mel.shape[0] * hop]
+                        r.sr = voc.sampling_rate
+                for r, mel in zip(reqs, mels):
+                    r.mel = mel
             compute = time.monotonic() - t0
-            for r, mel in zip(reqs, mels):
-                r.mel = mel
             frame_sec = float(self._conv.config.get("shiftms", 10)) / 1000.0
             with self._lock:
                 self.stats["requests"] += len(reqs)
                 self.stats["batches"] += 1
                 self.stats["compute_sec"] += compute
-                self.stats["audio_sec"] += sum(
-                    m.shape[0] for m in mels) * frame_sec
+                self.stats["audio_sec"] += sum(lens[:b]) * frame_sec
         except Exception as e:  # noqa: BLE001 — fault the batch, not the server
             logger.exception("batch of %d failed", len(reqs))
             with self._lock:
@@ -517,6 +549,11 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
 
         def _fault(self, e: Exception):
             code = 413 if isinstance(e, _PayloadTooLarge) else 400
+            if code == 413:
+                # the oversized body was never read off the socket; under
+                # HTTP/1.1 keep-alive the next request parse would start
+                # mid-body and desync every pipelined request after it
+                self.close_connection = True
             return self._send(code, json.dumps({"error": str(e)}).encode(),
                               "application/json")
 

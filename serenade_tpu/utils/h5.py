@@ -45,6 +45,14 @@ def read_hdf5(path: str, dataset: str):
         return f[dataset][()]
 
 
+def hdf5_has(path: str, dataset: str) -> bool:
+    """True iff ``path`` exists and contains ``dataset`` (no error logging)."""
+    if not os.path.exists(path):
+        return False
+    with h5py.File(path, "r") as f:
+        return dataset in f
+
+
 def write_hdf5(path: str, dataset: str, data, is_overwrite: bool = True) -> None:
     """Write one dataset into an hdf5 file, creating parent dirs as needed.
 

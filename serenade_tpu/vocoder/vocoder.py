@@ -122,3 +122,36 @@ class Vocoder:
         c = self._normalize(c)
         y = self._infer(self.params, c)
         return np.asarray(jax.device_get(y))[..., 0]
+
+    def decode_batch_device(self, c, lengths):
+        """Device-resident batch decode for the serving dispatcher.
+
+        ``c`` is the conversion output still on device ((B, T, mels),
+        normalized mel space); ``lengths`` are true frame counts per row.
+        One jitted program edge-pads each row past its length (repeating
+        the last real frame — zero-padding in normalized mel space means
+        average energy, which is audible through the conv receptive
+        field), denormalizes, runs the generator, and quantizes to int16
+        (exactly the PCM16 the RIFF writer emits) — so the waveform
+        fetch is half the bytes and the mel is never re-uploaded.
+        Returns an int16 (B, T * hop) DEVICE array."""
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_infer_tail"):
+            def tail(params, c, lengths):
+                T = c.shape[1]
+                idx = jnp.minimum(jnp.arange(T)[None, :],
+                                  (lengths - 1)[:, None])
+                c = jnp.take_along_axis(c, idx[:, :, None], axis=1)
+                if self.take_norm_feat:
+                    c = (c * self.trg_stats["scale"]
+                         + self.trg_stats["mean"])
+                c = (c - self.stats["mean"]) / self.stats["scale"]
+                y = self.model.apply(params, c)[..., 0]
+                return jnp.round(
+                    jnp.clip(y, -1.0, 1.0) * 32767.0
+                ).astype(jnp.int16)
+
+            self._infer_tail = jax.jit(tail)
+        return self._infer_tail(self.params, c,
+                                jnp.asarray(lengths, jnp.int32))

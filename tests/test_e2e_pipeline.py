@@ -225,3 +225,29 @@ def test_batched_extraction_matches_per_utt():
                 batched[utt][key], solo[utt][key],
                 err_msg=f"{utt}/{key} differs between batched and solo",
             )
+
+
+def test_batched_extraction_skips_bad_item_alone():
+    """A malformed waveform (unnormalized / NaN / empty) must skip ALONE
+    (None, the per-utterance contract) — not fault the whole batch the
+    serving dispatcher materializes for a window of concurrent clients."""
+    from serenade_tpu.features import extract_features_batch
+
+    fc = FeatureConfig(num_mels=16)
+    sr = fc.sampling_rate
+    t = np.arange(int(0.5 * sr)) / sr
+    good = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    nan = good.copy()
+    nan[10] = np.nan
+    items = [
+        ("good", good, sr, None),
+        ("unnorm", (8.0 * good).astype(np.float32), sr, None),
+        ("nan", nan, sr, None),
+        ("empty", np.zeros(0, np.float32), sr, None),
+    ]
+    out = extract_features_batch(items, fc, content_fn=fake_content_fn)
+    assert out["unnorm"] is None
+    assert out["nan"] is None
+    assert out["empty"] is None
+    assert out["good"] is not None
+    assert np.isfinite(out["good"]["logmel"]).all()

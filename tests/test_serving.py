@@ -827,3 +827,60 @@ def test_raw_requests_batch_extraction(tiny_experiment, tmp_path):
         conv.extract_from_wav_batch = orig_batch
         conv._content_fn = old_content
         b.close()
+
+
+def test_bad_raw_waveform_faults_alone(tiny_experiment, tmp_path):
+    """Malformed raw-audio submits fault at enqueue with a precise message
+    (eager validation) and never join a batched extraction window, so
+    concurrent valid requests are untouched."""
+    import pytest
+
+    from tests.test_e2e_pipeline import fake_content_fn, synth_wav
+    from serenade_tpu.serving import BatchingConverter
+    from serenade_tpu.utils.audio import read_wav
+
+    conv, _ = tiny_experiment
+    synth_wav(str(tmp_path / "s.wav"), 220.0)
+    synth_wav(str(tmp_path / "r.wav"), 330.0)
+    src_wav, sr = read_wav(str(tmp_path / "s.wav"))
+    ref_wav, _ = read_wav(str(tmp_path / "r.wav"))
+
+    old_content = conv._content_fn
+    conv._content_fn = fake_content_fn
+    b = BatchingConverter(conv, max_batch=4, max_wait_ms=200.0)
+    try:
+        b.register_reference("S", conv.extract_from_wav(ref_wav, sr, "ref"))
+        with pytest.raises(ValueError, match="not normalized"):
+            b.convert_wav((3.0 * src_wav).astype(np.float32), sr, "S")
+        nan = src_wav.copy()
+        nan[5] = np.nan
+        with pytest.raises(ValueError, match="non-finite"):
+            b.convert_wav(nan, sr, "S")
+        with pytest.raises(ValueError, match="empty"):
+            b.convert_wav(np.zeros(0, np.float32), sr, "S")
+
+        # bad submits racing good ones: the good requests all convert
+        results, errors = [None, None], [None]
+
+        def good(i):
+            results[i] = b.convert_wav(src_wav, sr, "S", timeout=180)
+
+        def bad():
+            try:
+                b.convert_wav(nan, sr, "S", timeout=180)
+            except ValueError as e:
+                errors[0] = e
+
+        threads = [threading.Thread(target=good, args=(0,)),
+                   threading.Thread(target=bad),
+                   threading.Thread(target=good, args=(1,))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert isinstance(errors[0], ValueError)
+        for mel, _, _ in results:
+            assert mel is not None and np.isfinite(mel).all()
+    finally:
+        conv._content_fn = old_content
+        b.close()

@@ -91,3 +91,39 @@ def test_collater_new_includes_fluc():
     c = SSCCollaterNew()
     out = c([_fake_item(70, fluc=True)])
     assert "f0_flucs" in out and out["f0_flucs"].shape == (1, 128, 1)
+
+
+def test_feats_dataset_cyclic_fallback_is_gated(tmp_path):
+    """A train dump missing cyclic_logmel must FAIL loudly (silent
+    identity-target training would hide a broken stage-6 injection); the
+    logmel fallback is opt-in for dev/eval datasets, whose original dumps
+    legitimately carry no cyclic key."""
+    import pytest
+
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    t = 32
+    path = str(tmp_path / "utt.h5")
+    for key, arr in {
+        "wave": np.zeros(t * 240, np.float32),
+        "hubert": np.zeros((t, 8), np.float32),
+        "logmel": np.ones((t, 4), np.float32),
+        "est_lf0_score": np.zeros((t, 1), np.float32),
+        "midi": np.zeros((t, 1), np.float32),
+        "loud": np.zeros((t, 1), np.float32),
+        "f0": np.zeros((t, 1), np.float32),
+    }.items():
+        write_hdf5(path, key, arr)
+
+    strict = FeatsDataset(str(tmp_path), logmel_type="cyclic_logmel")
+    with pytest.raises(KeyError, match="cyclic_logmel"):
+        strict[0]
+
+    dev = FeatsDataset(str(tmp_path), logmel_type="cyclic_logmel",
+                       logmel_fallback=True)
+    np.testing.assert_array_equal(dev[0]["logmel"], np.ones((t, 4)))
+
+    write_hdf5(path, "cyclic_logmel", 2.0 * np.ones((t, 4), np.float32))
+    np.testing.assert_array_equal(strict[0]["logmel"], 2.0 * np.ones((t, 4)))
+    np.testing.assert_array_equal(dev[0]["logmel"], 2.0 * np.ones((t, 4)))
