@@ -435,6 +435,8 @@ class Converter:
              for n, w, sr in zip(names, wavs, srs)],
             fc, content_fn=self._content_fn,
             with_f0_fluc=self.variant_new, pad_group_pow2=True,
+            wire_dtype="int16",  # PCM16 uploads: half the wire, and the
+            # 24->16 kHz resample runs inside the HuBERT program
         )
         out = []
         for n in names:

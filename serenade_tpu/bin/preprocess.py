@@ -158,7 +158,61 @@ def make_content_fn(ckpt_path, batch_size: int = 8):
                     results[i] = out[j][:prepped[i][1]]
         return results
 
+    # --- 24 kHz wire path: resample to 16 kHz ON DEVICE --------------------
+    # The host-resampled 16 kHz copy is a second waveform upload per
+    # request; fusing scipy-parity polyphase resampling (ops/resample.py,
+    # <=6e-7 vs resample_poly) into the HuBERT program removes it.
+    from serenade_tpu.ops.resample import resample_device
+
+    def _infer24(p, w24, n16):
+        # zero past each row's true 16 kHz length: the host path pads the
+        # resampled signal with exact zeros, while resampling the padded
+        # 24 kHz signal leaves FIR ring-out in the tail — and the
+        # transformer attends globally, so the tails must match
+        y16 = resample_device(w24, 2, 3)
+        mask = jnp.arange(y16.shape[-1])[None, :] < n16[:, None]
+        return model.apply(p, jnp.where(mask, y16, 0.0))
+
+    infer24 = jax.jit(_infer24)
+
+    def _bucket24(audio24k, wire_dtype):
+        # 48000-sample (2 s) buckets at 24 kHz map exactly onto the 16 kHz
+        # path's 32000-sample buckets after the 2/3 resample
+        n = len(audio24k)
+        bucket = 48000
+        padded = ((n + bucket - 1) // bucket) * bucket
+        wav = np.pad(np.asarray(audio24k, np.float32), (0, padded - n))
+        if wire_dtype == "int16":
+            # /32768 convention: PCM16-sourced audio (read_wav) is lossless
+            wav = np.clip(np.round(wav * 32768.0),
+                          -32768, 32767).astype(np.int16)
+        n16 = (n * 2 + 2) // 3  # ceil, = len(resample_poly(x, 2, 3))
+        n_frames = (n16 - 400) // 160 + 1
+        return wav, max(n_frames, 1), n16
+
+    def batch24(audios24k, wire_dtype: str = "float32"):
+        """`batch` from 24 kHz waveforms: dequantize (int16 wire),
+        resample, and run HuBERT in ONE device program per group —
+        numerics match host-resample + `batch` to f32 rounding."""
+        prepped = [_bucket24(a, wire_dtype) for a in audios24k]
+        groups = {}
+        for i, (wav, _, _) in enumerate(prepped):
+            groups.setdefault(wav.shape[0], []).append(i)
+        results = [None] * len(audios24k)
+        for idxs in groups.values():
+            for lo in range(0, len(idxs), batch_size):
+                run = pad_pow2(idxs[lo:lo + batch_size])
+                out = infer24(
+                    params,
+                    jnp.stack([jnp.asarray(prepped[i][0]) for i in run]),
+                    jnp.asarray([prepped[i][2] for i in run]),
+                )
+                for j, i in enumerate(idxs[lo:lo + batch_size]):
+                    results[i] = out[j][:prepped[i][1]]
+        return results
+
     content_fn.batch = batch
+    content_fn.batch24 = batch24
     return content_fn
 
 

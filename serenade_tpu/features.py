@@ -123,10 +123,18 @@ def extract_signal_features_group(
     minf0: float,
     maxf0: float,
     f0_backend: str = "viterbi",
+    wire_dtype: str = "float32",
 ) -> List[Dict[str, np.ndarray]]:
     """Batched mel/loudness/F0 for same-length bucketed waveforms sharing
     an F0 search range (same singer).  Full padded-length outputs; callers
-    slice to each utterance's frame count."""
+    slice to each utterance's frame count.
+
+    ``wire_dtype="int16"`` quantizes the waveform upload to PCM16 and
+    dequantizes on device — half the host→device bytes; lossless for
+    PCM16 sources (read_wav's k/32768 values hit the grid exactly),
+    ≤1.6e-5 amplitude noise otherwise (online serving opts in; the
+    offline preprocess CLI keeps f32).
+    """
     import jax.numpy as jnp
 
     fn = _signal_program(
@@ -135,7 +143,15 @@ def extract_signal_features_group(
         config.eps, config.log_base, config.shiftms, minf0, maxf0,
         f0_backend,
     )
-    batch = jnp.stack([jnp.asarray(a) for a in audios_b])
+    if wire_dtype == "int16":
+        # /32768 convention matches utils.audio.read_wav's PCM16 decode, so
+        # audio that originated as PCM16 round-trips the wire losslessly
+        batch = jnp.stack([jnp.asarray(
+            np.clip(np.round(a * 32768.0), -32768, 32767).astype(np.int16))
+            for a in audios_b])
+        batch = batch.astype(jnp.float32) / 32768.0
+    else:
+        batch = jnp.stack([jnp.asarray(a) for a in audios_b])
     if f0_backend in ("native", "harvest_native"):
         from serenade_tpu.native import harvest_f0_native, yin_f0_native
 
@@ -297,6 +313,7 @@ def extract_features_batch(
     f0_backend: str = "viterbi",
     max_group: int = 8,
     pad_group_pow2: bool = False,
+    wire_dtype: str = "float32",
 ) -> Dict[str, Optional[Dict[str, np.ndarray]]]:
     """Batched extraction over ``(utt_id, audio, fs, gt_note_seq)`` items.
 
@@ -311,6 +328,12 @@ def extract_features_batch(
     (repeating the last utterance, results dropped) so ONLINE serving
     compiles at most log2(max_group) signal programs per bucket instead
     of one per distinct group size.
+
+    ``wire_dtype="int16"`` (online serving) halves waveform uploads by
+    quantizing them to PCM16 (dequantized on device) and, when the
+    content fn supports it, runs the 24→16 kHz resample ON DEVICE inside
+    the HuBERT program — eliminating the second per-request waveform
+    upload entirely.  Offline preprocessing keeps the f32 default.
     """
     out: Dict[str, Optional[Dict[str, np.ndarray]]] = {}
     prepared = []
@@ -334,7 +357,12 @@ def extract_features_batch(
 
     # batched content features (one HuBERT dispatch per 16 kHz bucket group)
     huberts: Dict[int, np.ndarray] = {}
-    if content_fn is not None and hasattr(content_fn, "batch"):
+    if (content_fn is not None and hasattr(content_fn, "batch24")
+            and wire_dtype == "int16" and config.sampling_rate == 24000):
+        # device-side resample: one 24 kHz int16 upload feeds HuBERT
+        huberts = dict(enumerate(content_fn.batch24(
+            [rec[1] for rec in prepared], wire_dtype=wire_dtype)))
+    elif content_fn is not None and hasattr(content_fn, "batch"):
         audio16ks = [
             resample(rec[1], config.sampling_rate, 16000) for rec in prepared
         ]
@@ -350,7 +378,7 @@ def extract_features_batch(
                 run = pad_pow2(chunk)
             sigs = extract_signal_features_group(
                 [prepared[i][2] for i in run], config, minf0, maxf0,
-                f0_backend,
+                f0_backend, wire_dtype=wire_dtype,
             )
             for i, sig in zip(chunk, sigs):
                 utt_id, audio_p, _, n_frames, _, mx, gt_note_seq = prepared[i]

@@ -227,6 +227,49 @@ def test_batched_extraction_matches_per_utt():
             )
 
 
+def test_int16_wire_routes_batch24_and_matches_f32():
+    """wire_dtype="int16" (the serving opt-in) must (a) hand the RAW
+    24 kHz audio to content_fn.batch24 — no host resample — and (b)
+    reproduce the f32 path's signal features exactly when the audio sits
+    on the PCM16 grid (read_wav's k/32768 values), the serving wire's
+    lossless case."""
+    from serenade_tpu.features import extract_features_batch
+
+    fc = FeatureConfig(num_mels=16)
+    sr = fc.sampling_rate
+    assert sr == 24000  # batch24 routing is keyed on the 24 kHz config
+    t = np.arange(int(0.7 * sr)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    # snap to the PCM16 grid, as any wav-file-sourced request would be
+    wav = (np.clip(np.round(wav * 32768.0), -32768, 32767)
+           .astype(np.float32) / 32768.0)
+    items = [("utt0", wav, sr, None)]
+
+    seen = {}
+
+    def batch24(audios24k, wire_dtype="float32"):
+        seen["n"] = [len(a) for a in audios24k]
+        seen["wire"] = wire_dtype
+        return [fake_content_fn(a[: len(a) * 2 // 3]) for a in audios24k]
+
+    fake_content_fn.batch24 = batch24
+    try:
+        got = extract_features_batch(items, fc, content_fn=fake_content_fn,
+                                     wire_dtype="int16")
+    finally:
+        del fake_content_fn.batch24
+    # batch24 gets the reflect-padded 24 kHz audio (same signal the host
+    # path would resample), untouched by any host-side resample
+    assert seen["n"] == [len(wav) + fc.fft_size]
+    assert seen["wire"] == "int16"
+
+    ref = extract_features_batch(items, fc, content_fn=fake_content_fn)
+    for key in ("logmel", "loud", "f0"):
+        np.testing.assert_array_equal(
+            got["utt0"][key], ref["utt0"][key],
+            err_msg=f"{key}: int16 wire is not lossless on the PCM16 grid")
+
+
 def test_batched_extraction_skips_bad_item_alone():
     """A malformed waveform (unnormalized / NaN / empty) must skip ALONE
     (None, the per-utterance contract) — not fault the whole batch the

@@ -78,3 +78,64 @@ def test_pack_unpack_pair_time():
 def test_cli_type_coercion():
     assert str2bool("true") and not str2bool("0")
     assert int_or_none("none") is None and int_or_none("7") == 7
+
+
+def test_resample_device_matches_scipy():
+    """ops/resample.py: the one-conv upfirdn == scipy.signal.resample_poly
+    to f32 rounding, for the serving ratios and awkward lengths."""
+    from scipy.signal import resample_poly
+
+    from serenade_tpu.ops.resample import resample_device
+
+    rng = np.random.default_rng(0)
+    for up, down in [(2, 3), (3, 2), (1, 3), (160, 147)]:
+        for n in (1000, 48000, 48001, 48000 * 2 + 7):
+            x = rng.normal(size=(2, n)).astype(np.float32) * 0.3
+            want = np.stack([resample_poly(row, up, down) for row in x])
+            got = np.asarray(resample_device(jnp.asarray(x), up, down))
+            assert got.shape == want.shape, (up, down, n)
+            np.testing.assert_allclose(got, want, atol=2e-6, rtol=0)
+
+
+def test_resample_device_int16_wire_lossless_for_pcm16():
+    """int16 wire + /32768 dequant: PCM16-sourced audio (read_wav decode)
+    resamples identically to its f32 representation."""
+    from serenade_tpu.ops.resample import resample_device
+
+    rng = np.random.default_rng(1)
+    pcm = rng.integers(-32768, 32768, size=(1, 48000), dtype=np.int16)
+    as_f32 = pcm.astype(np.float32) / 32768.0  # read_wav convention
+    # the serving quantizer must reproduce the original ints exactly
+    requant = np.clip(np.round(as_f32 * 32768.0), -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(requant, pcm)
+    a = np.asarray(resample_device(jnp.asarray(pcm), 2, 3))
+    b = np.asarray(resample_device(jnp.asarray(as_f32), 2, 3))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bucket24_commutes_with_host_bucketing():
+    """The 24 kHz device path's effective 16 kHz input — resample of the
+    48000-padded signal, zeroed past each row's true 16 kHz length as
+    make_content_fn._infer24 does — equals the host path's 32000-padded
+    resample exactly (to f32 rounding): the appended zeros match the
+    FIR's implicit zero extension on [0, n16), and the mask removes the
+    ring-out beyond it, so batch24 and host-resample+batch feed HuBERT
+    identical inputs."""
+    from scipy.signal import resample_poly
+
+    from serenade_tpu.ops.resample import resample_device
+
+    rng = np.random.default_rng(2)
+    for n24 in (48000, 48000 + 1, 2 * 48000 - 301):
+        x = rng.normal(size=n24).astype(np.float32) * 0.3
+        pad24 = ((n24 + 47999) // 48000) * 48000
+        dev16 = np.array(resample_device(
+            jnp.asarray(np.pad(x, (0, pad24 - n24))[None]), 2, 3))[0]
+        host = resample_poly(x, 2, 3).astype(np.float32)
+        n16 = len(host)
+        assert n16 == (n24 * 2 + 2) // 3  # _bucket24's frame-count basis
+        dev16[n16:] = 0.0  # _infer24's tail mask
+        pad16 = ((n16 + 31999) // 32000) * 32000
+        host_b = np.pad(host, (0, pad16 - n16))
+        assert dev16.shape == host_b.shape
+        np.testing.assert_allclose(dev16, host_b, atol=2e-6, rtol=0)
