@@ -11,6 +11,7 @@ checkpoints, per-host sharded input pipeline.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import os
 
@@ -37,6 +38,9 @@ def build_argparser():
                    help="tensor-parallel axis size of the device mesh")
     p.add_argument("--data-axis", type=int, default=-1,
                    help="data-parallel axis size (-1 = all remaining devices)")
+    p.add_argument("--zero1", action="store_true", default=None,
+                   help="shard optimizer state over the data axis (ZeRO-1; "
+                        "config key 'zero1' sets the default)")
     p.add_argument("--verbose", type=int, default=1)
     return p
 
@@ -164,10 +168,24 @@ def main(dataset_name: str = DEFAULT_DATASET):
     tx, _ = build_optimizer(config, trainable_mask=trainable)
     params = shard_params(params, mesh)
     state = create_train_state(params, tx)
+    zero1 = (args.zero1 if args.zero1 is not None
+             else bool(config.get("zero1", False)))
+    opt_shardings = None
+    if zero1 and mesh.shape["data"] > 1:
+        from serenade_tpu.parallel.sharding import (
+            infer_opt_state_shardings, shard_opt_state,
+        )
+
+        opt_shardings = infer_opt_state_shardings(state.opt_state, mesh)
+        state = dataclasses.replace(
+            state, opt_state=shard_opt_state(state.opt_state, mesh))
+        logging.info("ZeRO-1: optimizer state sharded over data axis "
+                     "(%d-way)", mesh.shape["data"])
     step_fn = build_train_step(
         model, tx,
         prior_loss_start_steps=int(config.get("prior_loss_start_steps", 0)),
         batch_to_model_args=_batch_adapter(config),
+        opt_state_shardings=opt_shardings,
     )
 
     vocoder = _maybe_vocoder(config, scaler)

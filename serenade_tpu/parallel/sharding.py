@@ -43,3 +43,65 @@ def shard_params(params, mesh: Mesh):
     """Device-put params according to ``infer_param_shardings``."""
     shardings = infer_param_shardings(params, mesh)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+# --- ZeRO-1: optimizer-state sharding over the data axis --------------------
+#
+# The reference replicates Adam moments on every DDP rank (torch AdamW under
+# DDP, ref trainers/base.py:136-148 + ssc_train.py:179).  Here the moments
+# shard over the 'data' axis *by annotation alone*: GSPMD turns the gradient
+# all-reduce into reduce-scatter + shard-local moment/update math + an
+# all-gather of the updated params — the ZeRO-1 communication pattern —
+# without any hand-written collectives.  Per-device optimizer memory drops
+# ~data_size×; the HBM-bound optimizer tail (profiled at 3.2 ms of the
+# 30.7 ms b=16 step, docs/PROFILING.md) shrinks the same way on real
+# multi-chip meshes.
+
+# Moments smaller than this stay replicated: scatter/gather latency on tiny
+# tensors costs more than the memory it frees.
+_MIN_ZERO1_ELEMS = 1 << 14
+
+
+def _zero1_spec(leaf, data_size: int, model_size: int,
+                data_axis: str = "data") -> P:
+    if getattr(leaf, "ndim", 0) == 0 or data_size <= 1:
+        return _leaf_spec("", leaf, model_size) if getattr(
+            leaf, "ndim", 0) else P()
+    # start from the param-rule spec so tp-sharded params' moments keep the
+    # matching 'model' placement on their output-feature axis
+    base = _leaf_spec("", leaf, model_size)
+    spec = list(base) + [None] * (leaf.ndim - len(base))
+    if leaf.size < _MIN_ZERO1_ELEMS:
+        return P(*spec)
+    # shard the largest still-unsharded dim that divides the data axis
+    order = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+    for d in order:
+        if spec[d] is None and leaf.shape[d] % data_size == 0:
+            spec[d] = data_axis
+            break
+    return P(*spec)
+
+
+def infer_opt_state_shardings(opt_state, mesh: Mesh,
+                              data_axis: str = "data"):
+    """ZeRO-1 shardings for an optax state pytree under ``mesh``.
+
+    Shape-based: every array leaf large enough gets its biggest
+    data-divisible dim sharded on ``data_axis`` (on top of the param rule's
+    'model' placement, so moments of tp-sharded params stay aligned with
+    them); scalars (step counts) and small leaves replicate.
+    """
+    data_size = mesh.shape.get(data_axis, 1)
+    model_size = mesh.shape.get("model", 1)
+
+    def to_sharding(leaf):
+        return NamedSharding(
+            mesh, _zero1_spec(leaf, data_size, model_size, data_axis))
+
+    return jax.tree_util.tree_map(to_sharding, opt_state)
+
+
+def shard_opt_state(opt_state, mesh: Mesh, data_axis: str = "data"):
+    """Device-put an optax state according to ``infer_opt_state_shardings``."""
+    shardings = infer_opt_state_shardings(opt_state, mesh, data_axis)
+    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)

@@ -37,17 +37,31 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
+def _moment_dtype(mu_dtype):
+    """'bfloat16'/'float32' (config strings) -> dtype; None passes through.
+
+    bf16 first moments halve the mu read+write traffic of the HBM-bound
+    optimizer tail (docs/PROFILING.md: 3.2 ms of the 30.7 ms step) at the
+    cost of ~3 decimal digits on a quantity that only steers update
+    direction; optax stochastic-rounding-free cast is adequate for mu (nu
+    stays f32 — it sits under a sqrt and spans a huge dynamic range).
+    """
+    return None if mu_dtype is None else jnp.dtype(mu_dtype)
+
+
 @register("optimizer", "AdamW")
 def _adamw(learning_rate, weight_decay: float = 0.01, b1: float = 0.9,
-           b2: float = 0.999, eps: float = 1e-8, **_unused):
+           b2: float = 0.999, eps: float = 1e-8, mu_dtype=None, **_unused):
     return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
-                       weight_decay=weight_decay)
+                       weight_decay=weight_decay,
+                       mu_dtype=_moment_dtype(mu_dtype))
 
 
 @register("optimizer", "Adam")
 def _adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
-          eps: float = 1e-8, **_unused):
-    return optax.adam(learning_rate, b1=b1, b2=b2, eps=eps)
+          eps: float = 1e-8, mu_dtype=None, **_unused):
+    return optax.adam(learning_rate, b1=b1, b2=b2, eps=eps,
+                      mu_dtype=_moment_dtype(mu_dtype))
 
 
 @register("optimizer", "SGD")
@@ -96,12 +110,20 @@ def build_train_step(
     grad_accum: int = 1,
     batch_to_model_args: Optional[Callable] = None,
     donate: bool = True,
+    opt_state_shardings=None,
 ):
     """Return a jitted ``(state, batch, rng) -> (state, metrics)``.
 
     ``batch`` is a dict of arrays with leading batch axis (sharded on
     'data' by the caller).  With ``grad_accum > 1`` every array must have a
     leading ``(grad_accum, micro_batch, ...)`` layout.
+
+    ``opt_state_shardings`` (a NamedSharding pytree matching
+    ``state.opt_state``, from ``parallel.infer_opt_state_shardings``)
+    enables ZeRO-1: the new optimizer state is sharding-constrained so the
+    moment update stays partitioned over the data axis across steps
+    (reference replicates moments per DDP rank, trainers/base.py:136-148).
+    Pass the SAME shardings used to place the initial state.
     """
     if batch_to_model_args is None:
         def batch_to_model_args(batch):
@@ -154,6 +176,9 @@ def build_train_step(
             grads, metrics = single_grad(state.params, batch, rng, state.step)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        if opt_state_shardings is not None:
+            new_opt_state = jax.lax.with_sharding_constraint(
+                new_opt_state, opt_state_shardings)
         new_params = optax.apply_updates(state.params, updates)
         metrics["train/grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(

@@ -102,6 +102,93 @@ def test_tp_matches_single_device():
     )
 
 
+def test_zero1_matches_replicated_opt_state():
+    """ZeRO-1 (optimizer moments sharded over 'data') must change WHERE the
+    Adam math lives, not its result: params after N steps match the
+    replicated-moment run, live moment arrays really carry a 'data'
+    sharding, and each device holds ~1/data_size of the moment bytes.
+    Reference context: torch DDP replicates optimizer state per rank
+    (trainers/base.py:136-148); this is the beyond-parity memory fix."""
+    from serenade_tpu.parallel.sharding import (
+        infer_opt_state_shardings, shard_opt_state,
+    )
+    from serenade_tpu.trainers.train_step import build_train_step as bts
+
+    model, params, tx, step, x = _setup()
+
+    mesh = make_mesh(data=4, model=2)
+    params_m = shard_params(params, mesh)
+    x_m = shard_batch({"x": x}, mesh)["x"]
+
+    # baseline: same mesh, replicated opt state
+    state = create_train_state(params_m, tx)
+    p_rep, l_rep = _run_steps(step, state, x_m)
+
+    # zero1: moments sharded over data (and keeping tp's 'model' placement)
+    state = create_train_state(params_m, tx)
+    shardings = infer_opt_state_shardings(state.opt_state, mesh)
+    # w1 moment (64, 1024): param rule puts 'model' on the output features,
+    # zero1 adds 'data' on the largest remaining dim
+    specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)
+             if s.spec != P()]
+    assert any("data" in str(s) for s in specs), "no moment got 'data'"
+    assert any("model" in str(s) and "data" in str(s) for s in specs), (
+        "tp-param moments lost their 'model' placement under zero1")
+    state = state.__class__(params=state.params,
+                            opt_state=shard_opt_state(state.opt_state, mesh),
+                            step=state.step)
+    adapter = lambda b: ((b["x"],), {})  # noqa: E731
+    step_z = bts(model, tx, batch_to_model_args=adapter, donate=False,
+                 opt_state_shardings=shardings)
+    st = state
+    for i in range(5):
+        st, metrics = step_z(st, {"x": x_m}, jax.random.key(i))
+    p_z1, l_z1 = jax.device_get(st.params), float(metrics["train/loss"])
+
+    # the update stayed sharded across steps (the constraint held through
+    # donation), and per-device moment bytes dropped ~data_size x
+    big = [leaf for leaf in jax.tree_util.tree_leaves(st.opt_state)
+           if hasattr(leaf, "sharding") and leaf.size >= (1 << 14)]
+    assert big, "no large moment leaves found"
+    for leaf in big:
+        assert "data" in str(leaf.sharding.spec), leaf.sharding
+        shard_elems = leaf.addressable_shards[0].data.size
+        assert shard_elems <= leaf.size // 4, (
+            f"moment not actually partitioned: {shard_elems}/{leaf.size}")
+
+    assert l_z1 == pytest.approx(l_rep, rel=1e-5)
+    for k in ("w1", "w2"):
+        np.testing.assert_allclose(
+            np.asarray(p_z1["params"][k]), np.asarray(p_rep["params"][k]),
+            atol=5e-5,
+        )
+
+
+def test_mu_dtype_bf16_moments():
+    """optimizer_params.mu_dtype=bfloat16 halves first-moment storage; the
+    run stays close to the f32-moment trajectory over a few steps."""
+    model, params, tx32, step32, x = _setup()
+    cfg = dict(CONFIG)
+    cfg["optimizer_params"] = {"lr": 1e-2, "mu_dtype": "bfloat16"}
+    tx16, _ = build_optimizer(cfg)
+    adapter = lambda b: ((b["x"],), {})  # noqa: E731
+    from serenade_tpu.trainers.train_step import build_train_step as bts
+    step16 = bts(model, tx16, batch_to_model_args=adapter, donate=False)
+
+    s32 = create_train_state(params, tx32)
+    s16 = create_train_state(params, tx16)
+    mus = [leaf for leaf in jax.tree_util.tree_leaves(s16.opt_state)
+           if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment leaves in opt state"
+    p32, _ = _run_steps(step32, s32, x, n=3)
+    p16, _ = _run_steps(step16, s16, x, n=3)
+    for k in ("w1", "w2"):
+        np.testing.assert_allclose(
+            np.asarray(p16["params"][k]), np.asarray(p32["params"][k]),
+            atol=2e-3,
+        )
+
+
 def test_full_model_step_tp_matches_replicated():
     """VERDICT #9: the FULL Serenade train step under a dp×tp mesh matches
     the single-device run, and the UNet's big kernels are actually sharded
