@@ -261,6 +261,56 @@ def test_full_model_step_tp_matches_replicated():
     )
 
 
+def test_zero1_checkpoint_roundtrip(tmp_path):
+    """ZeRO-1-sharded optimizer state must checkpoint like any other
+    sharded array tree: each process writes its moment shards, and restore
+    places them straight back onto the zero1 placement (no gather)."""
+    from serenade_tpu.checkpoint import (
+        abstract_like, restore_checkpoint, save_checkpoint,
+    )
+    from serenade_tpu.parallel.sharding import (
+        infer_opt_state_shardings, shard_opt_state,
+    )
+    from serenade_tpu.trainers.train_step import build_train_step as bts
+
+    model, params, tx, _, x = _setup()
+    mesh = make_mesh(data=4, model=2)
+    params_m = shard_params(params, mesh)
+    state = create_train_state(params_m, tx)
+    shardings = infer_opt_state_shardings(state.opt_state, mesh)
+    state = state.__class__(params=state.params,
+                            opt_state=shard_opt_state(state.opt_state, mesh),
+                            step=state.step)
+    adapter = lambda b: ((b["x"],), {})  # noqa: E731
+    step = bts(model, tx, batch_to_model_args=adapter, donate=False,
+               opt_state_shardings=shardings)
+    x_m = shard_batch({"x": x}, mesh)["x"]
+    for i in range(2):
+        state, _ = step(state, {"x": x_m}, jax.random.key(i))
+
+    path = save_checkpoint(str(tmp_path), 2, state.params, state.opt_state)
+
+    # restore directly onto the zero1 placement
+    template = {
+        "params": abstract_like(state.params, mesh),
+        "opt_state": abstract_like(state.opt_state, mesh),
+        "meta": {"step": np.asarray(0), "epochs": np.asarray(0)},
+    }
+    restored = restore_checkpoint(path, template)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))),
+        restored["opt_state"], jax.device_get(state.opt_state),
+    )
+    # the restored moments landed sharded over 'data', not gathered
+    restored_big = [
+        leaf for leaf in jax.tree_util.tree_leaves(restored["opt_state"])
+        if hasattr(leaf, "sharding") and leaf.size >= (1 << 14)
+    ]
+    assert restored_big and all(
+        "data" in str(leaf.sharding.spec) for leaf in restored_big)
+
+
 def test_sharded_checkpoint_roundtrip_and_reshard(tmp_path):
     """Multi-host-shaped checkpointing (SURVEY §5.4 beyond-parity): live
     sharded state saves without a host gather, and restores placed directly
