@@ -396,6 +396,40 @@ def _parse_npz(body: bytes):
     return src, ref
 
 
+def _parse_stream_body(body: bytes, query, batching):
+    """/convert_stream input: pre-extracted features (npz ``src_*``
+    [+``ref_*``]), RAW AUDIO (RIFF bytes + ``?style=``, or npz with
+    ``src_wav``/``sr`` and ``ref_name`` | ``ref_wav``/``ref_sr``), or raw
+    source with feature reference.  Raw audio extracts on device through
+    the converter (requires a ContentVec checkpoint) — long-form streaming
+    with the same transfer-light wire as /convert_wav."""
+    if body[:4] == b"RIFF":
+        from serenade_tpu.utils.audio import read_wav
+
+        src_wav, sr = read_wav(io.BytesIO(body))
+        style = query.get("style", [""])[0]
+        if not style:
+            raise ValueError("RIFF body needs ?style=<registered name>")
+        src = batching.converter.extract_from_wav(src_wav, sr, "src")
+        return src, batching.raw_reference(style)
+    with np.load(io.BytesIO(body)) as z:
+        raw = "src_wav" in z.files
+    if not raw:
+        src, ref = _parse_npz(body)
+        if isinstance(ref, str):
+            ref = batching.raw_reference(ref)
+        return src, ref
+    with np.load(io.BytesIO(body)) as z:
+        src = batching.converter.extract_from_wav(
+            z["src_wav"], int(z["sr"]), "src")
+        if "ref_name" in z.files:
+            ref = batching.raw_reference(str(z["ref_name"]))
+        else:
+            ref = batching.converter.extract_from_wav(
+                z["ref_wav"], int(z["ref_sr"]), "ref")
+    return src, ref
+
+
 def _parse_ref_npz(body: bytes):
     with np.load(io.BytesIO(body)) as z:
         ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
@@ -572,11 +606,12 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             ({start, mel[, wav, sr]}) as long-form regions finalize; parse
             with ``iter_stream_blocks``.  Bypasses the batching queue —
             this path optimizes time-to-first-audio, not throughput.
-            Optional query params: chunk_frames, overlap_frames."""
+            Optional query params: chunk_frames, overlap_frames.  Accepts
+            feature npz, RIFF + ?style=, or raw-audio npz bodies
+            (``_parse_stream_body``)."""
             try:
-                src, ref = _parse_npz(self._read_body())
-                if isinstance(ref, str):
-                    ref = batching.raw_reference(ref)
+                src, ref = _parse_stream_body(
+                    self._read_body(), query, batching)
                 conv = batching.converter
                 gen = conv.convert_features_stream(
                     src, ref,

@@ -884,3 +884,67 @@ def test_bad_raw_waveform_faults_alone(tiny_experiment, tmp_path):
     finally:
         conv._content_fn = old_content
         b.close()
+
+
+def test_http_stream_raw_audio(tiny_experiment, tmp_path):
+    """/convert_stream accepts RAW AUDIO bodies (RIFF + ?style= or npz
+    src_wav [+ ref_wav]): features extract on the server and the long-form
+    stream runs with the same transfer-light wire as /convert_wav."""
+    import http.client
+    import io as _io
+
+    from tests.test_e2e_pipeline import fake_content_fn, synth_wav
+    from serenade_tpu.serving import (
+        BatchingConverter, iter_stream_blocks, make_server,
+    )
+    from serenade_tpu.utils.audio import read_wav
+
+    conv, items = tiny_experiment
+    src_path, ref_path = tmp_path / "s.wav", tmp_path / "r.wav"
+    synth_wav(str(src_path), 220.0)
+    synth_wav(str(ref_path), 330.0)
+    src_wav, sr = read_wav(str(src_path))
+    ref_wav, _ = read_wav(str(ref_path))
+
+    old_content = conv._content_fn
+    conv._content_fn = fake_content_fn
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
+    server = make_server(b, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        n_frames = conv.extract_from_wav(src_wav, sr, "src")["hubert"].shape[0]
+
+        # RIFF + registered style
+        b.register_reference("S", conv.extract_from_wav(ref_wav, sr, "ref"))
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        c.request("POST",
+                  "/convert_stream?style=S&chunk_frames=48&overlap_frames=16",
+                  body=src_path.read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        blocks = list(iter_stream_blocks(resp))
+        assert len(blocks) >= 2
+        assert sum(blk["mel"].shape[0] for blk in blocks) == n_frames
+
+        # npz raw body with an ad-hoc reference waveform
+        buf = _io.BytesIO()
+        np.savez(buf, src_wav=src_wav, sr=np.int64(sr),
+                 ref_wav=ref_wav, ref_sr=np.int64(sr))
+        c.request("POST", "/convert_stream?chunk_frames=48&overlap_frames=16",
+                  body=buf.getvalue())
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        total = sum(blk["mel"].shape[0]
+                    for blk in iter_stream_blocks(resp))
+        assert total == n_frames
+
+        # RIFF without a style is a clean 400, connection stays usable
+        c.request("POST", "/convert_stream", body=src_path.read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        server.shutdown()
+        b.close()
+        conv._content_fn = old_content
