@@ -178,7 +178,8 @@ def bench_train(model_f32):
 
     elapsed = _timeit(
         lambda i: step_fn(state, batch, jax.random.fold_in(jax.random.key(5), i)),
-        n=10)
+        n=30)  # ~1 s of steady state: ±5% tunnel jitter at n=10 moved the
+    # headline MFU more than any real change between rounds
     steps_per_sec = 1.0 / elapsed
     mfu = None
     if flops:

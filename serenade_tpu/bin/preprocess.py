@@ -131,6 +131,25 @@ def make_content_fn(ckpt_path, batch_size: int = 8):
         out = infer(params, jnp.asarray(wav)[None])
         return np.asarray(out[0])[:n_frames]
 
+    def _run_grouped(prepped, run_infer):
+        """The shared grouping policy: bucket-group, pow2-pad each window
+        (bounds compiled-program count per bucket — serving shares this
+        path with varying window sizes), one batched dispatch per run,
+        slice each row to its true frame count.  Both the 16 kHz and the
+        24 kHz wire paths go through here so the policy can't drift."""
+        groups = {}
+        for i, rec in enumerate(prepped):
+            groups.setdefault(rec[0].shape[0], []).append(i)
+        results = [None] * len(prepped)
+        for idxs in groups.values():
+            for lo in range(0, len(idxs), batch_size):
+                chunk = idxs[lo:lo + batch_size]
+                run = pad_pow2(chunk)
+                out = run_infer(run)
+                for j, i in enumerate(chunk):
+                    results[i] = out[j][:prepped[i][1]]
+        return results
+
     def batch(audios16k):
         """Same-bucket utterances share one HuBERT dispatch (identical
         per-utterance numerics: same padded shapes).
@@ -142,21 +161,8 @@ def make_content_fn(ckpt_path, batch_size: int = 8):
         h5 writer) pay the same download they always did, just at
         np.asarray time."""
         prepped = [_bucket(a) for a in audios16k]
-        groups = {}
-        for i, (wav, _) in enumerate(prepped):
-            groups.setdefault(wav.shape[0], []).append(i)
-        results = [None] * len(audios16k)
-        for idxs in groups.values():
-            for lo in range(0, len(idxs), batch_size):
-                chunk = idxs[lo:lo + batch_size]
-                # pow2 padding bounds the compiled-program count per
-                # bucket (serving shares this path; sizes vary per window)
-                run = pad_pow2(chunk)
-                out = infer(params, jnp.stack(
-                    [jnp.asarray(prepped[i][0]) for i in run]))
-                for j, i in enumerate(chunk):
-                    results[i] = out[j][:prepped[i][1]]
-        return results
+        return _run_grouped(prepped, lambda run: infer(
+            params, jnp.stack([jnp.asarray(prepped[i][0]) for i in run])))
 
     # --- 24 kHz wire path: resample to 16 kHz ON DEVICE --------------------
     # The host-resampled 16 kHz copy is a second waveform upload per
@@ -195,21 +201,10 @@ def make_content_fn(ckpt_path, batch_size: int = 8):
         resample, and run HuBERT in ONE device program per group —
         numerics match host-resample + `batch` to f32 rounding."""
         prepped = [_bucket24(a, wire_dtype) for a in audios24k]
-        groups = {}
-        for i, (wav, _, _) in enumerate(prepped):
-            groups.setdefault(wav.shape[0], []).append(i)
-        results = [None] * len(audios24k)
-        for idxs in groups.values():
-            for lo in range(0, len(idxs), batch_size):
-                run = pad_pow2(idxs[lo:lo + batch_size])
-                out = infer24(
-                    params,
-                    jnp.stack([jnp.asarray(prepped[i][0]) for i in run]),
-                    jnp.asarray([prepped[i][2] for i in run]),
-                )
-                for j, i in enumerate(idxs[lo:lo + batch_size]):
-                    results[i] = out[j][:prepped[i][1]]
-        return results
+        return _run_grouped(prepped, lambda run: infer24(
+            params,
+            jnp.stack([jnp.asarray(prepped[i][0]) for i in run]),
+            jnp.asarray([prepped[i][2] for i in run])))
 
     content_fn.batch = batch
     content_fn.batch24 = batch24

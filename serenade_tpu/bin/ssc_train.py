@@ -38,9 +38,11 @@ def build_argparser():
                    help="tensor-parallel axis size of the device mesh")
     p.add_argument("--data-axis", type=int, default=-1,
                    help="data-parallel axis size (-1 = all remaining devices)")
-    p.add_argument("--zero1", action="store_true", default=None,
-                   help="shard optimizer state over the data axis (ZeRO-1; "
-                        "config key 'zero1' sets the default)")
+    p.add_argument("--zero1", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="shard optimizer state over the data axis (ZeRO-1); "
+                        "config key 'zero1' sets the default, --no-zero1 "
+                        "overrides it off")
     p.add_argument("--verbose", type=int, default=1)
     return p
 

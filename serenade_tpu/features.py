@@ -86,8 +86,14 @@ def _signal_program(fs: int, fft_size: int, hop_size: int, win_length: int,
     per utterance GROUP instead of three per utterance (the tunnel's
     per-dispatch latency dominates offline extraction otherwise)."""
     import jax
+    import jax.numpy as jnp
 
     def one(wav):
+        if jnp.issubdtype(wav.dtype, jnp.integer):
+            # int16 wire: dequantize INSIDE the program (read_wav's /32768
+            # convention) — an eager astype/div would cost extra tunneled
+            # dispatches per group
+            wav = wav.astype(jnp.float32) / 32768.0
         logmel = logmelfilterbank(
             wav, fs, fft_size=fft_size, hop_size=hop_size,
             win_length=win_length, num_mels=num_mels, fmin=fmin, fmax=fmax,
@@ -145,11 +151,11 @@ def extract_signal_features_group(
     )
     if wire_dtype == "int16":
         # /32768 convention matches utils.audio.read_wav's PCM16 decode, so
-        # audio that originated as PCM16 round-trips the wire losslessly
+        # audio that originated as PCM16 round-trips the wire losslessly;
+        # the int16 batch uploads as-is and dequantizes inside the program
         batch = jnp.stack([jnp.asarray(
             np.clip(np.round(a * 32768.0), -32768, 32767).astype(np.int16))
             for a in audios_b])
-        batch = batch.astype(jnp.float32) / 32768.0
     else:
         batch = jnp.stack([jnp.asarray(a) for a in audios_b])
     if f0_backend in ("native", "harvest_native"):

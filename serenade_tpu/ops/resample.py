@@ -57,9 +57,14 @@ def resample_device(x, up: int, down: int):
     x = x.astype(jnp.float32)
     n = x.shape[-1]
     target = (n * up + down - 1) // down  # ceil, scipy's output length
-    # pad_r sized so the strided conv emits at least ``target`` outputs;
-    # the slice below trims any surplus
-    pad_r = half_len + down
+    # pad_r sized so the strided conv emits at least ``target`` outputs:
+    # the last output reads zero-stuffed position (target-1)*down, which
+    # can sit up to up-1 past the last real sample's position (n-1)*up,
+    # so the right pad needs half_len + (up - 1) + 1 zero-stuffed slots
+    # beyond it (half_len + down was short whenever up > down + 1 and
+    # (n-1)*up mod down landed high — e.g. (160,147) at n=34 dropped the
+    # final sample)
+    pad_r = half_len + up + down
     y = jax.lax.conv_general_dilated(
         x[:, None, :],
         jnp.asarray(h, jnp.float32)[None, None, :],

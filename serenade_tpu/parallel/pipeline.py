@@ -73,6 +73,13 @@ def gpipe(
     s = mesh.shape[axis]
     m = x.shape[0]
     ticks = m + s - 1
+    # one stage per device, exactly: a larger multiple would silently run
+    # only every (S/s)-th stage (each local shard applies its row 0)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(stacked_params):
+        if leaf.shape[0] != s:
+            raise ValueError(
+                f"stacked stage axis {leaf.shape[0]} != mesh '{axis}' size "
+                f"{s} at {jax.tree_util.keystr(path)}")
 
     def _local(p_stacked_local, x_all):
         p_local = jax.tree_util.tree_map(lambda l: l[0], p_stacked_local)

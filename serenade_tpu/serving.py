@@ -382,27 +382,44 @@ class _PayloadTooLarge(ValueError):
     """POST body exceeds the server's max_body_bytes cap (HTTP 413)."""
 
 
+def _feats_from_npz(z):
+    src = {k: z[f"src_{k}"] for k in _SRC_KEYS}
+    if "src_f0_fluc" in z.files:  # SerenadeNew variant
+        src["f0_fluc"] = z["src_f0_fluc"]
+    if "ref_name" in z.files:
+        ref = str(z["ref_name"])
+    else:
+        ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
+        if "ref_f0_fluc" in z.files:
+            ref["f0_fluc"] = z["ref_f0_fluc"]
+    return src, ref
+
+
 def _parse_npz(body: bytes):
     with np.load(io.BytesIO(body)) as z:
-        src = {k: z[f"src_{k}"] for k in _SRC_KEYS}
-        if "src_f0_fluc" in z.files:  # SerenadeNew variant
-            src["f0_fluc"] = z["src_f0_fluc"]
-        if "ref_name" in z.files:
-            ref = str(z["ref_name"])
-        else:
-            ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
-            if "ref_f0_fluc" in z.files:
-                ref["f0_fluc"] = z["ref_f0_fluc"]
-    return src, ref
+        return _feats_from_npz(z)
+
+
+def _extract_or_raise(conv, wavs, srs):
+    """Batched on-device extraction (the int16-wire fast path shared with
+    /convert_wav: PCM16 upload + in-program 24→16 kHz resample); a failed
+    utterance raises instead of silently streaming nothing."""
+    feats = conv.extract_from_wav_batch(wavs, srs)
+    for f in feats:
+        if f is None:
+            raise ValueError("feature extraction failed for stream audio")
+    return feats
 
 
 def _parse_stream_body(body: bytes, query, batching):
     """/convert_stream input: pre-extracted features (npz ``src_*``
     [+``ref_*``]), RAW AUDIO (RIFF bytes + ``?style=``, or npz with
     ``src_wav``/``sr`` and ``ref_name`` | ``ref_wav``/``ref_sr``), or raw
-    source with feature reference.  Raw audio extracts on device through
-    the converter (requires a ContentVec checkpoint) — long-form streaming
-    with the same transfer-light wire as /convert_wav."""
+    source with a feature reference (``src_wav`` + ``ref_*`` arrays).
+    Raw audio extracts on device through the converter's batched int16
+    wire (requires a ContentVec checkpoint) — long-form streaming with
+    the same transfer-light chain as /convert_wav."""
+    conv = batching.converter
     if body[:4] == b"RIFF":
         from serenade_tpu.utils.audio import read_wav
 
@@ -410,24 +427,26 @@ def _parse_stream_body(body: bytes, query, batching):
         style = query.get("style", [""])[0]
         if not style:
             raise ValueError("RIFF body needs ?style=<registered name>")
-        src = batching.converter.extract_from_wav(src_wav, sr, "src")
+        src = _extract_or_raise(conv, [src_wav], [sr])[0]
         return src, batching.raw_reference(style)
     with np.load(io.BytesIO(body)) as z:
-        raw = "src_wav" in z.files
-    if not raw:
-        src, ref = _parse_npz(body)
-        if isinstance(ref, str):
-            ref = batching.raw_reference(ref)
-        return src, ref
-    with np.load(io.BytesIO(body)) as z:
-        src = batching.converter.extract_from_wav(
-            z["src_wav"], int(z["sr"]), "src")
+        if "src_wav" not in z.files:
+            src, ref = _feats_from_npz(z)
+            if isinstance(ref, str):
+                ref = batching.raw_reference(ref)
+            return src, ref
+        src_wav, sr = z["src_wav"], int(z["sr"])
         if "ref_name" in z.files:
             ref = batching.raw_reference(str(z["ref_name"]))
-        else:
-            ref = batching.converter.extract_from_wav(
-                z["ref_wav"], int(z["ref_sr"]), "ref")
-    return src, ref
+        elif "ref_wav" in z.files:
+            src, ref = _extract_or_raise(
+                conv, [src_wav, z["ref_wav"]], [sr, int(z["ref_sr"])])
+            return src, ref
+        else:  # raw source, pre-extracted reference features
+            ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
+            if "ref_f0_fluc" in z.files:
+                ref["f0_fluc"] = z["ref_f0_fluc"]
+    return _extract_or_raise(conv, [src_wav], [sr])[0], ref
 
 
 def _parse_ref_npz(body: bytes):

@@ -88,8 +88,10 @@ def test_resample_device_matches_scipy():
     from serenade_tpu.ops.resample import resample_device
 
     rng = np.random.default_rng(0)
-    for up, down in [(2, 3), (3, 2), (1, 3), (160, 147)]:
-        for n in (1000, 48000, 48001, 48000 * 2 + 7):
+    for up, down in [(2, 3), (3, 2), (1, 3), (160, 147), (7, 2)]:
+        # n=34 at (160,147): (n-1)*up mod down == 135 — the high-phase
+        # final sample a short right-pad silently drops
+        for n in (34, 1000, 48000, 48001, 48000 * 2 + 7):
             x = rng.normal(size=(2, n)).astype(np.float32) * 0.3
             want = np.stack([resample_poly(row, up, down) for row in x])
             got = np.asarray(resample_device(jnp.asarray(x), up, down))
