@@ -132,9 +132,11 @@ def bench_conversion(model, vocoder, params, voc_params):
     return elapsed / audio_seconds, elapsed_fast / audio_seconds
 
 
-def bench_train(model_f32):
+def bench_train(model_f32, opt_params=None):
     """Config 5: full train step (UNet+GST, grad+clip+AdamW) at the
-    reference effective batch 16; returns (steps/sec, MFU)."""
+    reference effective batch 16; returns (steps/sec, MFU).
+
+    ``opt_params`` overrides optimizer_params (e.g. mu_dtype probes)."""
     from serenade_tpu.trainers import (
         build_optimizer, build_train_step, create_train_state,
     )
@@ -156,7 +158,8 @@ def bench_train(model_f32):
         )
     )(batch)
     config = {
-        "optimizer_type": "AdamW", "optimizer_params": {"lr": 8e-4},
+        "optimizer_type": "AdamW",
+        "optimizer_params": dict(opt_params or {"lr": 8e-4}),
         "scheduler_type": "MultiStepLR",
         "scheduler_params": {"gamma": 0.5, "milestones": [100000]},
         "grad_norm": 1.0,

@@ -156,6 +156,8 @@ def test_stats_train_decode(workdir):
         "--train-dumpdir", dump, "--dev-dumpdir", dump,
         "--stats", stats_path, "--outdir", expdir, "--config", cfg,
         "--data-axis", "2",  # 2-device dp on the virtual CPU mesh
+        "--zero1",  # CLI wiring for optimizer-state sharding (numerics
+        # proven equal in test_parallel; here it must train+resume+decode)
     ])
     ckpt = find_latest_checkpoint(expdir)
     assert ckpt is not None
