@@ -128,3 +128,26 @@ def test_gpipe_transformer_stack():
     np.testing.assert_allclose(
         np.asarray(got).reshape(x.shape), np.asarray(want),
         atol=2e-5, rtol=1e-5)
+
+
+def test_gpipe_stage_count_mismatch_is_loud():
+    """8 stacked stages on a 4-way pipe axis must raise, not silently run
+    every 2nd stage (each device would apply only its shard's row 0)."""
+    stages = _toy_stages(jax.random.key(8)) + _toy_stages(jax.random.key(9))
+    mesh = pipeline_mesh(pipe=S)
+    stacked = stack_stage_params(stages)
+    with pytest.raises(ValueError, match="stage axis 8"):
+        gpipe(_toy_stage_fn, stacked, microbatch(
+            jax.random.normal(jax.random.key(10), (4, 2, D)), 2), mesh)
+
+
+def test_gpipe_fewer_microbatches_than_stages():
+    """M < S (the bubble-heavy regime): injection clamping and collection
+    bookkeeping still produce exact results."""
+    stages = _toy_stages(jax.random.key(11))
+    x = jax.random.normal(jax.random.key(12), (2, 3, D))  # M=2 < S=4
+    mesh = pipeline_mesh(pipe=S)
+    stacked = place_pipeline_params(stack_stage_params(stages), mesh)
+    got = gpipe(_toy_stage_fn, stacked, x, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_sequential(stages, x)), atol=1e-6)
