@@ -50,6 +50,30 @@ def main():
     args = p.parse_args()
 
     conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
+    if args.src.endswith(".wav") and args.stream:
+        # long-form raw audio: server-side extraction + chunked stream
+        from urllib.parse import quote
+
+        with open(args.src, "rb") as f:
+            conn.request(
+                "POST", f"/convert_stream?style={quote(args.style)}",
+                body=f.read())
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        mels, wavs, sr = [], [], None
+        for blk in iter_stream_blocks(resp):
+            print(f"  segment @frame {int(blk['start'])}: "
+                  f"{blk['mel'].shape[0]} frames")
+            mels.append(blk["mel"])
+            if "wav" in blk:
+                wavs.append(blk["wav"])
+                sr = int(blk["sr"])
+        out = {"mel": np.concatenate(mels, axis=0)}
+        if wavs:
+            out["wav"], out["sr"] = np.concatenate(wavs), sr
+        np.savez(args.out, **out)
+        print(f"wrote {args.out}")
+        return
     if args.src.endswith(".wav"):
         from urllib.parse import quote
 
