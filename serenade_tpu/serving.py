@@ -80,6 +80,15 @@ class BatchingConverter:
                       "audio_sec": 0.0, "compute_sec": 0.0}
         self._refs: Dict[str, object] = {}
         self._raw_refs: Dict[str, Dict[str, np.ndarray]] = {}
+        # launched-but-unfetched batches: the dispatcher thread only
+        # DISPATCHES device work (async under JAX); the finisher thread
+        # blocks on the device_get, so window N+1's host→device upload
+        # overlaps window N's compute + fetch.  Bounded to keep at most a
+        # few batches of device arrays pinned (back-pressure on launch).
+        self._completions: "queue.Queue" = queue.Queue(maxsize=4)
+        self._finisher = threading.Thread(target=self._finish_loop,
+                                          daemon=True, name="ssc-finisher")
+        self._finisher.start()
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True, name="ssc-dispatcher")
         self._thread.start()
@@ -178,21 +187,25 @@ class BatchingConverter:
     def close(self, join_timeout: float = 5.0):
         self._stop.set()
         self._thread.join(timeout=join_timeout)
-        if self._thread.is_alive():
-            # the in-flight dispatch outlived the join (e.g. a first compile
-            # through the tunnel takes minutes): fault everything still
-            # queued here so blocked callers fail now instead of waiting
-            # out their full submit timeout
+        self._finisher.join(timeout=join_timeout)
+        if self._thread.is_alive() or self._finisher.is_alive():
+            # an in-flight dispatch/fetch outlived the join (e.g. a first
+            # compile through the tunnel takes minutes): fault everything
+            # still queued here so blocked callers fail now instead of
+            # waiting out their full submit timeout
             logger.warning(
                 "dispatcher still busy after %.1fs; faulting queued requests",
                 join_timeout)
-            while True:
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                req.error = RuntimeError("server shutting down")
-                req.done.set()
+            for q in (self._queue, self._completions):
+                while True:
+                    try:
+                        item = q.get_nowait()
+                    except queue.Empty:
+                        break
+                    reqs = item[0] if isinstance(item, tuple) else [item]
+                    for req in reqs:
+                        req.error = RuntimeError("server shutting down")
+                        req.done.set()
 
     # -- dispatcher side ------------------------------------------------
 
@@ -294,9 +307,11 @@ class BatchingConverter:
         return out
 
     def _run_group(self, reqs, ts: int, tr):
+        """LAUNCH a group's device work and hand its (deferred) fetch to
+        the finisher thread.  JAX dispatches are async, so returning here
+        lets the dispatcher start uploading the next window while this
+        one computes; the blocking device_get happens in `_finish_loop`."""
         try:
-            import jax
-
             t0 = time.monotonic()
             # pow2 batch padding: bounded program count per bucket pair
             # (a fresh conversion program per distinct group size would
@@ -314,8 +329,11 @@ class BatchingConverter:
                 )
             b = len(reqs)
             voc = self._conv.vocoder
-            if (voc is not None and hasattr(voc, "decode_batch_device")
-                    and self._conv.mesh is None):
+            device_tail = (voc is not None
+                           and hasattr(voc, "decode_batch_device")
+                           and self._conv.mesh is None)
+            y16 = None
+            if device_tail:
                 # device chain: edge-pad + generator + int16 quantize in
                 # one jitted program — the mel is fetched once (for the
                 # client) and never re-uploaded, and the waveform comes
@@ -324,6 +342,19 @@ class BatchingConverter:
                 bp = mels_dev.shape[0]
                 y16 = voc.decode_batch_device(
                     mels_dev, lens + [lens[-1]] * (bp - b))
+        except Exception as e:  # noqa: BLE001 — fault the batch, not the server
+            logger.exception("batch of %d failed at launch", len(reqs))
+            with self._lock:
+                self.stats["errors"] += len(reqs)
+            for r in reqs:
+                r.error = e
+                r.done.set()
+            return
+
+        def finish():
+            import jax
+
+            if device_tail:
                 mels_host = np.asarray(jax.device_get(mels_dev[:b]))
                 wavs = np.asarray(jax.device_get(y16[:b]))
                 hop = wavs.shape[1] // mels_dev.shape[1]
@@ -352,6 +383,9 @@ class BatchingConverter:
                         r.sr = voc.sampling_rate
                 for r, mel in zip(reqs, mels):
                     r.mel = mel
+            # span launch→fetch-done; overlapped batches can double-count
+            # wall time, so stats["rtf"] is per-batch pipeline latency,
+            # not device utilization
             compute = time.monotonic() - t0
             frame_sec = float(self._conv.config.get("shiftms", 10)) / 1000.0
             with self._lock:
@@ -359,15 +393,30 @@ class BatchingConverter:
                 self.stats["batches"] += 1
                 self.stats["compute_sec"] += compute
                 self.stats["audio_sec"] += sum(lens[:b]) * frame_sec
-        except Exception as e:  # noqa: BLE001 — fault the batch, not the server
-            logger.exception("batch of %d failed", len(reqs))
-            with self._lock:
-                self.stats["errors"] += len(reqs)
-            for r in reqs:
-                r.error = e
-        finally:
-            for r in reqs:
-                r.done.set()
+
+        self._completions.put((reqs, finish))
+
+    def _finish_loop(self):
+        """Drain launched batches: blocking fetch + per-request result
+        assignment.  A fetch/assign failure faults ITS batch only.  On
+        shutdown, everything already launched still completes (the device
+        work is real); only then does the thread exit."""
+        while not (self._stop.is_set() and self._completions.empty()):
+            try:
+                reqs, finish = self._completions.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                finish()
+            except Exception as e:  # noqa: BLE001 — fault the batch only
+                logger.exception("batch of %d failed at fetch", len(reqs))
+                with self._lock:
+                    self.stats["errors"] += len(reqs)
+                for r in reqs:
+                    r.error = e
+            finally:
+                for r in reqs:
+                    r.done.set()
 
 
 # ---------------------------------------------------------------------------
