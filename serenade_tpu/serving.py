@@ -65,14 +65,24 @@ class BatchingConverter:
         max_batch: largest group per dispatch.
         max_wait_ms: how long the dispatcher holds a non-full group open
             for stragglers.  Latency floor for a lone request.
+        busy_hold_ms: how much LONGER a non-full window may stay open
+            while a previously launched batch is still in flight —
+            waiting is free then (the chip is busy), and it refills
+            windows that the launch/fetch pipeline would otherwise
+            fragment.  Must exceed the steady-state batch time to bite;
+            it exists to cap the hold when an in-flight batch stalls for
+            minutes on a first compile.
     """
 
     def __init__(self, converter, max_batch: int = 8,
-                 max_wait_ms: float = 10.0, max_references: int = 64):
+                 max_wait_ms: float = 10.0, max_references: int = 64,
+                 busy_hold_ms: float = 2000.0):
         self._conv = converter
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
+        self._busy_hold = busy_hold_ms / 1000.0
         self._max_references = max_references
+        self._inflight = 0  # launched-but-unfinished batches (see _lock)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -225,16 +235,27 @@ class BatchingConverter:
                 continue
             pending = [first]
             deadline = time.monotonic() + self._max_wait
+            # while a launched batch is still in flight, waiting costs
+            # nothing (the chip is busy anyway) — hold the window open
+            # past max_wait for a fuller batch, capped by busy_hold so a
+            # minutes-long first compile can't starve a lone request
+            hard_deadline = deadline + self._busy_hold
             # hold the window open for stragglers (any bucket: grouping
             # happens below, so a mixed burst still batches per bucket)
             while len(pending) < self._max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
+                now = time.monotonic()
+                if now >= deadline:
+                    with self._lock:
+                        busy = self._inflight > 0
+                    if not busy or now >= hard_deadline:
+                        break
+                    timeout = min(0.005, hard_deadline - now)
+                else:
+                    timeout = deadline - now
                 try:
-                    pending.append(self._queue.get(timeout=remaining))
+                    pending.append(self._queue.get(timeout=timeout))
                 except queue.Empty:
-                    break
+                    pass  # loop re-evaluates deadline/busy state
             pending = self._materialize_raw(pending)
             groups = defaultdict(list)
             for req in pending:
@@ -394,6 +415,8 @@ class BatchingConverter:
                 self.stats["compute_sec"] += compute
                 self.stats["audio_sec"] += sum(lens[:b]) * frame_sec
 
+        with self._lock:
+            self._inflight += 1
         self._completions.put((reqs, finish))
 
     def _finish_loop(self):
@@ -417,6 +440,8 @@ class BatchingConverter:
             finally:
                 for r in reqs:
                     r.done.set()
+                with self._lock:
+                    self._inflight -= 1
 
 
 # ---------------------------------------------------------------------------

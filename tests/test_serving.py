@@ -6,6 +6,7 @@ call and must actually group concurrent requests.
 """
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -948,3 +949,49 @@ def test_http_stream_raw_audio(tiny_experiment, tmp_path):
         server.shutdown()
         b.close()
         conv._content_fn = old_content
+
+
+def test_busy_hold_coalesces_requests(tiny_experiment):
+    """While a launched batch is in flight, the dispatcher holds its next
+    window open past max_wait (waiting is free when the chip is busy), so
+    requests arriving during the in-flight batch coalesce into ONE full
+    window instead of dribbling out in singles."""
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    b = BatchingConverter(conv, max_batch=4, max_wait_ms=5.0,
+                          busy_hold_ms=10000.0)
+    try:
+        # pin the pipeline "busy": a fake in-flight batch whose finish
+        # blocks until we release it
+        gate = threading.Event()
+        with b._lock:
+            b._inflight += 1
+        b._completions.put(([], gate.wait))
+
+        results = [None] * 4
+        done = []
+
+        def call(i):
+            results[i] = b.convert(src, ref, timeout=120)
+            done.append(i)
+
+        threads = []
+        base = dict(b.stats)
+        for i in range(4):
+            t = threading.Thread(target=call, args=(i,))
+            t.start()
+            threads.append(t)
+            time.sleep(0.08)  # arrivals 80 ms apart >> max_wait 5 ms
+        assert b.stats["batches"] == base["batches"]  # nothing dispatched
+        gate.set()  # pipeline idle -> window closes
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None for r in results)
+        assert b.stats["batches"] == base["batches"] + 1, b.stats
+        assert b.stats["requests"] == base["requests"] + 4
+    finally:
+        b.close()
