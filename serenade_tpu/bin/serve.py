@@ -40,6 +40,11 @@ def build_argparser():
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--busy-hold-ms", type=float, default=2000.0,
+                   help="extra time a non-full window may stay open while "
+                        "a batch is in flight (waiting is free then); "
+                        "tune above the steady-state batch time, or 0 "
+                        "for latency-first serving")
     p.add_argument("--n-timesteps", type=int, default=10)
     p.add_argument("--data-axis", type=int, default=1,
                    help="shard batched dispatches over an N-way 'data' "
@@ -62,7 +67,8 @@ def build_app(args):
         data_mesh=args.data_axis if args.data_axis > 1 else None,
     )
     batching = BatchingConverter(conv, max_batch=args.max_batch,
-                                 max_wait_ms=args.max_wait_ms)
+                                 max_wait_ms=args.max_wait_ms,
+                                 busy_hold_ms=args.busy_hold_ms)
     if args.ref_dict:
         import json
 

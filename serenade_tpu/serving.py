@@ -83,6 +83,7 @@ class BatchingConverter:
         self._busy_hold = busy_hold_ms / 1000.0
         self._max_references = max_references
         self._inflight = 0  # launched-but-unfinished batches (see _lock)
+        self._dispatcher_done = False  # set when _dispatch_loop exits
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -212,7 +213,14 @@ class BatchingConverter:
                         item = q.get_nowait()
                     except queue.Empty:
                         break
-                    reqs = item[0] if isinstance(item, tuple) else [item]
+                    if isinstance(item, tuple):
+                        reqs = item[0]
+                        # keep the busy accounting honest for the (still
+                        # alive) dispatcher's busy-hold checks
+                        with self._lock:
+                            self._inflight -= 1
+                    else:
+                        reqs = [item]
                     for req in reqs:
                         req.error = RuntimeError("server shutting down")
                         req.done.set()
@@ -243,6 +251,8 @@ class BatchingConverter:
             # hold the window open for stragglers (any bucket: grouping
             # happens below, so a mixed burst still batches per bucket)
             while len(pending) < self._max_batch:
+                if self._stop.is_set():
+                    break  # shutting down: launch what we have, now
                 now = time.monotonic()
                 if now >= deadline:
                     with self._lock:
@@ -255,7 +265,7 @@ class BatchingConverter:
                 try:
                     pending.append(self._queue.get(timeout=timeout))
                 except queue.Empty:
-                    pass  # loop re-evaluates deadline/busy state
+                    pass  # loop re-evaluates deadline/busy/stop state
             pending = self._materialize_raw(pending)
             groups = defaultdict(list)
             for req in pending:
@@ -279,6 +289,9 @@ class BatchingConverter:
                 break
             req.error = RuntimeError("server shutting down")
             req.done.set()
+        # everything this thread will ever launch is now in _completions;
+        # the finisher keys its own exit on this flag (see _finish_loop)
+        self._dispatcher_done = True
 
     def _materialize_raw(self, pending):
         """Batch-extract features for raw-audio requests in the window
@@ -423,8 +436,20 @@ class BatchingConverter:
         """Drain launched batches: blocking fetch + per-request result
         assignment.  A fetch/assign failure faults ITS batch only.  On
         shutdown, everything already launched still completes (the device
-        work is real); only then does the thread exit."""
-        while not (self._stop.is_set() and self._completions.empty()):
+        work is real); only then does the thread exit.
+
+        Exit requires the DISPATCHER to have exited too (not just _stop +
+        empty queue): the dispatcher may still hold a collected window it
+        has yet to launch, and exiting on the empty-queue snapshot alone
+        would orphan that batch — callers would hang out their full
+        submit timeout.  `_inflight` (incremented before the put) covers
+        the launch→put gap the emptiness check can't see."""
+        while True:
+            with self._lock:
+                drained = self._inflight == 0
+            if (self._stop.is_set() and self._dispatcher_done and drained
+                    and self._completions.empty()):
+                break
             try:
                 reqs, finish = self._completions.get(timeout=0.1)
             except queue.Empty:
@@ -438,10 +463,13 @@ class BatchingConverter:
                 for r in reqs:
                     r.error = e
             finally:
-                for r in reqs:
-                    r.done.set()
+                # decrement BEFORE waking callers: a woken blocking client
+                # resubmits immediately, and a stale busy=True would
+                # busy-hold its window against an idle pipeline
                 with self._lock:
                     self._inflight -= 1
+                for r in reqs:
+                    r.done.set()
 
 
 # ---------------------------------------------------------------------------

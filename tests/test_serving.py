@@ -995,3 +995,38 @@ def test_busy_hold_coalesces_requests(tiny_experiment):
         assert b.stats["requests"] == base["requests"] + 4
     finally:
         b.close()
+
+
+def test_close_during_inflight_never_orphans(tiny_experiment):
+    """Shutdown racing an in-flight overlapped batch: every submitted
+    request must resolve promptly (result or 'shutting down' error) —
+    the finisher may not exit while the dispatcher still holds a window
+    it has yet to launch (the orphan class of the launch/fetch split)."""
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    for round_i in range(3):  # a few shutdown timings
+        b = BatchingConverter(conv, max_batch=4, max_wait_ms=5.0)
+        outcomes = [None] * 3
+
+        def call(i):
+            try:
+                outcomes[i] = ("ok", b.convert(src, ref, timeout=30))
+            except Exception as e:  # noqa: BLE001
+                outcomes[i] = ("err", e)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        time.sleep(0.02 * round_i)  # vary where close() lands
+        b.close()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(not t.is_alive() for t in threads), (
+            f"round {round_i}: a caller hung through close()")
+        for i, out in enumerate(outcomes):
+            assert out is not None, (round_i, i, "no outcome")
