@@ -104,6 +104,11 @@ def main():
                          "style (server-side mel/loudness/F0 + ContentVec "
                          "on device) instead of uploading 768-d features — "
                          "the transfer-bound fix for tunnel/WAN links")
+    ap.add_argument("--stream-seconds", type=float, default=0.0,
+                    help="instead of the throughput bench, measure "
+                         "long-form RAW-AUDIO streaming: time-to-first-"
+                         "audio and total time for one N-second source "
+                         "(server-side extraction + chunked conversion)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -120,11 +125,37 @@ def main():
                      os.path.join(work, "stats.joblib"),
                      n_timesteps=args.n_timesteps,
                      contentvec_ckpt=(ensure_contentvec_ckpt(work)
-                                      if args.raw_audio else None))
+                                      if args.raw_audio or args.stream_seconds
+                                      else None))
     b = BatchingConverter(conv, max_batch=args.max_batch,
                           max_wait_ms=args.max_wait_ms)
     rng = np.random.default_rng(0)
     src, ref = synth_request(rng, args.src_frames, args.ref_frames)
+
+    if args.stream_seconds:
+        # long-form raw streaming latency: extraction + chunked CFM,
+        # first finalized segment = first audio a client could play
+        b.register_reference("S", ref)
+        n_frames = int(args.stream_seconds * 100)
+        for run in range(3):  # run 0 warms the length bucket's programs
+            r = np.random.default_rng(10 + run)
+            wav = synth_wav_request(r, n_frames)
+            t0 = time.monotonic()
+            feats = conv.extract_from_wav_batch([wav], [24000])[0]
+            t_extract = time.monotonic() - t0
+            ttfa, total, n_segs = None, None, 0
+            for start, mel_seg, _ in conv.convert_features_stream(
+                    feats, b.raw_reference("S")):
+                n_segs += 1
+                if ttfa is None:
+                    ttfa = time.monotonic() - t0
+            total = time.monotonic() - t0
+            print(f"stream[{run}] {args.stream_seconds:.0f}s source: "
+                  f"extract {t_extract:.2f}s, first audio {ttfa:.2f}s, "
+                  f"total {total:.2f}s ({n_segs} segments, "
+                  f"RTF {total / args.stream_seconds:.4f})")
+        b.close()
+        return
 
     if args.raw_audio:
         b.register_reference("S", ref)  # style registered once, on device
