@@ -157,6 +157,18 @@ class Converter:
         T = bucket_length(t)
 
         def pad(a):
+            import jax
+
+            if isinstance(a, jax.Array):
+                # device-resident stream (e.g. ContentVec output): pad and
+                # batch ON DEVICE — np.asarray here would fetch the whole
+                # feature block to host just to re-upload it
+                a = a.astype(jnp.float32)
+                if a.ndim == 1:
+                    a = a[:, None]
+                if a.shape[0] >= T:
+                    return a[None, :T]
+                return jnp.pad(a, ((0, T - a.shape[0]), (0, 0)))[None]
             a = np.asarray(a, np.float32)
             if a.ndim == 1:
                 a = a[:, None]
@@ -255,10 +267,19 @@ class Converter:
             yield start, seg, wav_seg
 
     def _source_frame_feats(self, src_feats):
-        """The frame-aligned source streams chunked for long-form paths."""
+        """The frame-aligned source streams chunked for long-form paths.
+
+        jax arrays stay DEVICE-RESIDENT: the chunker only slices and the
+        normalize/pack math is dtype-polymorphic, so content features
+        extracted on device (batch24) never round-trip the host — for a
+        60 s source that fetch alone is ~9 MB (≈1.5 s of time-to-first-
+        audio on the tunnel), and each chunk re-uploaded its slice."""
+        import jax
+
         keys = ("hubert", "score", "loud") + (
             ("f0_fluc",) if self.variant_new else ())
-        return {k: np.asarray(src_feats[k]) for k in keys}
+        return {k: src_feats[k] if isinstance(src_feats[k], jax.Array)
+                else np.asarray(src_feats[k]) for k in keys}
 
     def _chunk_converter(self, ref_feats):
         """Per-chunk mel converter with the reference normalized, packed,
