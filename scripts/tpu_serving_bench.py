@@ -140,20 +140,35 @@ def main():
         for run in range(3):  # run 0 warms the length bucket's programs
             r = np.random.default_rng(10 + run)
             wav = synth_wav_request(r, n_frames)
+            # full-extraction baseline: extract everything, then stream
             t0 = time.monotonic()
             feats = conv.extract_from_wav_batch([wav], [24000])[0]
             t_extract = time.monotonic() - t0
-            ttfa, total, n_segs = None, None, 0
+            ttfa, n_segs = None, 0
             for start, mel_seg, _ in conv.convert_features_stream(
                     feats, b.raw_reference("S")):
                 n_segs += 1
                 if ttfa is None:
                     ttfa = time.monotonic() - t0
             total = time.monotonic() - t0
-            print(f"stream[{run}] {args.stream_seconds:.0f}s source: "
-                  f"extract {t_extract:.2f}s, first audio {ttfa:.2f}s, "
-                  f"total {total:.2f}s ({n_segs} segments, "
+            print(f"stream[{run}] {args.stream_seconds:.0f}s source "
+                  f"(full extraction): extract {t_extract:.2f}s, "
+                  f"first audio {ttfa:.2f}s, total {total:.2f}s "
+                  f"({n_segs} segments, "
                   f"RTF {total / args.stream_seconds:.4f})")
+            # windowed extraction: per-chunk windows + ramped first chunk
+            t0 = time.monotonic()
+            ttfa_w, n_segs_w = None, 0
+            for start, mel_seg, _ in conv.convert_wav_stream(
+                    wav, 24000, b.raw_reference("S")):
+                n_segs_w += 1
+                if ttfa_w is None:
+                    ttfa_w = time.monotonic() - t0
+            total_w = time.monotonic() - t0
+            print(f"stream[{run}] {args.stream_seconds:.0f}s source "
+                  f"(windowed):  first audio {ttfa_w:.2f}s, "
+                  f"total {total_w:.2f}s ({n_segs_w} segments, "
+                  f"RTF {total_w / args.stream_seconds:.4f})")
         b.close()
         return
 

@@ -251,10 +251,90 @@ class Converter:
         from serenade_tpu.ops.longform import convert_in_chunks_stream
 
         frame_feats = self._source_frame_feats(src_feats)
-        mel_tail = None  # last ctx frames of already-emitted mel
-        for start, seg in convert_in_chunks_stream(
+        yield from self._vocode_segments(
+            convert_in_chunks_stream(
                 frame_feats, self._chunk_converter(ref_feats),
-                chunk_frames=chunk_frames, overlap_frames=overlap_frames):
+                chunk_frames=chunk_frames, overlap_frames=overlap_frames),
+            vocoder_context_frames)
+
+    def convert_wav_stream(
+        self, src_wav: np.ndarray, sr: int,
+        ref_feats: Dict[str, np.ndarray],
+        chunk_frames: int = 2048, overlap_frames: int = 256,
+        first_chunk_frames: int = 512, extract_ctx_frames: int = 256,
+        vocoder_context_frames: int = 32,
+        f0_range: Optional[Tuple[float, float]] = None,
+    ):
+        """Streaming long-form conversion FROM RAW AUDIO with WINDOWED
+        extraction: yields ``(start_frame, mel_segment, wav_segment|None)``
+        like :meth:`convert_features_stream`, but feature extraction
+        (mel/loudness/F0 + ContentVec) runs per conversion chunk instead
+        of over the whole source first — time-to-first-audio pays for one
+        context-padded window (~chunk seconds) of extraction, not the
+        full utterance's.  The next window extracts while the current
+        chunk converts (one-ahead prefetch), and the chunk schedule ramps
+        from ``first_chunk_frames`` up to ``chunk_frames`` so the first
+        audio is small AND fast while steady state keeps big dispatches.
+
+        Requires a ContentVec checkpoint (like :meth:`convert_wav`).
+        Windowed extraction is measured against full-utterance extraction
+        in tests/test_stream_windowed.py (signal features match in span
+        interiors; ContentVec windows differ at its global-attention
+        boundary, blended away by the chunk crossfade).
+        """
+        if self._content_fn is None:
+            raise RuntimeError(
+                "raw-audio conversion requires contentvec_ckpt; use "
+                "convert_features_stream with precomputed features "
+                "otherwise"
+            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        from serenade_tpu.features import (
+            FeatureConfig, _prepare_audio, extract_stream_window,
+            stream_total_frames,
+        )
+        from serenade_tpu.ops.longform import (
+            split_chunks_ramp, stitch_mel_stream,
+        )
+
+        fc = FeatureConfig.from_dict(self.config)
+        audio = _prepare_audio("stream_src", src_wav, sr, fc)
+        n = stream_total_frames(len(audio), fc)
+        spans = split_chunks_ramp(n, chunk_frames, overlap_frames,
+                                  first_chunk_frames)
+        convert_chunk = self._chunk_converter(ref_feats)
+        minf0, maxf0 = f0_range or (70.0, 1100.0)  # f0_range_for defaults
+
+        def extract(span):
+            return extract_stream_window(
+                audio, span, fc, minf0, maxf0,
+                content_fn=self._content_fn,
+                ctx_frames=extract_ctx_frames,
+                with_f0_fluc=self.variant_new,
+            )
+
+        def mels():
+            # one-ahead prefetch: window i+1's extraction dispatches
+            # while chunk i converts (and its mel fetch blocks)
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(extract, spans[0])
+                for i in range(len(spans)):
+                    feats = fut.result()
+                    if i + 1 < len(spans):
+                        fut = ex.submit(extract, spans[i + 1])
+                    yield convert_chunk(feats)
+
+        yield from self._vocode_segments(
+            stitch_mel_stream(spans, mels()), vocoder_context_frames)
+
+    def _vocode_segments(self, segments, vocoder_context_frames: int):
+        """(start, mel_seg) stream -> (start, mel_seg, wav_seg|None):
+        vocode each finalized region with ``vocoder_context_frames`` of
+        already-final left context (re-synthesized and trimmed) so the
+        HiFiGAN receptive field sees real history at segment joins."""
+        mel_tail = None  # last ctx frames of already-emitted mel
+        for start, seg in segments:
             wav_seg = None
             if self.vocoder is not None:
                 ctx = 0 if mel_tail is None else mel_tail.shape[0]

@@ -297,6 +297,116 @@ def _finalize_utt(
     return feats
 
 
+def stream_total_frames(audio_len: int, config: FeatureConfig,
+                        with_hubert: bool = True) -> int:
+    """Frame count a streamed conversion of a ``_prepare_audio``'d waveform
+    of ``audio_len`` samples will produce — the min over the per-stream
+    frame counts, mirroring :func:`_finalize_utt`'s common-min-length
+    truncation (mel ``1 + L//hop``; ContentVec ``(L16-400)//160+1`` after
+    the 16 kHz resample; score ``ceil(seconds/shift)``)."""
+    n = 1 + audio_len // config.hop_size
+    n = min(n, int(np.ceil(
+        audio_len / config.sampling_rate / (config.shiftms / 1000.0))))
+    if with_hubert:
+        n16 = (audio_len * 16000 + config.sampling_rate - 1) \
+            // config.sampling_rate
+        n = min(n, (n16 - 400) // 160 + 1)
+    return n
+
+
+def extract_stream_window(
+    audio: np.ndarray,
+    span: Tuple[int, int],
+    config: FeatureConfig,
+    minf0: float,
+    maxf0: float,
+    *,
+    content_fn=None,
+    f0_backend: str = "viterbi",
+    ctx_frames: int = 256,
+    with_f0_fluc: bool = False,
+    wire_dtype: str = "int16",
+) -> Dict[str, np.ndarray]:
+    """Source-side feature dict (``hubert``/``score``/``loud``/``f0``
+    [, ``f0_fluc``]) for frames ``[s, e)`` of an already
+    ``_prepare_audio``'d waveform, extracted from a context-padded window
+    — the streaming-latency form of :func:`extract_features`: the first
+    conversion chunk's features are ready after one window's worth of
+    device work instead of the whole utterance's.
+
+    Alignment: the window starts at an exact frame boundary
+    (``(s-lc)*hop`` samples, which is also an exact 16 kHz sample for the
+    ContentVec path at 24 kHz), so window frame ``lc+i`` IS global frame
+    ``s+i``.  With ``ctx_frames`` of context on both sides the windowed
+    mel/loudness/F0 match full-utterance extraction in the span interior
+    (STFT and YIN receptive fields are a handful of frames; Viterbi
+    smoothing converges well inside 2.5 s of context).  The two remaining
+    deviations are quantified in tests/test_stream_windowed.py: the
+    loudness top-db clamp is relative to the window (not global) max, and
+    ContentVec's transformer attends only within the window.  Note events
+    for the score are segmented over the window INCLUDING context so
+    notes straddling the span boundary keep their extent.
+    """
+    s, e = span
+    hop = config.hop_size
+    n = e - s
+    lc = min(s, ctx_frames)
+    start = (s - lc) * hop
+    if start >= len(audio):
+        raise ValueError(
+            f"span {span} starts past the waveform "
+            f"({len(audio)} samples); respect stream_total_frames")
+    win = audio[start: min(len(audio), (e + ctx_frames) * hop)]
+    win_b, n_frames_w = _bucketed(win, hop)
+    sig = extract_signal_features_group(
+        [win_b], config, minf0, maxf0, f0_backend, wire_dtype=wire_dtype,
+    )[0]
+    if lc + n > n_frames_w:
+        raise ValueError(
+            f"span {span} exceeds the window's {n_frames_w} frames "
+            f"(total frames bound the caller should respect: "
+            f"stream_total_frames)")
+    f0_w = np.asarray(sig["f0"][:n_frames_w])
+
+    shift_s = config.shiftms / 1000.0
+    notes, intervals = f0_to_note_events(f0_w, frame_shift_s=shift_s)
+    if notes:
+        midi_w = notes_to_frames(notes, intervals,
+                                 len(win) / config.sampling_rate,
+                                 shift_ms=config.shiftms)
+    else:
+        midi_w = np.zeros(n_frames_w, np.int32)
+    if midi_w.shape[0] < lc + n:  # ceil-rounding guard at the stream tail
+        midi_w = np.pad(midi_w, (0, lc + n - midi_w.shape[0]))
+    score = midi_note_array_to_hz(midi_w[lc:lc + n], log_f0=True)[:, None]
+
+    feats = {
+        "loud": np.asarray(sig["loud"][lc:lc + n])[:, None]
+        .astype(np.float32),
+        "f0": f0_w[lc:lc + n, None].astype(np.float32),
+        "score": score.astype(np.float32),
+    }
+    if content_fn is not None:
+        if (hasattr(content_fn, "batch24")
+                and config.sampling_rate == 24000):
+            hub = content_fn.batch24([win], wire_dtype=wire_dtype)[0]
+        else:
+            hub = content_fn(resample(win, config.sampling_rate, 16000))
+        if hub.shape[0] < lc + n:
+            raise ValueError(
+                f"content window produced {hub.shape[0]} frames, span "
+                f"{span} needs {lc + n} — caller exceeded "
+                f"stream_total_frames")
+        # device-resident slice on the batch24 path: the chunk pack
+        # consumes it without a host round trip
+        feats["hubert"] = hub[lc:lc + n]
+    if with_f0_fluc:
+        feats["f0_fluc"] = compute_f0_fluctuation(
+            f0_w, maxf0, config.shiftms
+        )[lc:lc + n, None].astype(np.float32)
+    return feats
+
+
 def compute_f0_fluctuation(f0: np.ndarray, maxf0: float,
                            shiftms: float = 10.0) -> np.ndarray:
     """Spline-smoothed F0 residual (reference preprocess_new.py:538-550)."""

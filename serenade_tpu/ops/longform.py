@@ -32,31 +32,49 @@ def split_chunks(n_frames: int, chunk: int, overlap: int) -> List[tuple]:
     return spans
 
 
-def convert_in_chunks_stream(
-    feats: Dict[str, np.ndarray],
-    convert_fn: Callable[[Dict[str, np.ndarray]], np.ndarray],
-    chunk_frames: int = 2048,
-    overlap_frames: int = 256,
-):
-    """Streaming variant: generator of ``(start_frame, mel_segment)``
-    pairs, in order and non-overlapping, emitted as soon as each region is
-    FINAL (i.e. no later chunk's crossfade can touch it).  First output
-    arrives after one chunk instead of the whole utterance — the live-
-    serving shape of long-form conversion.
-    """
-    lengths = {k: v.shape[0] for k, v in feats.items()}
-    n = min(lengths.values())
-    spans = split_chunks(n, chunk_frames, overlap_frames)
-    if len(spans) == 1:
-        yield 0, np.asarray(convert_fn(feats))
-        return
+def split_chunks_ramp(n_frames: int, chunk: int, overlap: int,
+                      first_chunk: int | None = None) -> List[tuple]:
+    """Like :func:`split_chunks`, but the chunk size ramps up from
+    ``first_chunk``, doubling until it reaches ``chunk``.
 
+    Streaming latency shape: the first finalized region is emitted after
+    ONE chunk's extraction+conversion, so a small first chunk cuts
+    time-to-first-audio; later chunks grow back to ``chunk`` to keep the
+    steady-state dispatch count (and per-chunk overhead) low.
+    """
+    if not first_chunk or first_chunk >= chunk:
+        return split_chunks(n_frames, chunk, overlap)
+    if first_chunk <= overlap:
+        raise ValueError(
+            f"first_chunk ({first_chunk}) must exceed overlap ({overlap})")
+    spans = []
+    s, size = 0, first_chunk
+    while True:
+        e = min(s + size, n_frames)
+        spans.append((s, e))
+        if e == n_frames:
+            return spans
+        s = e - overlap
+        size = min(size * 2, chunk)
+
+
+def stitch_mel_stream(spans: List[tuple], mels):
+    """Crossfade per-span mels into finalized regions as they arrive.
+
+    ``mels`` is an iterable aligned with ``spans`` (one (t, C) mel per
+    span, produced lazily); yields ``(start_frame, mel_segment)`` pairs,
+    in order and non-overlapping, each emitted as soon as no later span's
+    crossfade can touch it — i.e. right after the producing span's mel,
+    not after the whole utterance.  Shared by the feature-sliced
+    (:func:`convert_in_chunks_stream`) and windowed-extraction
+    (api.Converter.convert_wav_stream) long-form paths.
+    """
     buf = None  # not-yet-final tail of the stitched mel
     buf_start = 0
     prev_end = 0
-    for i, (s, e) in enumerate(spans):
-        chunk_feats = {k: v[s:e] for k, v in feats.items()}
-        mel = np.asarray(convert_fn(chunk_feats))
+    for i, (span, mel) in enumerate(zip(spans, mels)):
+        s, e = span
+        mel = np.asarray(mel)
         if buf is None:
             buf = np.array(mel)  # owned copy: device_get arrays are read-only
             prev_end = e
@@ -78,6 +96,27 @@ def convert_in_chunks_stream(
                 buf_start = spans[i + 1][0]
         else:
             yield buf_start, buf
+
+
+def convert_in_chunks_stream(
+    feats: Dict[str, np.ndarray],
+    convert_fn: Callable[[Dict[str, np.ndarray]], np.ndarray],
+    chunk_frames: int = 2048,
+    overlap_frames: int = 256,
+):
+    """Streaming variant: generator of ``(start_frame, mel_segment)``
+    pairs, in order and non-overlapping, emitted as soon as each region is
+    FINAL (i.e. no later chunk's crossfade can touch it).  First output
+    arrives after one chunk instead of the whole utterance — the live-
+    serving shape of long-form conversion.
+    """
+    lengths = {k: v.shape[0] for k, v in feats.items()}
+    n = min(lengths.values())
+    spans = split_chunks(n, chunk_frames, overlap_frames)
+    mels = (
+        convert_fn({k: v[s:e] for k, v in feats.items()}) for s, e in spans
+    )
+    yield from stitch_mel_stream(spans, mels)
 
 
 def convert_in_chunks(

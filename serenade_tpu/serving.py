@@ -513,14 +513,26 @@ def _extract_or_raise(conv, wavs, srs):
     return feats
 
 
+class _RawSource:
+    """A /convert_stream source that arrived as raw audio.  The handler
+    streams it through the WINDOWED extraction path (Converter.
+    convert_wav_stream) so time-to-first-audio pays for one window of
+    extraction, not the whole utterance's; ``?windowed=0`` falls back to
+    full extraction + convert_features_stream."""
+
+    def __init__(self, wav, sr: int):
+        self.wav = wav
+        self.sr = int(sr)
+
+
 def _parse_stream_body(body: bytes, query, batching):
     """/convert_stream input: pre-extracted features (npz ``src_*``
     [+``ref_*``]), RAW AUDIO (RIFF bytes + ``?style=``, or npz with
     ``src_wav``/``sr`` and ``ref_name`` | ``ref_wav``/``ref_sr``), or raw
     source with a feature reference (``src_wav`` + ``ref_*`` arrays).
-    Raw audio extracts on device through the converter's batched int16
-    wire (requires a ContentVec checkpoint) — long-form streaming with
-    the same transfer-light chain as /convert_wav."""
+    Raw sources return a :class:`_RawSource` (extraction is deferred to
+    the windowed streaming path); raw references extract up front (they
+    are short).  Requires a ContentVec checkpoint for any raw audio."""
     conv = batching.converter
     if body[:4] == b"RIFF":
         from serenade_tpu.utils.audio import read_wav
@@ -529,8 +541,7 @@ def _parse_stream_body(body: bytes, query, batching):
         style = query.get("style", [""])[0]
         if not style:
             raise ValueError("RIFF body needs ?style=<registered name>")
-        src = _extract_or_raise(conv, [src_wav], [sr])[0]
-        return src, batching.raw_reference(style)
+        return _RawSource(src_wav, sr), batching.raw_reference(style)
     with np.load(io.BytesIO(body)) as z:
         if "src_wav" not in z.files:
             src, ref = _feats_from_npz(z)
@@ -541,14 +552,13 @@ def _parse_stream_body(body: bytes, query, batching):
         if "ref_name" in z.files:
             ref = batching.raw_reference(str(z["ref_name"]))
         elif "ref_wav" in z.files:
-            src, ref = _extract_or_raise(
-                conv, [src_wav, z["ref_wav"]], [sr, int(z["ref_sr"])])
-            return src, ref
+            ref = _extract_or_raise(
+                conv, [z["ref_wav"]], [int(z["ref_sr"])])[0]
         else:  # raw source, pre-extracted reference features
             ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
             if "ref_f0_fluc" in z.files:
                 ref["f0_fluc"] = z["ref_f0_fluc"]
-    return _extract_or_raise(conv, [src_wav], [sr])[0], ref
+    return _RawSource(src_wav, sr), ref
 
 
 def _parse_ref_npz(body: bytes):
@@ -734,12 +744,29 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                 src, ref = _parse_stream_body(
                     self._read_body(), query, batching)
                 conv = batching.converter
-                gen = conv.convert_features_stream(
-                    src, ref,
-                    chunk_frames=int(query.get("chunk_frames", ["2048"])[0]),
-                    overlap_frames=int(
-                        query.get("overlap_frames", ["256"])[0]),
-                )
+                chunk_frames = int(query.get("chunk_frames", ["2048"])[0])
+                overlap_frames = int(
+                    query.get("overlap_frames", ["256"])[0])
+                windowed = query.get("windowed", ["1"])[0] not in ("0",
+                                                                   "false")
+                if isinstance(src, _RawSource) and windowed:
+                    gen = conv.convert_wav_stream(
+                        src.wav, src.sr, ref,
+                        chunk_frames=chunk_frames,
+                        overlap_frames=overlap_frames,
+                        first_chunk_frames=int(
+                            query.get("first_chunk_frames", ["512"])[0]),
+                        extract_ctx_frames=int(
+                            query.get("extract_ctx_frames", ["256"])[0]),
+                    )
+                else:
+                    if isinstance(src, _RawSource):
+                        src = _extract_or_raise(
+                            conv, [src.wav], [src.sr])[0]
+                    gen = conv.convert_features_stream(
+                        src, ref, chunk_frames=chunk_frames,
+                        overlap_frames=overlap_frames,
+                    )
                 sr = conv.output_sample_rate
                 # pull the FIRST segment before committing to 200: the
                 # generator is lazy, so conversion errors (bad feature

@@ -915,18 +915,29 @@ def test_http_stream_raw_audio(tiny_experiment, tmp_path):
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
         n_frames = conv.extract_from_wav(src_wav, sr, "src")["hubert"].shape[0]
+        # the windowed default streams stream_total_frames (the REAL
+        # ContentVec frame contract); fake_content_fn emits len16//160
+        # frames, so the full-extraction min length differs slightly
+        from serenade_tpu.features import (
+            FeatureConfig, _prepare_audio, stream_total_frames,
+        )
 
-        # RIFF + registered style
+        fc = FeatureConfig.from_dict(conv.config)
+        n_windowed = stream_total_frames(
+            len(_prepare_audio("s", src_wav, sr, fc)), fc)
+
+        # RIFF + registered style (windowed extraction default)
         b.register_reference("S", conv.extract_from_wav(ref_wav, sr, "ref"))
         c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
         c.request("POST",
-                  "/convert_stream?style=S&chunk_frames=48&overlap_frames=16",
+                  "/convert_stream?style=S&chunk_frames=48&overlap_frames=16"
+                  "&first_chunk_frames=32&extract_ctx_frames=32",
                   body=src_path.read_bytes())
         resp = c.getresponse()
         assert resp.status == 200, resp.read()
         blocks = list(iter_stream_blocks(resp))
         assert len(blocks) >= 2
-        assert sum(blk["mel"].shape[0] for blk in blocks) == n_frames
+        assert sum(blk["mel"].shape[0] for blk in blocks) == n_windowed
 
         # npz raw body with an ad-hoc reference waveform
         buf = _io.BytesIO()
@@ -934,6 +945,18 @@ def test_http_stream_raw_audio(tiny_experiment, tmp_path):
                  ref_wav=ref_wav, ref_sr=np.int64(sr))
         c.request("POST", "/convert_stream?chunk_frames=48&overlap_frames=16",
                   body=buf.getvalue())
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        total = sum(blk["mel"].shape[0]
+                    for blk in iter_stream_blocks(resp))
+        assert total == n_windowed
+
+        # ?windowed=0 keeps the legacy full-extraction path (and its
+        # full-path frame count)
+        c.request("POST",
+                  "/convert_stream?style=S&windowed=0"
+                  "&chunk_frames=48&overlap_frames=16",
+                  body=src_path.read_bytes())
         resp = c.getresponse()
         assert resp.status == 200, resp.read()
         total = sum(blk["mel"].shape[0]
