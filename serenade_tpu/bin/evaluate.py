@@ -1,0 +1,131 @@
+"""serenade-evaluate: objective metrics over converted wav directories.
+
+The reference has NO evaluation CLI — its quality loop is listening to
+the artifacts decode/stage-9 write (SURVEY §4; published numbers are
+paper-only).  This closes the loop quantitatively: pair each converted
+wav with its target (ground truth, source, or a parallel reference
+rendition), run the framework's own analysis chain (F0 + CheapTrick +
+mel-cepstrum, serenade_tpu/metrics.py), and report MCD / log-F0 RMSE /
+V/UV error per utterance and averaged.
+
+Pairing: for each wav in --converted-dir, the target is the same
+filename in --target-dir, after stripping --strip-suffixes from the
+stem (decode writes `<utt>_<style>.wav`, stage 9 writes
+`<utt>_sifigan.wav` — both pair against `<utt>.wav` targets).
+
+Usage:
+    python -m serenade_tpu.bin.evaluate \
+        --converted-dir exp/.../wav --target-dir data/gt_wav \
+        --out results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import fnmatch
+import json
+import logging
+import os
+
+
+def _stem_key(name: str, strip_suffixes) -> str:
+    stem = os.path.splitext(os.path.basename(name))[0]
+    for suf in strip_suffixes:
+        if suf and stem.endswith(suf):
+            stem = stem[: -len(suf)]
+    return stem
+
+
+def _index_wavs(root: str):
+    out = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            if fnmatch.fnmatch(f, "*.wav"):
+                out[os.path.splitext(f)[0]] = os.path.join(dirpath, f)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser(
+        description="objective evaluation of converted wavs")
+    p.add_argument("--converted-dir", required=True)
+    p.add_argument("--target-dir", required=True)
+    p.add_argument("--strip-suffixes", nargs="*",
+                   default=["_sifigan", "_Breathy", "_Falsetto",
+                            "_Pharyngeal", "_Mixed_Voice"],
+                   help="suffixes stripped from converted stems before "
+                        "pairing (decode style tags, stage-9 _sifigan)")
+    p.add_argument("--exclude", nargs="*",
+                   default=["*_gt", "*_reference"],
+                   help="converted stems to skip (glob, like stage 9)")
+    p.add_argument("--f0-backend", default="yin",
+                   choices=("yin", "harvest"))
+    p.add_argument("--frame-period-ms", type=float, default=5.0)
+    p.add_argument("--mcep-order", type=int, default=34)
+    p.add_argument("--no-dtw", action="store_true",
+                   help="pair frames by index instead of DTW alignment")
+    p.add_argument("--out", default=None, help="write JSON here as well")
+    p.add_argument("--verbose", type=int, default=1)
+    args = p.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO if args.verbose > 0 else logging.WARN,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: "
+               "%(message)s",
+    )
+
+    from serenade_tpu.metrics import evaluate_pair, summarize
+    from serenade_tpu.utils.audio import read_wav
+
+    targets = _index_wavs(args.target_dir)
+    if not targets:
+        raise SystemExit(f"no target wavs under {args.target_dir}")
+
+    per_utt = {}
+    n_skipped = 0
+    for dirpath, _dirnames, filenames in os.walk(args.converted_dir):
+        for f in sorted(filenames):
+            if not fnmatch.fnmatch(f, "*.wav"):
+                continue
+            stem = os.path.splitext(f)[0]
+            if any(fnmatch.fnmatch(stem, pat) for pat in args.exclude):
+                continue
+            key = _stem_key(f, args.strip_suffixes)
+            tgt = targets.get(key) or targets.get(stem)
+            if tgt is None:
+                logging.info("no target for %s (key %s); skipped", f, key)
+                n_skipped += 1
+                continue
+            wav_c, sr_c = read_wav(os.path.join(dirpath, f))
+            wav_t, sr_t = read_wav(tgt)
+            if sr_c != sr_t:
+                from serenade_tpu.utils.audio import resample
+
+                wav_t = resample(wav_t, sr_t, sr_c)
+            m = evaluate_pair(
+                wav_c, wav_t, sr_c, use_dtw=not args.no_dtw,
+                f0_backend=args.f0_backend,
+                frame_period_ms=args.frame_period_ms,
+                mcep_order=args.mcep_order,
+            )
+            per_utt[stem] = m
+            logging.info(
+                "%s: MCD %.3f dB, F0 RMSE %s cents, VUV err %.3f",
+                stem, m["mcd_db"],
+                "n/a" if m["f0_rmse_cents"] is None
+                else f"{m['f0_rmse_cents']:.1f}",
+                m["vuv_error"])
+
+    if not per_utt:
+        raise SystemExit("no (converted, target) pairs found")
+    result = {"summary": summarize(per_utt), "skipped": n_skipped,
+              "per_utterance": per_utt}
+    print(json.dumps(result["summary"]))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        logging.info("wrote %s", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Objective evaluation metrics (serenade_tpu/metrics.py + bin/evaluate).
+
+Analytic signals with known relationships pin each metric: identical
+signals score ~0, a pitch shift of K cents reads back as ~K cents of
+log-F0 RMSE, additive noise raises MCD, and DTW absorbs a global time
+offset that index-paired MCD mistakes for spectral error.
+"""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from serenade_tpu.metrics import (
+    dtw_path, evaluate_pair, extract_eval_feats, f0_rmse_cents,
+    mel_cepstral_distortion, summarize, vuv_error_rate,
+)
+
+SR = 24000
+DUR = 1.2
+
+
+def _tone(freq, dur=DUR, vibrato=False, noise=1e-3, seed=0):
+    t = np.arange(int(SR * dur)) / SR
+    f = np.full(len(t), float(freq))
+    if vibrato:
+        f = f * (1.0 + 0.01 * np.sin(2 * np.pi * 5 * t))
+    wav = 0.4 * np.sin(2 * np.pi * np.cumsum(f) / SR)
+    if noise:  # a broadband floor, like any real recording
+        wav = wav + noise * np.random.default_rng(seed).normal(
+            size=len(wav))
+    return wav.astype(np.float32)
+
+
+def test_dtw_path_identity_and_offset():
+    # diagonal-dominant cost: path follows the diagonal
+    n = 20
+    cost = np.ones((n, n)) + 5.0 * (1 - np.eye(n))
+    i, j = dtw_path(cost)
+    assert (i == j).all()
+    # rectangular: path is monotone and covers both ends
+    cost = np.abs(np.subtract.outer(np.arange(10) * 2.0, np.arange(20)))
+    i, j = dtw_path(cost)
+    assert i[0] == 0 and j[0] == 0 and i[-1] == 9 and j[-1] == 19
+    assert (np.diff(i) >= 0).all() and (np.diff(j) >= 0).all()
+
+
+def test_identical_signals_score_zero():
+    wav = _tone(262.0, vibrato=True)
+    m = evaluate_pair(wav, wav, SR)
+    # DTW can wander through near-identical stationary frames, so the
+    # self-MCD is tiny rather than exactly zero
+    assert m["mcd_db"] < 0.05
+    assert m["f0_rmse_cents"] == 0.0
+    assert m["vuv_error"] == 0.0
+    assert m["frames"] > 100
+    assert mel_cepstral_distortion(
+        extract_eval_feats(wav, SR)["mcep"],
+        extract_eval_feats(wav, SR)["mcep"], use_dtw=False) == 0.0
+
+
+def test_pitch_shift_reads_back_in_cents():
+    shift_cents = 100.0
+    a = _tone(262.0)
+    b = _tone(262.0 * 2 ** (shift_cents / 1200.0))
+    fa = extract_eval_feats(a, SR)
+    fb = extract_eval_feats(b, SR)
+    rmse = f0_rmse_cents(fa["f0"], fb["f0"])
+    assert rmse == pytest.approx(shift_cents, abs=15.0)
+    assert vuv_error_rate(fa["f0"], fb["f0"]) < 0.1
+
+
+def test_noise_raises_mcd():
+    base = extract_eval_feats(_tone(262.0, noise=0.005), SR)
+    mcds = []
+    for noise in (0.02, 0.1):
+        f_noisy = extract_eval_feats(_tone(262.0, noise=noise, seed=1), SR)
+        mcds.append(mel_cepstral_distortion(base["mcep"],
+                                            f_noisy["mcep"]))
+    assert 0.0 < mcds[0] < mcds[1]
+
+
+def test_dtw_absorbs_time_offset():
+    wav = _tone(262.0, dur=1.0, vibrato=True)
+    # same audio arriving 150 ms late (leading near-silence)
+    pad = np.full(int(0.15 * SR), 1e-4, np.float32)
+    shifted = np.concatenate([pad, wav[: len(wav) - len(pad)]])
+    fa = extract_eval_feats(wav, SR)
+    fb = extract_eval_feats(shifted, SR)
+    mcd_dtw = mel_cepstral_distortion(fa["mcep"], fb["mcep"], use_dtw=True)
+    mcd_raw = mel_cepstral_distortion(fa["mcep"], fb["mcep"], use_dtw=False)
+    assert mcd_dtw < 0.6 * mcd_raw
+
+
+def test_f0_rmse_none_when_unvoiced():
+    silence = np.zeros(200, np.float32)
+    assert f0_rmse_cents(silence, silence) is None
+    s = summarize({"u": {"mcd_db": 1.0, "f0_rmse_cents": None,
+                         "vuv_error": 0.0}})
+    assert s["n_utts"] == 1 and "f0_rmse_cents" not in s
+
+
+def test_evaluate_cli_pairs_and_reports(tmp_path, monkeypatch, capsys):
+    from serenade_tpu.bin.evaluate import main
+    from serenade_tpu.utils.audio import write_wav
+
+    conv = tmp_path / "converted"
+    tgt = tmp_path / "targets"
+    conv.mkdir()
+    tgt.mkdir()
+    write_wav(str(conv / "utt1_Breathy.wav"), _tone(262.0), SR)
+    write_wav(str(conv / "utt2_sifigan.wav"), _tone(330.0), SR)
+    write_wav(str(conv / "utt1_gt.wav"), _tone(999.0), SR)  # excluded
+    write_wav(str(tgt / "utt1.wav"), _tone(262.0), SR)
+    write_wav(str(tgt / "utt2.wav"),
+              _tone(330.0 * 2 ** (50.0 / 1200.0)), SR)
+
+    out_json = tmp_path / "results.json"
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate", "--converted-dir", str(conv), "--target-dir", str(tgt),
+        "--out", str(out_json),
+    ])
+    main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_utts"] == 2
+    assert summary["mcd_db"] >= 0.0
+    full = json.loads(out_json.read_text())
+    per = full["per_utterance"]
+    assert set(per) == {"utt1_Breathy", "utt2_sifigan"}
+    # utt1 is identical to its target; utt2 is 50 cents off
+    assert per["utt1_Breathy"]["mcd_db"] < 0.05
+    assert per["utt2_sifigan"]["f0_rmse_cents"] == pytest.approx(50.0,
+                                                                 abs=15.0)
