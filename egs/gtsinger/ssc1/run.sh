@@ -15,6 +15,9 @@
 #   7  cyclic fine-tuning from the stage-3 checkpoint
 #   8  decode with the cyclic model
 #   9  SiFiGAN post-processing
+#  10  objective evaluation (MCD / log-F0 RMSE / V/UV vs source wavs —
+#      content/melody preservation; the upstream recipe has no
+#      evaluation tooling at all)
 
 set -euo pipefail
 
@@ -43,6 +46,8 @@ skip_gtmidi=false     # true => no GT score MIDI (datasets without JSON scores)
 sifigan_ckpt=pt_models/sifigan/checkpoint.pkl  # torch .pkl or orbax dir
 sifigan_stats=pt_models/sifigan/stats.joblib   # released-model scaler
 sifigan_conf=""       # stage-9 yaml (sample_rate/generator dims overrides)
+eval_target_dir=""    # stage 10: wavs to pair converted outputs against
+                      # (content-preservation metrics; default db_root)
 
 . ./path.sh
 . ./utils/parse_options.sh
@@ -226,6 +231,24 @@ if [ "${stage}" -le 9 ] && [ "${stop_stage}" -ge 9 ]; then
         python -m serenade_tpu.bin.ssc_postprocessing \
             --in-dir "${expdir}_cyclic/decoded/${split}" \
             "${post_args[@]+"${post_args[@]}"}"
+    done
+fi
+
+if [ "${stage}" -le 10 ] && [ "${stop_stage}" -ge 10 ]; then
+    echo "stage 10: objective evaluation"
+    for split in ${dev_set} ${eval_set}; do
+        tgt_args=(--target-scp "data/${split}/wav.scp")
+        [ -n "${eval_target_dir}" ] \
+            && tgt_args=(--target-dir "${eval_target_dir}")
+        # prefer the cyclic model's decodes (the final output) when present
+        for dir in "${expdir}_cyclic/decoded/${split}" \
+                   "${expdir}/decoded/${split}"; do
+            [ -d "${dir}" ] || continue
+            python -m serenade_tpu.bin.evaluate \
+                --converted-dir "${dir}" "${tgt_args[@]}" \
+                --out "${dir}/eval.json"
+            break
+        done
     done
 fi
 

@@ -88,6 +88,7 @@ class Converter:
             from serenade_tpu.bin.preprocess import make_content_fn
 
             self._content_fn = make_content_fn(contentvec_ckpt)
+        self._gst_fn = None  # lazy jit (style_embedding)
 
         self._infer = jax.jit(self._infer_impl)
 
@@ -556,3 +557,40 @@ class Converter:
             self.extract_from_wav(src_wav, sr, "src"),
             self.extract_from_wav(ref_wav, sr, "ref"),
         )
+
+    def style_embedding(self, wav: Optional[np.ndarray] = None,
+                        sr: Optional[int] = None,
+                        logmel: Optional[np.ndarray] = None) -> np.ndarray:
+        """GST style embedding (embed_dim,) of a waveform or an
+        un-normalized (T, num_mels) logmel — the model's own measure of
+        singing style, used by `bin/evaluate --ref-dict` to score style
+        transfer (cosine of converted output vs the style reference)."""
+        import jax
+        import jax.numpy as jnp
+
+        from serenade_tpu.collaters.ssc import bucket_length, pad_to
+        from serenade_tpu.features import FeatureConfig
+
+        if logmel is None:
+            from serenade_tpu.ops.mel import logmelfilterbank
+            from serenade_tpu.utils.audio import resample, to_mono
+
+            fc = FeatureConfig.from_dict(self.config)
+            wav = to_mono(np.asarray(wav, np.float32))
+            if sr is not None and sr != fc.sampling_rate:
+                wav = resample(wav, sr, fc.sampling_rate)
+            logmel = np.asarray(logmelfilterbank(
+                jnp.asarray(wav), fc.sampling_rate, fft_size=fc.fft_size,
+                hop_size=fc.hop_size, win_length=fc.win_length,
+                num_mels=fc.num_mels, fmin=fc.fmin, fmax=fc.fmax,
+                eps=fc.eps, log_base=fc.log_base))
+        s = self.scaler["logmel"]
+        mel_n = (np.asarray(logmel) - s.mean_) / s.scale_
+        t = mel_n.shape[0]
+        if self._gst_fn is None:
+            self._gst_fn = jax.jit(lambda p, mel, lens: self.model.apply(
+                p, mel, lens, method=lambda m, mel_, l_: m.gst(mel_, l_)))
+        mel_b = jnp.asarray(pad_to(mel_n.astype(np.float32),
+                                   bucket_length(t)))[None]
+        emb = self._gst_fn(self.params, mel_b, jnp.asarray([t]))
+        return np.asarray(emb)[0]

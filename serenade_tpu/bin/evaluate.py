@@ -49,7 +49,12 @@ def main():
     p = argparse.ArgumentParser(
         description="objective evaluation of converted wavs")
     p.add_argument("--converted-dir", required=True)
-    p.add_argument("--target-dir", required=True)
+    p.add_argument("--target-dir", default=None,
+                   help="directory of target wavs, indexed by filename stem")
+    p.add_argument("--target-scp", default=None,
+                   help="kaldi wav.scp indexing targets by utterance id "
+                        "(the recipe's data/<split>/wav.scp — robust when "
+                        "corpus filenames don't match utterance ids)")
     p.add_argument("--strip-suffixes", nargs="*",
                    default=["_sifigan", "_Breathy", "_Falsetto",
                             "_Pharyngeal", "_Mixed_Voice"],
@@ -64,6 +69,16 @@ def main():
     p.add_argument("--mcep-order", type=int, default=34)
     p.add_argument("--no-dtw", action="store_true",
                    help="pair frames by index instead of DTW alignment")
+    p.add_argument("--expdir", default=None,
+                   help="experiment dir (with --stats and --ref-dict: "
+                        "adds style_cos, the GST-embedding cosine of each "
+                        "converted wav vs its style reference — the "
+                        "model's own measure of style transfer)")
+    p.add_argument("--stats", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--ref-dict", default=None,
+                   help="style -> reference h5 map (decode's "
+                        "refstyles.json)")
     p.add_argument("--out", default=None, help="write JSON here as well")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
@@ -77,9 +92,45 @@ def main():
     from serenade_tpu.metrics import evaluate_pair, summarize
     from serenade_tpu.utils.audio import read_wav
 
-    targets = _index_wavs(args.target_dir)
+    if not args.target_dir and not args.target_scp:
+        raise SystemExit("need --target-dir or --target-scp")
+    targets = {}
+    if args.target_dir:
+        targets.update(_index_wavs(args.target_dir))
+    if args.target_scp:
+        with open(args.target_scp) as f:
+            for line in f:
+                parts = line.strip().split(maxsplit=1)
+                if len(parts) == 2:
+                    targets[parts[0]] = parts[1]
     if not targets:
-        raise SystemExit(f"no target wavs under {args.target_dir}")
+        raise SystemExit(
+            f"no target wavs under {args.target_dir or args.target_scp}")
+
+    style_scorer = None
+    if args.expdir and args.stats and args.ref_dict:
+        from serenade_tpu.api import Converter
+        from serenade_tpu.metrics import cosine_similarity
+        from serenade_tpu.utils.h5 import read_hdf5
+
+        conv = Converter(args.expdir, args.stats,
+                         checkpoint=args.checkpoint)
+        with open(args.ref_dict) as f:
+            ref_map = json.load(f)
+        ref_embs = {
+            style: conv.style_embedding(
+                logmel=read_hdf5(path, "logmel"))
+            for style, path in ref_map.items()
+        }
+
+        def style_scorer(stem, wav, sr):
+            s = stem[: -len("_sifigan")] if stem.endswith("_sifigan") \
+                else stem
+            for style, emb in ref_embs.items():
+                if s.endswith(f"_{style}"):
+                    return cosine_similarity(
+                        conv.style_embedding(wav, sr), emb)
+            return None
 
     per_utt = {}
     n_skipped = 0
@@ -108,6 +159,8 @@ def main():
                 frame_period_ms=args.frame_period_ms,
                 mcep_order=args.mcep_order,
             )
+            if style_scorer is not None:
+                m["style_cos"] = style_scorer(stem, wav_c, sr_c)
             per_utt[stem] = m
             logging.info(
                 "%s: MCD %.3f dB, F0 RMSE %s cents, VUV err %.3f",

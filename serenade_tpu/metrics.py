@@ -185,10 +185,17 @@ def evaluate_pair(
     }
 
 
+def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    return float(a @ b / denom) if denom > 0 else 0.0
+
+
 def summarize(per_utt: Dict[str, Dict[str, Optional[float]]]) -> Dict:
     """Mean over utterances (None-valued entries skipped per metric)."""
     out: Dict[str, float] = {}
-    for key in ("mcd_db", "f0_rmse_cents", "vuv_error"):
+    for key in ("mcd_db", "f0_rmse_cents", "vuv_error", "style_cos"):
         vals = [m[key] for m in per_utt.values() if m.get(key) is not None]
         if vals:
             out[key] = float(np.mean(vals))

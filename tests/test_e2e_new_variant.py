@@ -85,3 +85,41 @@ def test_new_variant_train_and_decode(workdir_new):
     assert decoded
     mel = read_hdf5(os.path.join(outdir, decoded[0]), "mel")
     assert mel is not None and np.isfinite(mel).all()
+
+
+def test_new_variant_windowed_stream(workdir_new):
+    """convert_wav_stream threads the f0_fluc feature (computed per
+    extraction window) through the SerenadeNew chunk converter."""
+    from tests.test_stream_windowed import local_content_fn
+
+    from serenade_tpu.api import Converter
+    from serenade_tpu.features import (
+        FeatureConfig, _prepare_audio, stream_total_frames,
+    )
+
+    root = workdir_new
+    conv = Converter(str(root / "exp"),
+                     str(root / "stats" / "stats.joblib"), n_timesteps=2)
+    assert conv.variant_new
+    conv._content_fn = local_content_fn
+
+    fc = FeatureConfig.from_dict(conv.config)
+    h5 = sorted((root / "dump").glob("*.h5"))[0]
+    ref = {k: read_hdf5(str(h5), k)
+           for k in ("hubert", "logmel", "loud", "f0_fluc",
+                     "est_lf0_score")}
+    ref["score"] = ref.pop("est_lf0_score")
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(24000 * 2.0)) / 24000
+    wav = (0.3 * np.sin(2 * np.pi * 262.0 * np.cumsum(
+        np.ones_like(t)) / 24000)
+           + 1e-3 * rng.normal(size=len(t))).astype(np.float32)
+    n = stream_total_frames(len(_prepare_audio("s", wav, 24000, fc)), fc)
+
+    segs = list(conv.convert_wav_stream(
+        wav, 24000, ref, chunk_frames=128, overlap_frames=32,
+        first_chunk_frames=64, extract_ctx_frames=64))
+    assert sum(seg.shape[0] for _, seg, _ in segs) == n
+    for _, seg, _ in segs:
+        assert np.isfinite(seg).all()

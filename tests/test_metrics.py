@@ -13,9 +13,10 @@ import numpy as np
 import pytest
 
 from serenade_tpu.metrics import (
-    dtw_path, evaluate_pair, extract_eval_feats, f0_rmse_cents,
-    mel_cepstral_distortion, summarize, vuv_error_rate,
+    cosine_similarity, dtw_path, evaluate_pair, extract_eval_feats,
+    f0_rmse_cents, mel_cepstral_distortion, summarize, vuv_error_rate,
 )
+from tests.test_serving import tiny_experiment  # noqa: F401 (fixture)
 
 SR = 24000
 DUR = 1.2
@@ -99,6 +100,68 @@ def test_f0_rmse_none_when_unvoiced():
     s = summarize({"u": {"mcd_db": 1.0, "f0_rmse_cents": None,
                          "vuv_error": 0.0}})
     assert s["n_utts"] == 1 and "f0_rmse_cents" not in s
+
+
+def test_style_embedding_similarity(tiny_experiment):  # noqa: F811
+    """GST-embedding cosine: identical references score ~1; a different
+    style's reference scores lower; the waveform path lands near the
+    logmel path for the same audio."""
+    conv, items = tiny_experiment
+    keys = list(items)
+    mel1 = items[keys[0]]["logmel"]
+    mel2 = items[keys[1]]["logmel"]
+    e1 = conv.style_embedding(logmel=mel1)
+    assert e1.ndim == 1 and np.isfinite(e1).all()
+    self_cos = cosine_similarity(e1, conv.style_embedding(logmel=mel1))
+    assert self_cos > 0.9999
+    cross_cos = cosine_similarity(e1, conv.style_embedding(logmel=mel2))
+    assert cross_cos < self_cos
+    # waveform front-end: same utterance through audio vs its dumped
+    # logmel must agree far better than different utterances do
+    wav = np.asarray(items[keys[0]]["wave"])
+    e1_wav = conv.style_embedding(wav=wav, sr=24000)
+    assert cosine_similarity(e1, e1_wav) > cross_cos
+
+
+def test_evaluate_cli_style_similarity(tiny_experiment, tmp_path,  # noqa: F811
+                                       monkeypatch, capsys):
+    import sys as _sys
+
+    from serenade_tpu.bin.evaluate import main
+    from serenade_tpu.utils.audio import write_wav
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    conv, items = tiny_experiment
+    expdir, stats = conv._paths
+    keys = list(items)
+    ref_h5 = tmp_path / "ref.h5"
+    write_hdf5(str(ref_h5), "logmel", items[keys[0]]["logmel"])
+    ref_dict = tmp_path / "refstyles.json"
+    ref_dict.write_text(json.dumps({"Breathy": str(ref_h5)}))
+
+    convd = tmp_path / "conv"
+    tgtd = tmp_path / "tgt"
+    convd.mkdir()
+    tgtd.mkdir()
+    write_wav(str(convd / "u_Breathy.wav"), _tone(220.0), SR)
+    write_wav(str(convd / "u_nomatch.wav"), _tone(220.0), SR)
+    write_wav(str(tgtd / "u.wav"), _tone(220.0), SR)
+    write_wav(str(tgtd / "u_nomatch.wav"), _tone(220.0), SR)
+
+    out_json = tmp_path / "res.json"
+    monkeypatch.setattr(_sys, "argv", [
+        "evaluate", "--converted-dir", str(convd),
+        "--target-dir", str(tgtd), "--expdir", expdir, "--stats", stats,
+        "--ref-dict", str(ref_dict), "--out", str(out_json),
+    ])
+    main()
+    full = json.loads(out_json.read_text())
+    per = full["per_utterance"]
+    cos = per["u_Breathy"]["style_cos"]
+    assert cos is not None and -1.0 <= cos <= 1.0
+    # stems without a known style tag carry no style score
+    assert per["u_nomatch"]["style_cos"] is None
+    assert "style_cos" in full["summary"]
 
 
 def test_evaluate_cli_pairs_and_reports(tmp_path, monkeypatch, capsys):

@@ -265,7 +265,7 @@ def test_recipe_full_pipeline_stages_0_to_9(tmp_path):
     assert cl is not None and np.isfinite(cl).all() and cl.shape[1] == N_MELS
 
     inject_hubert(work / "dump" / "train_cyclic")
-    run_stages(7, 9, "--sifigan_ckpt", str(sifi_dir / "checkpoint-1steps"),
+    run_stages(7, 10, "--sifigan_ckpt", str(sifi_dir / "checkpoint-1steps"),
                "--sifigan_conf", str(sifi_yml))
     # stage 7: cyclic experiment trained from the stage-3 checkpoint
     assert (work / "exp" / "serenade_cyclic" / "checkpoint-2steps").is_dir()
@@ -282,3 +282,16 @@ def test_recipe_full_pipeline_stages_0_to_9(tmp_path):
 
     y, sr = read_wav(str(sifi_wavs[0]))
     assert sr == SR and np.isfinite(y).all() and len(y) > 0
+    # stage 10: objective evaluation written, pairs found via wav.scp,
+    # summary metrics finite
+    import json
+
+    for split in ("dev", "test"):
+        ev = work / "exp" / "serenade_cyclic" / "decoded" / split / \
+            "eval.json"
+        assert ev.is_file(), split
+        result = json.loads(ev.read_text())
+        assert result["summary"]["n_utts"] >= 1
+        assert np.isfinite(result["summary"]["mcd_db"])
+        for m in result["per_utterance"].values():
+            assert np.isfinite(m["mcd_db"]) and m["frames"] > 0
