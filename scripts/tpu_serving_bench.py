@@ -198,11 +198,32 @@ def main():
     latencies = []
     lock = threading.Lock()
 
+    # pre-generate every request payload: synthesizing 6 s waveforms in
+    # numpy inside the timed loop serializes the clients on the GIL
+    # (tens of ms per round vs a 20 ms batching window), which halves
+    # measured occupancy — a bench artifact, not a serving property
+    if args.raw_audio:
+        payloads = [
+            [synth_wav_request(np.random.default_rng(100 + i), args.src_frames)
+             for _ in range(args.requests_per_client)]
+            for i in range(args.clients)]
+
+        def send(i, k):
+            b.convert_wav(payloads[i][k], 24000, "S", timeout=3600.0)
+    else:
+        payloads = [
+            [synth_request(np.random.default_rng(100 + i), args.src_frames,
+                           args.ref_frames)
+             for _ in range(args.requests_per_client)]
+            for i in range(args.clients)]
+
+        def send(i, k):
+            b.convert(*payloads[i][k], timeout=3600.0)
+
     def client(i):
-        r = np.random.default_rng(100 + i)
-        for _ in range(args.requests_per_client):
+        for k in range(args.requests_per_client):
             t0 = time.monotonic()
-            submit(r)
+            send(i, k)
             dt = time.monotonic() - t0
             with lock:
                 latencies.append(dt)

@@ -124,13 +124,21 @@ def main():
         }
 
         def style_scorer(stem, wav, sr):
-            s = stem[: -len("_sifigan")] if stem.endswith("_sifigan") \
-                else stem
-            for style, emb in ref_embs.items():
-                if s.endswith(f"_{style}"):
-                    return cosine_similarity(
-                        conv.style_embedding(wav, sr), emb)
-            return None
+            # peel --strip-suffixes one at a time, checking for a style
+            # tag before each strip (the strip list usually contains the
+            # style tags themselves, so stripping first would lose them)
+            s = stem
+            while True:
+                for style, emb in ref_embs.items():
+                    if s.endswith(f"_{style}"):
+                        return cosine_similarity(
+                            conv.style_embedding(wav, sr), emb)
+                for suf in args.strip_suffixes:
+                    if suf and s.endswith(suf):
+                        s = s[: -len(suf)]
+                        break
+                else:
+                    return None
 
     per_utt = {}
     n_skipped = 0

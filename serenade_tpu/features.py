@@ -350,6 +350,11 @@ def extract_stream_window(
     s, e = span
     hop = config.hop_size
     n = e - s
+    if content_fn is not None:
+        # ContentVec's 400-sample receptive field eats ~2 frames at the
+        # window tail ((K*160-400)//160+1 = K-2): below 2 frames of
+        # context every interior window would come up short
+        ctx_frames = max(ctx_frames, 2)
     lc = min(s, ctx_frames)
     start = (s - lc) * hop
     if start >= len(audio):

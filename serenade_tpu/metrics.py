@@ -69,16 +69,15 @@ def extract_eval_feats(
     f0 (T,), vuv (T,)."""
     import jax.numpy as jnp
 
+    from serenade_tpu.features import _bucketed
     from serenade_tpu.ops.sptk import ALPHA, sp2mc
+    from serenade_tpu.utils.audio import to_mono
 
-    wav = np.asarray(wav, np.float32)
+    wav = to_mono(np.asarray(wav)).astype(np.float32)
     hop = int(sr * frame_period_ms / 1000.0)
-    n_frames = 1 + len(wav) // hop
-    bucket = 128 * hop
-    padded = ((len(wav) + bucket - 1) // bucket) * bucket
-    wav_b = np.pad(wav, (0, padded - len(wav)))
-    fn = _analysis_program(padded, sr, frame_period_ms, f0_floor, f0_ceil,
-                           f0_backend)
+    wav_b, n_frames = _bucketed(wav, hop)
+    fn = _analysis_program(len(wav_b), sr, frame_period_ms, f0_floor,
+                           f0_ceil, f0_backend)
     f0, vuv, log_env = (np.asarray(a) for a in fn(jnp.asarray(wav_b)))
     alpha = ALPHA.get(sr, 0.466)
     mcep = sp2mc(np.exp(log_env[:n_frames]), mcep_order, alpha)
@@ -89,20 +88,39 @@ def extract_eval_feats(
     }
 
 
-def dtw_path(cost: np.ndarray):
+def dtw_path(cost: np.ndarray, band_frac: float = 0.25):
     """Dynamic-time-warping alignment through a (T1, T2) cost matrix;
     returns (idx1, idx2) monotone index arrays of the optimal path.
 
     The accumulation runs over anti-diagonal wavefronts (each diagonal
     depends only on the previous two), so the DP is T1+T2 vectorized
-    steps instead of a T1*T2 Python loop."""
+    steps instead of a T1*T2 Python loop.  A Sakoe-Chiba band of radius
+    ``max(|T1-T2| + 32, band_frac * max(T1, T2))`` around the scaled
+    diagonal bounds the compute for long sequences (global offsets well
+    inside the band still align exactly; ``band_frac=1`` disables it).
+    The float32 accumulator is still (T1, T2) — minute-scale clips at
+    5 ms frames get large; prefer a coarser ``frame_period_ms`` there.
+    """
     t1, t2 = cost.shape
-    acc = np.full((t1, t2), np.inf, np.float64)
+    if t1 * t2 > 16_000_000:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dtw over %dx%d frames (%.0f MB); consider a larger "
+            "frame_period_ms for long clips", t1, t2,
+            t1 * t2 * 8e-6)
+    radius = max(abs(t1 - t2) + 32, int(band_frac * max(t1, t2)))
+    acc = np.full((t1, t2), np.inf, np.float32)
     acc[0, 0] = cost[0, 0]
+    scale = t2 / max(t1, 1)
     for d in range(1, t1 + t2 - 1):
         i = np.arange(max(0, d - t2 + 1), min(t1, d + 1))
         j = d - i
-        cand = np.full((3, len(i)), np.inf)
+        in_band = np.abs(i * scale - j) <= radius
+        i, j = i[in_band], j[in_band]
+        if not len(i):
+            continue
+        cand = np.full((3, len(i)), np.inf, np.float32)
         up = i > 0
         cand[0, up] = acc[i[up] - 1, j[up]]
         left = j > 0

@@ -94,6 +94,31 @@ def test_dtw_absorbs_time_offset():
     assert mcd_dtw < 0.6 * mcd_raw
 
 
+def test_stereo_wavs_fold_to_mono():
+    """(T, 2) inputs (stereo corpus files) must analyze like their mono
+    mixdown instead of shape-erroring in the jitted analysis."""
+    wav = _tone(262.0)
+    stereo = np.stack([wav, wav], axis=1)
+    m = evaluate_pair(stereo, wav, SR)
+    assert m["mcd_db"] < 0.05
+    assert m["vuv_error"] == 0.0
+
+
+def test_dtw_band_still_absorbs_offsets():
+    """The Sakoe-Chiba band must not clip a 15% global offset."""
+    n = 200
+    rng = np.random.default_rng(0)
+    base = np.cumsum(rng.normal(size=(n + 30, 4)), axis=0)  # aperiodic
+    a, b = base[30:], base[:n]  # a[i] == b[i + 30]
+    sq = (np.sum(a**2, 1)[:, None] + np.sum(b**2, 1)[None, :]
+          - 2 * (a @ b.T))
+    i, j = dtw_path(np.sqrt(np.maximum(sq, 0)))
+    assert i[0] == 0 and i[-1] == n - 1 and j[-1] == n - 1
+    # the matched region aligns at the 30-frame lag
+    lags = (j - i)[len(i) // 4: -len(i) // 4]
+    assert np.median(lags) == pytest.approx(30, abs=2)
+
+
 def test_f0_rmse_none_when_unvoiced():
     silence = np.zeros(200, np.float32)
     assert f0_rmse_cents(silence, silence) is None
@@ -144,6 +169,7 @@ def test_evaluate_cli_style_similarity(tiny_experiment, tmp_path,  # noqa: F811
     convd.mkdir()
     tgtd.mkdir()
     write_wav(str(convd / "u_Breathy.wav"), _tone(220.0), SR)
+    write_wav(str(convd / "u_Breathy_custom.wav"), _tone(220.0), SR)
     write_wav(str(convd / "u_nomatch.wav"), _tone(220.0), SR)
     write_wav(str(tgtd / "u.wav"), _tone(220.0), SR)
     write_wav(str(tgtd / "u_nomatch.wav"), _tone(220.0), SR)
@@ -153,12 +179,16 @@ def test_evaluate_cli_style_similarity(tiny_experiment, tmp_path,  # noqa: F811
         "evaluate", "--converted-dir", str(convd),
         "--target-dir", str(tgtd), "--expdir", expdir, "--stats", stats,
         "--ref-dict", str(ref_dict), "--out", str(out_json),
+        "--strip-suffixes", "_custom", "_Breathy",
     ])
     main()
     full = json.loads(out_json.read_text())
     per = full["per_utterance"]
     cos = per["u_Breathy"]["style_cos"]
     assert cos is not None and -1.0 <= cos <= 1.0
+    # custom post-style suffixes (like stage 9's _sifigan) still resolve
+    # the style tag for scoring
+    assert per["u_Breathy_custom"]["style_cos"] is not None
     # stems without a known style tag carry no style score
     assert per["u_nomatch"]["style_cos"] is None
     assert "style_cos" in full["summary"]

@@ -261,6 +261,27 @@ def test_convert_wav_stream_end_to_end(tiny_experiment):  # noqa: F811
         conv._content_fn = old_content
 
 
+def test_convert_wav_stream_zero_ctx_clamped(tiny_experiment):  # noqa: F811
+    """extract_ctx_frames=0 (a legal serving query param) must not trip
+    the ContentVec receptive-field guard on interior windows — the
+    window context clamps to the 2 frames the conv stack consumes."""
+    conv, _items = tiny_experiment
+    fc = FeatureConfig.from_dict(conv.config)
+    wav = _synth_notes(3.0)
+    old_content = conv._content_fn
+    conv._content_fn = local_content_fn
+    try:
+        n = stream_total_frames(
+            len(_prepare_audio("s", wav, fc.sampling_rate, fc)), fc)
+        segs = list(conv.convert_wav_stream(
+            wav, fc.sampling_rate, _items[list(_items)[0]],
+            chunk_frames=128, overlap_frames=32, first_chunk_frames=64,
+            extract_ctx_frames=0))
+        assert sum(seg.shape[0] for _, seg, _ in segs) == n
+    finally:
+        conv._content_fn = old_content
+
+
 def test_convert_wav_stream_tracks_full_extraction(tiny_experiment):  # noqa: F811
     """Windowed streaming output stays close to the same conversion run
     from FULL-utterance extraction over identical spans and CFM keys —
