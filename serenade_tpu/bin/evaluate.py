@@ -89,7 +89,7 @@ def main():
                "%(message)s",
     )
 
-    from serenade_tpu.metrics import evaluate_pair, summarize
+    from serenade_tpu.metrics import summarize
     from serenade_tpu.utils.audio import read_wav
 
     if not args.target_dir and not args.target_scp:
@@ -140,7 +140,11 @@ def main():
                 else:
                     return None
 
-    per_utt = {}
+    # collect all pairs first, then batch-extract: same-bucket clips
+    # share one vmapped analysis dispatch (corpus evaluation stops
+    # paying the per-utterance dispatch floor).  Waveforms are held in
+    # memory for the batch — fine at eval-split scale.
+    pairs = []  # (stem, wav_c, wav_t, sr)
     n_skipped = 0
     for dirpath, _dirnames, filenames in os.walk(args.converted_dir):
         for f in sorted(filenames):
@@ -161,21 +165,36 @@ def main():
                 from serenade_tpu.utils.audio import resample
 
                 wav_t = resample(wav_t, sr_t, sr_c)
-            m = evaluate_pair(
-                wav_c, wav_t, sr_c, use_dtw=not args.no_dtw,
-                f0_backend=args.f0_backend,
-                frame_period_ms=args.frame_period_ms,
-                mcep_order=args.mcep_order,
-            )
-            if style_scorer is not None:
-                m["style_cos"] = style_scorer(stem, wav_c, sr_c)
-            per_utt[stem] = m
-            logging.info(
-                "%s: MCD %.3f dB, F0 RMSE %s cents, VUV err %.3f",
-                stem, m["mcd_db"],
-                "n/a" if m["f0_rmse_cents"] is None
-                else f"{m['f0_rmse_cents']:.1f}",
-                m["vuv_error"])
+            pairs.append((stem, wav_c, wav_t, sr_c))
+
+    from serenade_tpu.metrics import extract_eval_feats_batch, pair_metrics
+
+    feats_c = [None] * len(pairs)
+    feats_t = [None] * len(pairs)
+    by_sr = {}
+    for i, (_stem, _wc, _wt, sr) in enumerate(pairs):
+        by_sr.setdefault(sr, []).append(i)
+    kw = dict(f0_backend=args.f0_backend,
+              frame_period_ms=args.frame_period_ms,
+              mcep_order=args.mcep_order)
+    for sr, idxs in by_sr.items():
+        fc = extract_eval_feats_batch([pairs[i][1] for i in idxs], sr, **kw)
+        ft = extract_eval_feats_batch([pairs[i][2] for i in idxs], sr, **kw)
+        for j, i in enumerate(idxs):
+            feats_c[i], feats_t[i] = fc[j], ft[j]
+
+    per_utt = {}
+    for i, (stem, wav_c, _wav_t, sr_c) in enumerate(pairs):
+        m = pair_metrics(feats_c[i], feats_t[i], use_dtw=not args.no_dtw)
+        if style_scorer is not None:
+            m["style_cos"] = style_scorer(stem, wav_c, sr_c)
+        per_utt[stem] = m
+        logging.info(
+            "%s: MCD %.3f dB, F0 RMSE %s cents, VUV err %.3f",
+            stem, m["mcd_db"],
+            "n/a" if m["f0_rmse_cents"] is None
+            else f"{m['f0_rmse_cents']:.1f}",
+            m["vuv_error"])
 
     if not per_utt:
         raise SystemExit("no (converted, target) pairs found")

@@ -34,8 +34,11 @@ _CENTS = 1200.0 / np.log(2.0)
 
 @functools.lru_cache(maxsize=None)
 def _analysis_program(padded_len: int, fs: int, frame_period_ms: float,
-                      f0_floor: float, f0_ceil: float, backend: str):
-    """Jitted F0 + CheapTrick envelope for one waveform length bucket."""
+                      f0_floor: float, f0_ceil: float, backend: str,
+                      batched: bool = False):
+    """Jitted F0 + CheapTrick envelope for one waveform length bucket
+    (``batched``: one vmapped dispatch for a (B, L) group — identical
+    per-row numerics)."""
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +55,7 @@ def _analysis_program(padded_len: int, fs: int, frame_period_ms: float,
                          frame_period_ms=frame_period_ms)
         return f0, vuv, jnp.log(jnp.maximum(env, 1e-12))
 
-    return jax.jit(run)
+    return jax.jit(jax.vmap(run) if batched else run)
 
 
 def extract_eval_feats(
@@ -86,6 +89,58 @@ def extract_eval_feats(
         "f0": f0[:n_frames].astype(np.float32),
         "vuv": vuv[:n_frames].astype(np.float32),
     }
+
+
+def extract_eval_feats_batch(
+    wavs,
+    sr: int,
+    *,
+    frame_period_ms: float = 5.0,
+    f0_floor: float = 70.0,
+    f0_ceil: float = 1100.0,
+    f0_backend: str = "yin",
+    mcep_order: int = 34,
+    max_group: int = 8,
+):
+    """Batched :func:`extract_eval_feats` over many waveforms: same-bucket
+    clips vmap through ONE jitted F0+CheapTrick dispatch (the offline
+    preprocessing pattern — corpus evaluation stops paying the
+    per-utterance dispatch floor).  Per-row numerics are identical to the
+    solo path (same padded shapes).  Returns a list of feature dicts in
+    input order."""
+    import jax.numpy as jnp
+
+    from serenade_tpu.features import _bucketed
+    from serenade_tpu.collaters.ssc import pad_pow2
+    from serenade_tpu.ops.sptk import ALPHA, sp2mc
+    from serenade_tpu.utils.audio import to_mono
+
+    hop = int(sr * frame_period_ms / 1000.0)
+    prepped = [_bucketed(to_mono(np.asarray(w)).astype(np.float32), hop)
+               for w in wavs]
+    groups = {}
+    for i, (wav_b, _n) in enumerate(prepped):
+        groups.setdefault(wav_b.shape[0], []).append(i)
+
+    alpha = ALPHA.get(sr, 0.466)
+    out = [None] * len(prepped)
+    for padded, idxs in groups.items():
+        fn = _analysis_program(padded, sr, frame_period_ms, f0_floor,
+                               f0_ceil, f0_backend, batched=True)
+        for lo in range(0, len(idxs), max_group):
+            chunk = idxs[lo:lo + max_group]
+            run = pad_pow2(chunk)  # bounds compiles per bucket to log2
+            f0, vuv, log_env = (np.asarray(a) for a in fn(
+                jnp.stack([jnp.asarray(prepped[i][0]) for i in run])))
+            for row, i in enumerate(chunk):
+                n = prepped[i][1]
+                out[i] = {
+                    "mcep": sp2mc(np.exp(log_env[row, :n]), mcep_order,
+                                  alpha).astype(np.float32),
+                    "f0": f0[row, :n].astype(np.float32),
+                    "vuv": vuv[row, :n].astype(np.float32),
+                }
+    return out
 
 
 def dtw_path(cost: np.ndarray, band_frac: float = 0.25):
@@ -187,13 +242,9 @@ def vuv_error_rate(f0a: np.ndarray, f0b: np.ndarray) -> float:
     return float(np.mean((f0a[:n] > 0) != (f0b[:n] > 0)))
 
 
-def evaluate_pair(
-    wav_a: np.ndarray, wav_b: np.ndarray, sr: int, *,
-    use_dtw: bool = True, **analysis_kwargs,
-) -> Dict[str, Optional[float]]:
-    """All metrics for one (converted, target) waveform pair."""
-    fa = extract_eval_feats(wav_a, sr, **analysis_kwargs)
-    fb = extract_eval_feats(wav_b, sr, **analysis_kwargs)
+def pair_metrics(fa: Dict[str, np.ndarray], fb: Dict[str, np.ndarray],
+                 *, use_dtw: bool = True) -> Dict[str, Optional[float]]:
+    """All metrics from two extracted feature dicts."""
     return {
         "mcd_db": mel_cepstral_distortion(fa["mcep"], fb["mcep"],
                                           use_dtw=use_dtw),
@@ -201,6 +252,16 @@ def evaluate_pair(
         "vuv_error": vuv_error_rate(fa["f0"], fb["f0"]),
         "frames": float(min(len(fa["f0"]), len(fb["f0"]))),
     }
+
+
+def evaluate_pair(
+    wav_a: np.ndarray, wav_b: np.ndarray, sr: int, *,
+    use_dtw: bool = True, **analysis_kwargs,
+) -> Dict[str, Optional[float]]:
+    """All metrics for one (converted, target) waveform pair."""
+    fa = extract_eval_feats(wav_a, sr, **analysis_kwargs)
+    fb = extract_eval_feats(wav_b, sr, **analysis_kwargs)
+    return pair_metrics(fa, fb, use_dtw=use_dtw)
 
 
 def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:

@@ -119,6 +119,20 @@ def test_dtw_band_still_absorbs_offsets():
     assert np.median(lags) == pytest.approx(30, abs=2)
 
 
+def test_batch_extraction_matches_solo():
+    """extract_eval_feats_batch must be row-identical to the solo path
+    (same padded shapes through the vmapped program)."""
+    from serenade_tpu.metrics import extract_eval_feats_batch
+
+    wavs = [_tone(262.0), _tone(330.0, seed=1), _tone(294.0, dur=2.0)]
+    batch = extract_eval_feats_batch(wavs, SR)
+    for wav, fb in zip(wavs, batch):
+        fa = extract_eval_feats(wav, SR)
+        np.testing.assert_allclose(fb["f0"], fa["f0"], atol=1e-4)
+        np.testing.assert_allclose(fb["mcep"], fa["mcep"], atol=1e-4)
+        assert fb["mcep"].shape == fa["mcep"].shape
+
+
 def test_f0_rmse_none_when_unvoiced():
     silence = np.zeros(200, np.float32)
     assert f0_rmse_cents(silence, silence) is None
