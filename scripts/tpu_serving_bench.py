@@ -146,7 +146,7 @@ def main():
             t_extract = time.monotonic() - t0
             ttfa, n_segs = None, 0
             for start, mel_seg, _ in conv.convert_features_stream(
-                    feats, b.raw_reference("S")):
+                    feats, b.packed_reference("S")):
                 n_segs += 1
                 if ttfa is None:
                     ttfa = time.monotonic() - t0
@@ -160,7 +160,7 @@ def main():
             t0 = time.monotonic()
             ttfa_w, n_segs_w = None, 0
             for start, mel_seg, _ in conv.convert_wav_stream(
-                    wav, 24000, b.raw_reference("S")):
+                    wav, 24000, b.packed_reference("S")):
                 n_segs_w += 1
                 if ttfa_w is None:
                     ttfa_w = time.monotonic() - t0

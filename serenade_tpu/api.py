@@ -365,10 +365,16 @@ class Converter:
     def _chunk_converter(self, ref_feats):
         """Per-chunk mel converter with the reference normalized, packed,
         and uploaded ONCE (it conditions every chunk identically) — shared
-        by the offline and streaming long-form paths."""
+        by the offline and streaming long-form paths.  ``ref_feats`` may
+        also be an already-packed device-resident handle from
+        :meth:`pack_reference` (serving's registered styles), skipping
+        even that one upload."""
         import jax
 
-        ref_packed, _ = self._pack(self._normalize_ref(ref_feats), True)
+        if "x" in ref_feats and "lengths" in ref_feats:  # pack_reference
+            ref_packed = ref_feats
+        else:
+            ref_packed, _ = self._pack(self._normalize_ref(ref_feats), True)
 
         def convert_chunk(chunk):
             src_p, t_chunk = self._pack(self._normalize_src(chunk), False)

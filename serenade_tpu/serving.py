@@ -149,6 +149,13 @@ class BatchingConverter:
         self._require_style(name)
         return self._raw_refs[name]
 
+    def packed_reference(self, name: str):
+        """Registered style's device-resident packed handle — the
+        streaming paths condition on it directly, skipping the
+        per-request reference normalization + upload."""
+        self._require_style(name)
+        return self._refs[name]
+
     def convert(self, src_feats, ref, timeout: float = 300.0):
         """Blocking submit; returns (mel, wav|None, sr|None).
 
@@ -541,16 +548,16 @@ def _parse_stream_body(body: bytes, query, batching):
         style = query.get("style", [""])[0]
         if not style:
             raise ValueError("RIFF body needs ?style=<registered name>")
-        return _RawSource(src_wav, sr), batching.raw_reference(style)
+        return _RawSource(src_wav, sr), batching.packed_reference(style)
     with np.load(io.BytesIO(body)) as z:
         if "src_wav" not in z.files:
             src, ref = _feats_from_npz(z)
             if isinstance(ref, str):
-                ref = batching.raw_reference(ref)
+                ref = batching.packed_reference(ref)
             return src, ref
         src_wav, sr = z["src_wav"], int(z["sr"])
         if "ref_name" in z.files:
-            ref = batching.raw_reference(str(z["ref_name"]))
+            ref = batching.packed_reference(str(z["ref_name"]))
         elif "ref_wav" in z.files:
             ref = _extract_or_raise(
                 conv, [z["ref_wav"]], [int(z["ref_sr"])])[0]

@@ -261,6 +261,38 @@ def test_convert_wav_stream_end_to_end(tiny_experiment):  # noqa: F811
         conv._content_fn = old_content
 
 
+def test_stream_with_packed_reference_matches_raw(tiny_experiment):  # noqa: F811
+    """A registered style's device-resident packed handle conditions the
+    stream identically to the raw feature dict (it skips the per-request
+    normalization + upload, nothing else)."""
+    import jax
+
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, _items = tiny_experiment
+    ref = _items[list(_items)[0]]
+    wav = _synth_notes(2.0)
+    old_content = conv._content_fn
+    conv._content_fn = local_content_fn
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
+    try:
+        b.register_reference("S", ref)
+        kwargs = dict(chunk_frames=128, overlap_frames=32,
+                      first_chunk_frames=64, extract_ctx_frames=64)
+        conv._key = jax.random.key(5)
+        raw_segs = list(conv.convert_wav_stream(wav, 24000, ref, **kwargs))
+        conv._key = jax.random.key(5)
+        packed_segs = list(conv.convert_wav_stream(
+            wav, 24000, b.packed_reference("S"), **kwargs))
+        assert len(raw_segs) == len(packed_segs)
+        for (s1, m1, _), (s2, m2, _) in zip(raw_segs, packed_segs):
+            assert s1 == s2
+            np.testing.assert_allclose(m1, m2, atol=1e-5)
+    finally:
+        conv._content_fn = old_content
+        b.close()
+
+
 def test_convert_wav_stream_zero_ctx_clamped(tiny_experiment):  # noqa: F811
     """extract_ctx_frames=0 (a legal serving query param) must not trip
     the ContentVec receptive-field guard on interior windows — the
