@@ -329,6 +329,107 @@ class Converter:
         yield from self._vocode_segments(
             stitch_mel_stream(spans, mels()), vocoder_context_frames)
 
+    def convert_wav_stream_live(
+        self, audio_chunks, sr: int,
+        ref_feats: Dict[str, np.ndarray],
+        chunk_frames: int = 512, overlap_frames: int = 64,
+        extract_ctx_frames: int = 256, vocoder_context_frames: int = 32,
+        f0_range: Optional[Tuple[float, float]] = None,
+    ):
+        """LIVE input-side streaming: consume an ITERATOR of waveform
+        chunks as they arrive (mic capture, a chunked upload) and yield
+        ``(start_frame, mel_segment, wav_segment|None)`` with bounded
+        lookahead — conversion runs WHILE the source is still being
+        produced, a capability the reference (offline files, 30 s cap)
+        has no analogue of.
+
+        A span converts once ``chunk_frames + extract_ctx_frames`` of
+        audio beyond its start has arrived, so the output trails the
+        input by roughly ``(chunk + ctx + overlap) × 10 ms`` plus compute
+        (defaults: ~8 s; drop ``chunk_frames``/``extract_ctx_frames`` for
+        tighter live latency at slightly more boundary approximation).
+        Feeding the whole waveform as one chunk reproduces
+        :meth:`convert_wav_stream` with a uniform (non-ramped) schedule
+        exactly.
+
+        ``audio_chunks`` must already be at the model's sample rate
+        (resample at the edge — live polyphase state is the client's);
+        each chunk is validated on arrival so a malformed piece faults
+        the stream immediately, not after conversion.
+        """
+        if self._content_fn is None:
+            raise RuntimeError(
+                "raw-audio conversion requires contentvec_ckpt")
+        from serenade_tpu.features import (
+            FeatureConfig, extract_stream_window, stream_total_frames,
+            validate_waveform,
+        )
+        from serenade_tpu.ops.longform import StreamStitcher
+
+        fc = FeatureConfig.from_dict(self.config)
+        if sr != fc.sampling_rate:
+            raise ValueError(
+                f"live streaming needs {fc.sampling_rate} Hz audio, got "
+                f"{sr}; resample chunks client-side")
+        convert_chunk = self._chunk_converter(ref_feats)
+        minf0, maxf0 = f0_range or (70.0, 1100.0)
+        hop = fc.hop_size
+
+        def extract(audio, span):
+            return extract_stream_window(
+                audio, span, fc, minf0, maxf0,
+                content_fn=self._content_fn,
+                ctx_frames=extract_ctx_frames,
+                with_f0_fluc=self.variant_new)
+
+        def segments():
+            stitcher = StreamStitcher()
+            it = iter(audio_chunks)
+            buf = np.zeros(0, np.float32)
+            s, done = 0, False
+            while True:
+                e = s + chunk_frames
+                # enough audio for the span + right context + the
+                # content/STFT tails?
+                need = (e + extract_ctx_frames) * hop + fc.fft_size
+                while not done and len(buf) < need:
+                    try:
+                        piece = validate_waveform(next(it), "live chunk")
+                    except StopIteration:
+                        done = True
+                        break
+                    buf = np.concatenate([buf, np.asarray(piece,
+                                                          np.float32)])
+                if done:
+                    break
+                mel = convert_chunk(extract(buf, (s, e)))
+                yield from stitcher.add((s, e), mel, next_start=e
+                                        - overlap_frames)
+                s = e - overlap_frames
+            # source exhausted: the reflect tail pad _prepare_audio
+            # applies to files, then drain the remaining spans
+            if len(buf) < fc.fft_size:
+                raise ValueError(
+                    f"live stream ended after {len(buf)} samples — too "
+                    "short to analyze")
+            audio = np.pad(buf, (0, fc.fft_size), mode="reflect")
+            n = stream_total_frames(len(audio), fc)
+            if n <= s:
+                return
+            while s < n:
+                e = min(s + chunk_frames, n)
+                mel = convert_chunk(extract(audio, (s, e)))
+                last = e >= n
+                yield from stitcher.add(
+                    (s, e), mel, next_start=None if last else
+                    e - overlap_frames)
+                if last:
+                    return
+                s = e - overlap_frames
+
+        yield from self._vocode_segments(segments(),
+                                         vocoder_context_frames)
+
     def _vocode_segments(self, segments, vocoder_context_frames: int):
         """(start, mel_seg) stream -> (start, mel_seg, wav_seg|None):
         vocode each finalized region with ``vocoder_context_frames`` of

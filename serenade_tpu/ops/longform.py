@@ -58,6 +58,53 @@ def split_chunks_ramp(n_frames: int, chunk: int, overlap: int,
         size = min(size * 2, chunk)
 
 
+class StreamStitcher:
+    """Incremental crossfade stitcher: feed per-span mels as they are
+    produced; finalized regions come back as soon as no later span's
+    crossfade can touch them.  The live form of :func:`stitch_mel_stream`
+    — callers that don't know the span list upfront (live input-side
+    streaming) drive this directly."""
+
+    def __init__(self):
+        self._buf = None  # not-yet-final tail of the stitched mel
+        self._start = 0
+        self._prev_end = 0
+
+    def add(self, span, mel, next_start=None):
+        """Blend one span's mel in; returns a list of finalized
+        ``(start_frame, mel_segment)`` regions (possibly empty).
+        ``next_start`` is the next span's start frame, or None when this
+        span is the last (flushes the remainder)."""
+        s, e = span
+        mel = np.asarray(mel)
+        out = []
+        if self._buf is None:
+            # owned copy: device_get arrays are read-only
+            self._buf = np.array(mel)
+            self._prev_end = e
+        else:
+            ov = self._prev_end - s
+            if ov > 0:
+                w = np.linspace(0.0, 1.0, ov, dtype=mel.dtype)[:, None]
+                self._buf[-ov:] = (self._buf[-ov:] * (1.0 - w)
+                                   + mel[:ov] * w)
+                self._buf = np.concatenate([self._buf, mel[ov:]], axis=0)
+            else:
+                self._buf = np.concatenate([self._buf, mel], axis=0)
+            self._prev_end = e
+        if next_start is None:
+            out.append((self._start, self._buf))
+            self._buf = None
+        else:
+            # frames before the next chunk's start can no longer change
+            final = next_start - self._start
+            if final > 0:
+                out.append((self._start, self._buf[:final]))
+                self._buf = self._buf[final:]
+                self._start = next_start
+        return out
+
+
 def stitch_mel_stream(spans: List[tuple], mels):
     """Crossfade per-span mels into finalized regions as they arrive.
 
@@ -69,33 +116,10 @@ def stitch_mel_stream(spans: List[tuple], mels):
     (:func:`convert_in_chunks_stream`) and windowed-extraction
     (api.Converter.convert_wav_stream) long-form paths.
     """
-    buf = None  # not-yet-final tail of the stitched mel
-    buf_start = 0
-    prev_end = 0
+    stitcher = StreamStitcher()
     for i, (span, mel) in enumerate(zip(spans, mels)):
-        s, e = span
-        mel = np.asarray(mel)
-        if buf is None:
-            buf = np.array(mel)  # owned copy: device_get arrays are read-only
-            prev_end = e
-        else:
-            ov = prev_end - s
-            if ov > 0:
-                w = np.linspace(0.0, 1.0, ov, dtype=mel.dtype)[:, None]
-                buf[-ov:] = buf[-ov:] * (1.0 - w) + mel[:ov] * w
-                buf = np.concatenate([buf, mel[ov:]], axis=0)
-            else:
-                buf = np.concatenate([buf, mel], axis=0)
-            prev_end = e
-        if i + 1 < len(spans):
-            # frames before the next chunk's start can no longer change
-            final = spans[i + 1][0] - buf_start
-            if final > 0:
-                yield buf_start, buf[:final]
-                buf = buf[final:]
-                buf_start = spans[i + 1][0]
-        else:
-            yield buf_start, buf
+        next_start = spans[i + 1][0] if i + 1 < len(spans) else None
+        yield from stitcher.add(span, mel, next_start)
 
 
 def convert_in_chunks_stream(

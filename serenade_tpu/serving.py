@@ -782,6 +782,12 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                 first = next(gen, None)
             except Exception as e:  # noqa: BLE001 — per-request fault
                 return self._fault(e)
+            self._emit_stream(gen, first, sr)
+
+        def _emit_stream(self, gen, first, sr, close_on_fault=False):
+            """200 + chunked response of length-prefixed npz blocks with
+            the terminal {done}/{error} marker contract (see
+            ``iter_stream_blocks``)."""
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
@@ -810,12 +816,96 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                 chunk(_frame_block({"done": np.int64(1)}))
             except Exception as e:  # noqa: BLE001 — mid-stream fault
                 logger.exception("stream conversion failed mid-flight")
+                if close_on_fault:
+                    # the request body may be half-read: a reused
+                    # connection would desync on the next request
+                    self.close_connection = True
                 try:
                     chunk(_frame_block({"error": np.asarray(str(e))}))
                 except Exception:  # noqa: BLE001 — socket already gone
                     pass
             finally:
                 self.wfile.write(b"0\r\n\r\n")
+
+        def _iter_chunked_body(self):
+            """Incrementally decode a Transfer-Encoding: chunked request
+            body (BaseHTTPRequestHandler doesn't) — the live endpoint
+            consumes pieces as the client uploads them."""
+            total = 0
+            while True:
+                line = self.rfile.readline(34)
+                size = int(line.split(b";")[0].strip() or b"0", 16)
+                if size == 0:
+                    while True:  # drain optional trailers up to blank
+                        t = self.rfile.readline(1024)
+                        if t in (b"\r\n", b"\n", b""):
+                            return
+                total += size
+                if total > max_body_bytes:
+                    raise _PayloadTooLarge(
+                        f"chunked body exceeds the server cap of "
+                        f"{max_body_bytes}")
+                data = b""
+                while len(data) < size:
+                    got = self.rfile.read(size - len(data))
+                    if not got:
+                        raise ValueError("truncated chunked body")
+                    data += got
+                self.rfile.read(2)  # chunk-terminating CRLF
+                yield data
+
+        def _convert_stream_live(self, query):
+            """DUPLEX live conversion: raw PCM16 mono audio uploads as a
+            chunked request body and converted segments stream back on
+            the SAME connection while the source is still arriving —
+            live-microphone style conversion (the offline reference has
+            no analogue).  Query: ``style`` (registered, required),
+            ``sr`` (must equal the model rate), chunk_frames /
+            overlap_frames / extract_ctx_frames (live defaults favor
+            latency: 512/64/256 ≈ 8 s behind live).  A Content-Length
+            body is accepted as a single piece.  Response: the
+            /convert_stream block wire."""
+            try:
+                conv = batching.converter
+                style = query.get("style", [""])[0]
+                if not style:
+                    raise ValueError(
+                        "live stream needs ?style=<registered name>")
+                ref = batching.packed_reference(style)
+                sr = int(query.get("sr", ["24000"])[0])
+                te = (self.headers.get("Transfer-Encoding") or "").lower()
+                byte_iter = (self._iter_chunked_body() if "chunked" in te
+                             else iter([self._read_body()]))
+
+                def audio_iter():
+                    carry = b""
+                    for piece in byte_iter:
+                        data = carry + piece
+                        cut = len(data) - (len(data) % 2)
+                        carry = data[cut:]
+                        if cut:
+                            yield (np.frombuffer(data[:cut], "<i2")
+                                   .astype(np.float32) / 32768.0)
+                    if carry:
+                        raise ValueError(
+                            "odd trailing byte in PCM16 live body")
+
+                gen = conv.convert_wav_stream_live(
+                    audio_iter(), sr, ref,
+                    chunk_frames=int(
+                        query.get("chunk_frames", ["512"])[0]),
+                    overlap_frames=int(
+                        query.get("overlap_frames", ["64"])[0]),
+                    extract_ctx_frames=int(
+                        query.get("extract_ctx_frames", ["256"])[0]),
+                )
+                out_sr = conv.output_sample_rate
+                first = next(gen, None)
+            except Exception as e:  # noqa: BLE001 — per-request fault
+                # the body may be partially read: never reuse the socket
+                self.close_connection = True
+                return self._fault(e)
+            self._emit_stream(gen, first, out_sr, close_on_fault=True)
 
         def _convert_wav(self, query):
             """Raw audio in, audio out: the transfer-light serving path
@@ -875,6 +965,8 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                     return self._fault(e)
             if parsed.path == "/convert_stream":
                 return self._convert_stream(parse_qs(parsed.query))
+            if parsed.path == "/convert_stream_live":
+                return self._convert_stream_live(parse_qs(parsed.query))
             if parsed.path == "/convert_wav":
                 return self._convert_wav(parse_qs(parsed.query))
             if parsed.path != "/convert_features":

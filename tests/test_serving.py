@@ -1053,3 +1053,117 @@ def test_close_during_inflight_never_orphans(tiny_experiment):
             f"round {round_i}: a caller hung through close()")
         for i, out in enumerate(outcomes):
             assert out is not None, (round_i, i, "no outcome")
+
+
+def test_http_live_duplex_stream(tiny_experiment):
+    """/convert_stream_live converts WHILE the client is still uploading:
+    over one socket, PCM16 chunks go up and converted blocks come back
+    before the request body is finished (true duplex live conversion)."""
+    import socket
+
+    from tests.test_e2e_pipeline import fake_content_fn
+    from tests.test_stream_windowed import _synth_notes
+    from serenade_tpu.features import (
+        FeatureConfig, stream_total_frames,
+    )
+    from serenade_tpu.serving import BatchingConverter, make_server
+
+    conv, items = tiny_experiment
+    old_content = conv._content_fn
+    conv._content_fn = fake_content_fn
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
+    server = make_server(b, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        b.register_reference("S", items[list(items)[0]])
+        wav = _synth_notes(3.0)
+        pcm = np.clip(np.round(wav * 32768.0), -32768,
+                      32767).astype("<i2").tobytes()
+        fc = FeatureConfig.from_dict(conv.config)
+        n_expected = stream_total_frames(len(wav) + fc.fft_size, fc)
+
+        s = socket.create_connection(("127.0.0.1", port), timeout=300)
+        s.sendall(
+            b"POST /convert_stream_live?style=S&sr=24000&chunk_frames=64"
+            b"&overlap_frames=16&extract_ctx_frames=16 HTTP/1.1\r\n"
+            b"Host: x\r\nTransfer-Encoding: chunked\r\n\r\n")
+
+        received = bytearray()
+        done_reading = threading.Event()
+
+        def reader():
+            while True:
+                try:
+                    data = s.recv(65536)
+                except OSError:
+                    break
+                if not data:
+                    break
+                received.extend(data)
+            done_reading.set()
+
+        rt = threading.Thread(target=reader, daemon=True)
+        rt.start()
+
+        def send_piece(data):
+            s.sendall(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+        # upload the first ~40% (covers several 64-frame spans), then
+        # WAIT for response bytes before sending the rest — proof the
+        # server converts while the body is still open
+        cut = (len(pcm) * 2 // 5) & ~1
+        for lo in range(0, cut, 16384):
+            send_piece(pcm[lo:min(lo + 16384, cut)])
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            if b"\r\n\r\n" in received and received.rstrip() \
+                    and len(received) > 400:
+                break
+            time.sleep(0.05)
+        head_end = bytes(received).find(b"\r\n\r\n")
+        assert head_end > 0, "no response headers while uploading"
+        assert bytes(received).startswith(b"HTTP/1.1 200"), received[:80]
+        assert len(received) > head_end + 10, (
+            "no converted blocks arrived before the upload finished")
+
+        for lo in range(cut, len(pcm), 16384):
+            send_piece(pcm[lo:lo + 16384])
+        s.sendall(b"0\r\n\r\n")
+        # keep-alive connection: the server doesn't close after the
+        # response — wait for the chunked terminator instead of EOF
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            if bytes(received).endswith(b"0\r\n\r\n"):
+                break
+            time.sleep(0.05)
+        assert bytes(received).endswith(b"0\r\n\r\n"), (
+            "response never completed")
+        s.close()
+        done_reading.wait(30)
+
+        # de-chunk the HTTP framing, then parse the block wire
+        body = bytes(received)[head_end + 4:]
+        payload = b""
+        i = 0
+        while True:
+            j = body.index(b"\r\n", i)
+            size = int(body[i:j], 16)
+            if size == 0:
+                break
+            payload += body[j + 2:j + 2 + size]
+            i = j + 2 + size + 2
+        import io as _io
+
+        from serenade_tpu.serving import iter_stream_blocks
+
+        blocks = list(iter_stream_blocks(_io.BytesIO(payload + b"x")))
+        assert blocks, "no stream blocks"
+        total = sum(blk["mel"].shape[0] for blk in blocks)
+        assert total == n_expected
+        starts = [int(blk["start"]) for blk in blocks]
+        assert starts[0] == 0 and starts == sorted(starts)
+    finally:
+        server.shutdown()
+        b.close()
+        conv._content_fn = old_content

@@ -314,6 +314,66 @@ def test_convert_wav_stream_zero_ctx_clamped(tiny_experiment):  # noqa: F811
         conv._content_fn = old_content
 
 
+def test_live_stream_matches_uniform_windowed(tiny_experiment):  # noqa: F811
+    """convert_wav_stream_live over arbitrary chunk boundaries must equal
+    convert_wav_stream with the same uniform span schedule — chunking
+    granularity of the INPUT must not change the output."""
+    import jax
+
+    conv, _items = tiny_experiment
+    ref = _items[list(_items)[0]]
+    wav = _synth_notes(3.0)
+    old_content = conv._content_fn
+    conv._content_fn = local_content_fn
+    try:
+        conv._key = jax.random.key(3)
+        ref_segs = list(conv.convert_wav_stream(
+            wav, 24000, ref, chunk_frames=128, overlap_frames=32,
+            first_chunk_frames=128, extract_ctx_frames=64))
+
+        conv._key = jax.random.key(3)
+        pieces = np.array_split(wav, [999, 5000, 17000, 33333, 50000])
+        live_segs = list(conv.convert_wav_stream_live(
+            iter(pieces), 24000, ref, chunk_frames=128,
+            overlap_frames=32, extract_ctx_frames=64))
+
+        assert [s for s, _, _ in live_segs] == [s for s, _, _ in ref_segs]
+        for (_, m1, _), (_, m2, _) in zip(live_segs, ref_segs):
+            np.testing.assert_allclose(m1, m2, atol=1e-5)
+
+        # one-big-chunk input: same again (the degenerate live case)
+        conv._key = jax.random.key(3)
+        one = list(conv.convert_wav_stream_live(
+            iter([wav]), 24000, ref, chunk_frames=128, overlap_frames=32,
+            extract_ctx_frames=64))
+        for (_, m1, _), (_, m2, _) in zip(one, ref_segs):
+            np.testing.assert_allclose(m1, m2, atol=1e-5)
+    finally:
+        conv._content_fn = old_content
+
+
+def test_live_stream_validates_chunks(tiny_experiment):  # noqa: F811
+    import pytest as _pytest
+
+    conv, _items = tiny_experiment
+    ref = _items[list(_items)[0]]
+    old_content = conv._content_fn
+    conv._content_fn = local_content_fn
+    try:
+        bad = np.full(2000, np.nan, np.float32)
+        with _pytest.raises(ValueError, match="non-finite"):
+            list(conv.convert_wav_stream_live(
+                iter([_synth_notes(1.0), bad]), 24000, ref))
+        with _pytest.raises(ValueError, match="too short"):
+            list(conv.convert_wav_stream_live(
+                iter([np.zeros(100, np.float32)]), 24000, ref))
+        with _pytest.raises(ValueError, match="Hz audio"):
+            list(conv.convert_wav_stream_live(
+                iter([_synth_notes(1.0)]), 16000, ref))
+    finally:
+        conv._content_fn = old_content
+
+
 def test_convert_wav_stream_tracks_full_extraction(tiny_experiment):  # noqa: F811
     """Windowed streaming output stays close to the same conversion run
     from FULL-utterance extraction over identical spans and CFM keys —
