@@ -47,8 +47,15 @@ def main():
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--stream", action="store_true",
                    help="use /convert_stream (prints chunks as they land)")
+    p.add_argument("--live", action="store_true",
+                   help="use /convert_stream_live: upload the wav as "
+                        "real-time-paced PCM16 chunks over ONE duplex "
+                        "connection and print segments as they return "
+                        "while the upload is still running")
     args = p.parse_args()
 
+    if args.live:
+        return _live(args)
     conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
     if args.src.endswith(".wav") and args.stream:
         # long-form raw audio: server-side extraction + chunked stream
@@ -127,6 +134,90 @@ def main():
     np.savez(args.out, **out)
     print(f"wrote {args.out}: mel {mel.shape}"
           + (f", wav {wav.shape} @ {sr} Hz" if wav is not None else ""))
+
+
+def _live(args):
+    """Duplex live upload: PCM16 chunks paced at real time go up while
+    converted segments come back on the same socket (the mic-capture
+    shape of serving; here the 'mic' replays a wav file)."""
+    import socket
+    import threading
+    import time
+    from urllib.parse import quote
+
+    from serenade_tpu.utils.audio import read_wav
+
+    wav, sr = read_wav(args.src)
+    pcm = np.clip(np.round(np.asarray(wav) * 32768.0), -32768,
+                  32767).astype("<i2").tobytes()
+    piece = sr // 10 * 2  # 100 ms of PCM16
+
+    s = socket.create_connection((args.host, args.port), timeout=600)
+    s.sendall(
+        f"POST /convert_stream_live?style={quote(args.style)}&sr={sr} "
+        f"HTTP/1.1\r\nHost: {args.host}\r\n"
+        f"Transfer-Encoding: chunked\r\n\r\n".encode())
+
+    done_upload = [False]
+
+    def upload():
+        t0 = time.monotonic()
+        for i, lo in enumerate(range(0, len(pcm), piece)):
+            # pace at real time, like a capture device
+            target = t0 + i * 0.1
+            delay = target - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+            data = pcm[lo:lo + piece]
+            s.sendall(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+        s.sendall(b"0\r\n\r\n")
+        done_upload[0] = True
+
+    threading.Thread(target=upload, daemon=True).start()
+
+    # parse the response off the same socket as it arrives
+    f = s.makefile("rb")
+    status = f.readline()
+    assert b"200" in status, status
+    while f.readline() not in (b"\r\n", b""):
+        pass
+
+    # feed iter_stream_blocks through a de-chunking reader
+    pending = [b""]
+
+    def read(n):
+        while len(pending[0]) < n:
+            head = f.readline()
+            if not head:
+                break
+            size = int(head.strip() or b"0", 16)
+            if size == 0:
+                f.readline()
+                break
+            pending[0] += f.read(size)
+            f.read(2)
+        out, pending[0] = pending[0][:n], pending[0][n:]
+        return out
+
+    mels, wavs, out_sr = [], [], None
+    t0 = time.monotonic()
+    for blk in iter_stream_blocks(read, strict=False):
+        end_frame = int(blk["start"]) + blk["mel"].shape[0]
+        lag = time.monotonic() - t0 - end_frame / 100.0
+        live = "" if done_upload[0] else "  (upload still running)"
+        print(f"  segment @frame {int(blk['start'])}: "
+              f"{blk['mel'].shape[0]} frames, lag behind live "
+              f"{lag:+.2f}s{live}")
+        mels.append(blk["mel"])
+        if "wav" in blk:
+            wavs.append(blk["wav"])
+            out_sr = int(blk["sr"])
+    s.close()
+    out = {"mel": np.concatenate(mels, axis=0)}
+    if wavs:
+        out["wav"], out["sr"] = np.concatenate(wavs), np.int64(out_sr)
+    np.savez(args.out, **out)
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -109,6 +109,12 @@ def main():
                          "long-form RAW-AUDIO streaming: time-to-first-"
                          "audio and total time for one N-second source "
                          "(server-side extraction + chunked conversion)")
+    ap.add_argument("--live-seconds", type=float, default=0.0,
+                    help="measure LIVE duplex conversion: feed an "
+                         "N-second source as real-time-paced 100 ms "
+                         "chunks through convert_wav_stream_live and "
+                         "report how far each finalized segment trails "
+                         "the live input")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -125,12 +131,49 @@ def main():
                      os.path.join(work, "stats.joblib"),
                      n_timesteps=args.n_timesteps,
                      contentvec_ckpt=(ensure_contentvec_ckpt(work)
-                                      if args.raw_audio or args.stream_seconds
+                                      if args.raw_audio
+                                      or args.stream_seconds
+                                      or args.live_seconds
                                       else None))
     b = BatchingConverter(conv, max_batch=args.max_batch,
                           max_wait_ms=args.max_wait_ms)
     rng = np.random.default_rng(0)
     src, ref = synth_request(rng, args.src_frames, args.ref_frames)
+
+    if args.live_seconds:
+        # LIVE duplex lag: chunks arrive at real time; a span converts
+        # once chunk+ctx audio exists, so each finalized segment should
+        # land (chunk+ctx+overlap)*10ms + compute behind its own end
+        b.register_reference("S", ref)
+        n_frames = int(args.live_seconds * 100)
+        for run in range(3):  # run 0 warms the window programs
+            r = np.random.default_rng(20 + run)
+            wav = synth_wav_request(r, n_frames)
+            piece = 2400  # 100 ms at 24 kHz
+
+            def chunks():
+                t0 = time.monotonic()
+                for i, lo in enumerate(range(0, len(wav), piece)):
+                    target = t0 + i * 0.1
+                    delay = target - time.monotonic()
+                    if delay > 0:
+                        time.sleep(delay)
+                    yield wav[lo:lo + piece]
+
+            lags, t0 = [], time.monotonic()
+            for start, mel_seg, _ in conv.convert_wav_stream_live(
+                    chunks(), 24000, b.packed_reference("S")):
+                end_frame = start + mel_seg.shape[0]
+                lags.append(time.monotonic() - t0 - end_frame / 100.0)
+            total = time.monotonic() - t0
+            tail = total - args.live_seconds
+            print(f"live[{run}] {args.live_seconds:.0f}s source at "
+                  f"real-time pace: {len(lags)} segments, lag behind "
+                  f"live mean {np.mean(lags):+.2f}s / max "
+                  f"{np.max(lags):+.2f}s, done {tail:+.2f}s after the "
+                  f"source ended")
+        b.close()
+        return
 
     if args.stream_seconds:
         # long-form raw streaming latency: extraction + chunked CFM,
