@@ -16,6 +16,7 @@ generator consumes (ssc_postprocessing.py:200-211).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
 import numpy as np
@@ -82,6 +83,26 @@ class SignalGenerator:
         return np.stack(parts, axis=-1).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _world_program(padded_len: int, n_frames_b: int, fs: int,
+                   frame_period_ms: float, ap_backend: str):
+    """One jitted CheapTrick+aperiodicity program per waveform length
+    bucket.  Eager per-op dispatch of the analysis chain costs hundreds
+    of device round trips per utterance on tunneled links AND
+    re-specializes per exact length; bucketing + jit makes it one
+    dispatch with one compile per bucket."""
+    import jax
+
+    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick, d4c
+
+    def run(wav, f0):
+        sp = cheaptrick(wav, f0, fs=fs, frame_period_ms=frame_period_ms)
+        ap_fn = d4c if ap_backend == "d4c" else band_aperiodicity
+        return sp, ap_fn(wav, f0, fs=fs, frame_period_ms=frame_period_ms)
+
+    return jax.jit(run)
+
+
 def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int,
                   ap_backend: str = "bandap"):
     """CheapTrick + aperiodicity analysis → ``(mcep, bap, sp)``.
@@ -89,7 +110,9 @@ def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int,
     The SiFiGAN aux-feature contract, shared by stage-9 postprocessing
     (bin/ssc_postprocessing.py) and the vocoder trainer
     (trainers/vocoder_trainer.py) so training and synthesis conditioning
-    cannot drift apart.
+    cannot drift apart.  Runs as ONE bucket-padded jitted dispatch
+    (per-frame analysis: padding frames are computed and discarded,
+    true frames are unchanged).
 
     ``ap_backend``: 'bandap' (default — the autocorrelation estimator,
     calibrated to ~0.3 dB of true band noise ratios) or 'd4c' (WORLD's
@@ -99,14 +122,19 @@ def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int,
     import jax.numpy as jnp
 
     from serenade_tpu.ops.sptk import ALPHA, sp2mc
-    from serenade_tpu.ops.world import band_aperiodicity, cheaptrick, d4c
 
-    wav_j = jnp.asarray(np.asarray(wav, np.float32))
-    f0_j = jnp.asarray(np.asarray(f0, np.float32).reshape(-1))
-    sp = np.asarray(cheaptrick(wav_j, f0_j, fs=fs,
-                               frame_period_ms=frame_period_ms))
-    ap_fn = d4c if ap_backend == "d4c" else band_aperiodicity
-    bap = np.asarray(ap_fn(wav_j, f0_j, fs=fs,
-                           frame_period_ms=frame_period_ms))
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    f0 = np.asarray(f0, np.float32).reshape(-1)
+    t = f0.shape[0]
+    hop = int(fs * frame_period_ms / 1000.0)
+    bucket = 128 * hop
+    padded = max(((len(wav) + bucket - 1) // bucket) * bucket, bucket)
+    wav_b = np.pad(wav, (0, padded - len(wav)))
+    t_b = 1 + padded // hop
+    f0_b = np.pad(f0[:t_b], (0, max(0, t_b - t)))
+    fn = _world_program(padded, t_b, fs, frame_period_ms, ap_backend)
+    sp, bap = (np.asarray(a) for a in fn(jnp.asarray(wav_b),
+                                         jnp.asarray(f0_b)))
+    sp, bap = sp[:t], bap[:t]
     mcep = sp2mc(sp, order=mcep_dim, alpha=ALPHA[fs])
     return mcep, bap, sp
