@@ -112,6 +112,21 @@ def main():
                         "'d4c' (WORLD's static-group-delay D4C, the "
                         "reference's pyworld.d4c algorithm — see "
                         "ops/world.py for the measured comparison)")
+    p.add_argument("--synth-batch-size", type=int, default=8,
+                   help="max utterances per SiFiGAN dispatch; same-bucket "
+                        "utterances batch together (pow2-padded, so at most "
+                        "log2 program shapes per length bucket)")
+    p.add_argument("--synth-frame-bucket", type=int, default=128,
+                   help="pad synthesis inputs to this frame multiple so the "
+                        "generator compiles once per bucket, not once per "
+                        "utterance length; 0 = exact-length per-utterance "
+                        "synthesis (one compile per distinct length). "
+                        "Padding uses edge values (continued F0, repeated "
+                        "last aux frame) and the output is cut at the true "
+                        "length; deviation vs exact-length synthesis is "
+                        "confined to the generator's receptive field at the "
+                        "utterance tail (quantified in "
+                        "tests/test_postprocessing.py)")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
 
@@ -209,7 +224,12 @@ def main():
     ]
     logger.info("processing %d wavs from %s", len(wav_paths), args.in_dir)
 
-    infer = None
+    # Phase 1: per-utterance analysis (each step one bucket-padded jitted
+    # dispatch).  Synthesis inputs are collected so phase 2 can batch
+    # same-bucket utterances into one generator dispatch — the reference
+    # loops the GPU per utterance (ssc_postprocessing.py:225-237); on TPU
+    # a fresh program per distinct length would dominate wall time.
+    pending = []
     for wav_file in wav_paths:
         logger.info("processing %s", wav_file)
         f0_floor, f0_ceil = voice_range_for(wav_file)
@@ -282,25 +302,66 @@ def main():
         c = np.concatenate(cols, axis=1).astype(np.float32)
 
         df_f0 = cf0 if config["df_f0_type"] == "cf0" else lf0
-        dfs = dense_factors_per_level(
-            df_f0, sr, config["dense_factors"],
-            model.upsample_scales,
-        )
         sine_f0 = cf0 if config["sine_f0_type"] == "cf0" else lf0
-        in_signal = signal_gen(sine_f0)
+        pending.append(dict(wav_file=wav_file, c=c,
+                            df_f0=np.asarray(df_f0, np.float64),
+                            sine_f0=np.asarray(sine_f0, np.float64),
+                            n_frames=len(lf0)))
 
-        c_j = jnp.asarray(c)[None]
-        sine_j = jnp.asarray(in_signal)[None]
-        dfs_j = [jnp.asarray(d)[None] for d in dfs]
-        if params is None:
-            params = model.init(jax.random.key(0), sine_j, c_j, dfs_j)
-            logger.warning("using RANDOM SiFiGAN weights (no checkpoint)")
-        if infer is None:
-            infer = jax.jit(lambda p, s, c, d: model.apply(p, s, c, d)[0])
-        y = np.asarray(jax.device_get(infer(params, sine_j, c_j, dfs_j)))
-        out_path = wav_file.replace(".wav", "_sifigan.wav")
-        write_wav(out_path, y[0, :, 0], sr)
-        logger.info("wrote %s", out_path)
+    # Phase 2: bucket-padded, pow2-batched synthesis.
+    from serenade_tpu.collaters.ssc import pad_pow2
+
+    bucket = max(int(args.synth_frame_bucket), 0)
+    max_batch = max(int(args.synth_batch_size), 1) if bucket else 1
+
+    def padded_frames(t: int) -> int:
+        if bucket == 0:
+            return t
+        return max(((t + bucket - 1) // bucket) * bucket, bucket)
+
+    groups: dict = {}
+    for item in pending:
+        groups.setdefault(padded_frames(item["n_frames"]),
+                          []).append(item)
+
+    infer = None
+    for t_b in sorted(groups):
+        items = groups[t_b]
+        for lo in range(0, len(items), max_batch):
+            real = items[lo:lo + max_batch]
+            chunk = pad_pow2(real)
+            cs, sines, dfs_rows = [], [], []
+            for it in chunk:
+                t = it["n_frames"]
+                pad = t_b - t
+                # edge padding: continued F0 keeps the sine excitation
+                # phase-continuous into the (discarded) padded region;
+                # repeating the last aux frame avoids a zero-energy cliff
+                # bleeding back through the conv receptive field.
+                cs.append(np.pad(it["c"], ((0, pad), (0, 0)), mode="edge"))
+                sine_f0 = np.pad(it["sine_f0"], (0, pad), mode="edge")
+                df_f0 = np.pad(it["df_f0"], (0, pad), mode="edge")
+                sines.append(signal_gen(sine_f0))
+                dfs_rows.append(dense_factors_per_level(
+                    df_f0, sr, config["dense_factors"],
+                    model.upsample_scales))
+            c_j = jnp.asarray(np.stack(cs))
+            sine_j = jnp.asarray(np.stack(sines))
+            dfs_j = [jnp.asarray(np.stack([r[i] for r in dfs_rows]))
+                     for i in range(len(dfs_rows[0]))]
+            if params is None:
+                params = model.init(jax.random.key(0), sine_j, c_j, dfs_j)
+                logger.warning(
+                    "using RANDOM SiFiGAN weights (no checkpoint)")
+            if infer is None:
+                infer = jax.jit(
+                    lambda p, s, c, d: model.apply(p, s, c, d)[0])
+            y = np.asarray(jax.device_get(
+                infer(params, sine_j, c_j, dfs_j)))
+            for row, it in zip(y, real):
+                out_path = it["wav_file"].replace(".wav", "_sifigan.wav")
+                write_wav(out_path, row[: it["n_frames"] * hop, 0], sr)
+                logger.info("wrote %s", out_path)
 
 
 if __name__ == "__main__":
