@@ -6,8 +6,11 @@ onsets (offset chosen by offset-peak or activation-dropout confidence),
 and summarize each note's pitch from an F0 track (median / hann-weighted
 mean / weighted median).
 
-The reference computes F0 with librosa.pyin; here the batched YIN op
-(ops/f0.py) supplies it — same role, runs on the accelerator.
+The reference computes F0 with librosa.pyin (decoding.py:36-45); here
+the pYIN-class ``yin_f0_viterbi`` op supplies it (multi-candidate CMND
+dips + a V/UV Viterbi trellis — the same probabilistic-continuity idea
+as pYIN's HMM, jitted on the accelerator).  ``f0_mode: "yin"`` in the
+decoder config keeps the plain single-dip YIN.
 """
 
 from __future__ import annotations
@@ -122,6 +125,7 @@ class FramewiseDecoder:
         self.onset_threshold = config["onset_threshold"]
         self.offset_threshold = config["offset_threshold"]
         self.pitch_sum = config["pitch_sum"]
+        self.f0_mode = config.get("f0_mode", "viterbi")
 
     def decode(self, pred: np.ndarray, audio=None, f0=None):
         """pred: (T, 3) frame logits -> (pitches, frame_intervals)."""
@@ -135,10 +139,11 @@ class FramewiseDecoder:
         if f0 is None:
             if audio is None:
                 raise ValueError("either audio or f0 must be given")
-            from serenade_tpu.ops.f0 import yin_f0
+            from serenade_tpu.ops.f0 import yin_f0, yin_f0_viterbi
 
+            estimate = yin_f0_viterbi if self.f0_mode == "viterbi" else yin_f0
             frame_period_ms = self.hop_length * 1000.0 / self.sr
-            f0_arr, _ = yin_f0(
+            f0_arr, _ = estimate(
                 np.asarray(audio, np.float32), fs=self.sr, f0_floor=65.0,
                 f0_ceil=2093.0, frame_period_ms=frame_period_ms,
                 win_length=self.win_length,

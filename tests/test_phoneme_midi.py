@@ -191,3 +191,49 @@ def test_note_pitch_accuracy_yin_vs_analytic():
         true_midi = float(np.median(hz_to_midi(seg[seg > 0])))
         err_cents = abs(pitch - true_midi) * 100.0
         assert err_cents < bound, (pitch, true_midi, err_cents, bound)
+
+
+def test_note_pitch_octave_robustness_viterbi():
+    """The decoder's default F0 mode is the pYIN-class Viterbi estimator
+    (reference decoding.py:36-45 uses librosa.pyin).  On a weak-fundamental
+    harmonic tone in noise — the octave trap pYIN's HMM exists for — the
+    Viterbi mode recovers the note pitch where plain single-dip YIN
+    octave-errs on >half the frames (measured 57% at this SNR)."""
+    import numpy as np
+
+    from serenade_tpu.modules.phoneme_midi.decoding import (
+        FramewiseDecoder, hz_to_midi,
+    )
+
+    sr, hop = 24000, 240
+    n_frames = 101
+    rng = np.random.default_rng(0)
+    t = np.arange(n_frames * hop) / sr
+    f0 = 220.0
+    sig = (0.08 * np.sin(2 * np.pi * f0 * t)
+           + 0.35 * np.sin(2 * np.pi * 2 * f0 * t + 0.3)
+           + 0.25 * np.sin(2 * np.pi * 3 * f0 * t + 1.1))
+    audio = (sig + 0.12 * rng.standard_normal(len(t))).astype(np.float32)
+
+    pred = np.full((n_frames, 3), -8.0, np.float32)
+    on, off = 5, 95
+    pred[on, 0] = 8.0
+    pred[off, 1] = 8.0
+    pred[on:off + 1, 2] = 8.0
+
+    true_midi = float(hz_to_midi(np.asarray(f0)))
+    errs = {}
+    for mode in ("viterbi", "yin"):
+        dec = FramewiseDecoder(dict(
+            sample_rate=sr, win_length=1024, hop_length=hop,
+            onset_threshold=0.5, offset_threshold=0.5, pitch_sum="median",
+            f0_mode=mode,
+        ))
+        pitches, intervals = dec.decode(pred, audio=audio)
+        assert intervals == [(on, off + 1)]
+        errs[mode] = abs(pitches[0] - true_midi) * 100.0
+
+    assert errs["viterbi"] < 20.0, errs
+    # plain YIN demonstrably falls in the octave trap on this signal —
+    # the case that motivates the viterbi default
+    assert errs["yin"] > 100.0, errs
