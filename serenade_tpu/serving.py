@@ -371,8 +371,15 @@ class BatchingConverter:
             b = len(reqs)
             voc = self._conv.vocoder
             device_tail = (voc is not None
-                           and hasattr(voc, "decode_batch_device")
-                           and self._conv.mesh is None)
+                           and hasattr(voc, "decode_batch_device"))
+            if (device_tail and self._conv.mesh is not None
+                    and getattr(voc, "_mesh", None) is None):
+                if hasattr(voc, "place_on_mesh"):
+                    # replicate generator params over the dp mesh once so
+                    # the tail runs SPMD on the mesh-sharded mels
+                    voc.place_on_mesh(self._conv.mesh)
+                else:  # custom vocoder without mesh support: host path
+                    device_tail = False
             y16 = None
             if device_tail:
                 # device chain: edge-pad + generator + int16 quantize in

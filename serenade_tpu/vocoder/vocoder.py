@@ -123,6 +123,18 @@ class Vocoder:
         y = self._infer(self.params, c)
         return np.asarray(jax.device_get(y))[..., 0]
 
+    def place_on_mesh(self, mesh):
+        """Replicate the generator params over a dp mesh so
+        ``decode_batch_device`` composes with mesh-sharded conversion
+        outputs: GSPMD partitions the batch over 'data' (each chip
+        vocodes its own sub-batch, no collectives) while the params
+        replicate.  Serving calls this once when the Converter runs with
+        ``data_mesh`` (serve --data-axis on a pod slice)."""
+        from serenade_tpu.parallel import replicated
+
+        self.params = jax.device_put(self.params, replicated(mesh))
+        self._mesh = mesh
+
     def decode_batch_device(self, c, lengths):
         """Device-resident batch decode for the serving dispatcher.
 
@@ -134,8 +146,27 @@ class Vocoder:
         field), denormalizes, runs the generator, and quantizes to int16
         (exactly the PCM16 the RIFF writer emits) — so the waveform
         fetch is half the bytes and the mel is never re-uploaded.
-        Returns an int16 (B, T * hop) DEVICE array."""
+        Returns an int16 (B, T * hop) DEVICE array.
+
+        After :meth:`place_on_mesh`, the same program runs SPMD over the
+        mesh's 'data' axis (B must divide by the axis size — the mesh
+        conversion path already pads batches to that multiple)."""
         import jax.numpy as jnp
+
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.shape["data"]
+            if c.shape[0] % n_dev != 0:
+                raise ValueError(
+                    f"batch {c.shape[0]} not divisible by the {n_dev}-way "
+                    "data mesh; pad the batch (the mesh conversion path "
+                    "does this automatically)")
+            c = jax.device_put(c, NamedSharding(mesh, P("data", None, None)))
+            lengths = jax.device_put(
+                jnp.asarray(lengths, jnp.int32),
+                NamedSharding(mesh, P("data")))
 
         if not hasattr(self, "_infer_tail"):
             def tail(params, c, lengths):

@@ -432,6 +432,69 @@ def test_converter_data_mesh_matches_single_device(tiny_experiment):
         assert np.isfinite(m).all()
 
 
+def test_dispatcher_device_tail_on_mesh(tiny_experiment, tmp_path):
+    """With data_mesh set AND a real vocoder, the dispatcher keeps the
+    device-resident tail (mel never re-uploaded, int16 fetch) by placing
+    the generator params on the mesh — previously mesh serving fell back
+    to the host vocoder path."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from serenade_tpu.api import Converter
+    from serenade_tpu.checkpoint import save_checkpoint
+    from serenade_tpu.serving import BatchingConverter
+    from serenade_tpu.utils.h5 import write_hdf5
+    from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
+    from serenade_tpu.vocoder.vocoder import Vocoder
+
+    conv_ref, items = tiny_experiment
+    expdir, stats = conv_ref._paths
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+
+    n_mels = src["logmel"].shape[1]
+    gp = dict(in_channels=n_mels, channels=16, upsample_scales=[4, 2],
+              upsample_kernel_sizes=[8, 4], resblock_kernel_sizes=[3],
+              resblock_dilations=[[1, 3]], use_additional_convs=True)
+    gen = HiFiGANGenerator(
+        in_channels=n_mels, channels=16, upsample_scales=(4, 2),
+        upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),),
+    )
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 10, n_mels)))
+    save_checkpoint(str(tmp_path / "voc"), 5,
+                    {"generator": params, "discriminator": {}})
+    cfg_path = tmp_path / "voc.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(dict(sampling_rate=24000, generator_params=gp), f)
+    stats_path = str(tmp_path / "stats.h5")
+    write_hdf5(stats_path, "mean", np.zeros(n_mels, np.float32))
+    write_hdf5(stats_path, "scale", np.ones(n_mels, np.float32))
+
+    conv = Converter(expdir, stats, n_timesteps=2, seed=7, data_mesh=8)
+    conv.vocoder = Vocoder(str(tmp_path / "voc" / "checkpoint-5steps"),
+                           str(cfg_path), stats_path, take_norm_feat=False)
+
+    # prove the DEVICE tail is taken: the host path would call
+    # decode_batch, which we make explode
+    def boom(*a, **k):
+        raise AssertionError("host vocoder path used under mesh")
+
+    conv.vocoder.decode_batch = boom
+
+    bc = BatchingConverter(conv, max_batch=2, max_wait_ms=50.0)
+    try:
+        mel, wav, sr = bc.convert(src, ref, timeout=300)
+        assert sr == 24000
+        assert mel.shape[0] == src["hubert"].shape[0]
+        assert wav is not None and wav.shape[0] == mel.shape[0] * 8
+        assert np.isfinite(wav).all()
+        assert getattr(conv.vocoder, "_mesh", None) is not None
+    finally:
+        bc.close()
+
+
 def test_stream_vocodes_segments_with_context(tiny_experiment):
     """Streaming with a vocoder: each finalized mel segment is vocoded
     with left context and trimmed, so concatenated wav segments cover

@@ -216,3 +216,70 @@ def test_decode_batch_device_matches_host(tmp_path):
             atol=1.0 / 32767.0 + 1e-6,
             err_msg=f"row {i} device tail diverges from host path",
         )
+
+
+def test_decode_batch_device_on_mesh_matches_host(tmp_path):
+    """After place_on_mesh, the device tail runs SPMD over the dp mesh
+    (batch sharded over 'data', params replicated) and still reproduces
+    the host batch path within PCM16 quantization — serving's vocoder
+    tail on a pod slice."""
+    import jax
+    import numpy as np
+    import yaml
+
+    from serenade_tpu.checkpoint import save_checkpoint
+    from serenade_tpu.parallel import make_mesh
+    from serenade_tpu.utils.h5 import write_hdf5
+    from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
+    from serenade_tpu.vocoder.vocoder import Vocoder
+
+    gp = dict(in_channels=8, channels=16, upsample_scales=[4, 2],
+              upsample_kernel_sizes=[8, 4], resblock_kernel_sizes=[3],
+              resblock_dilations=[[1, 3]], use_additional_convs=True)
+    gen = HiFiGANGenerator(
+        in_channels=8, channels=16, upsample_scales=(4, 2),
+        upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),),
+    )
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 10, 8)))
+    save_checkpoint(str(tmp_path / "voc"), 5,
+                    {"generator": params, "discriminator": {}})
+    cfg_path = tmp_path / "voc.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(dict(sampling_rate=24000, generator_params=gp), f)
+    stats_path = str(tmp_path / "stats.h5")
+    write_hdf5(stats_path, "mean", np.zeros(8, np.float32))
+    write_hdf5(stats_path, "scale", np.ones(8, np.float32))
+    voc = Vocoder(str(tmp_path / "voc" / "checkpoint-5steps"),
+                  str(cfg_path), stats_path, take_norm_feat=False)
+
+    rng = np.random.default_rng(1)
+    T, B = 16, 8
+    mels = rng.normal(size=(B, T, 8)).astype(np.float32) * 0.5
+    lengths = [16, 11, 7, 16, 13, 9, 5, 16]
+
+    stacked = np.stack([
+        np.pad(mels[i, :lengths[i]], ((0, T - lengths[i]), (0, 0)),
+               mode="edge") for i in range(B)
+    ])
+    host = voc.decode_batch(stacked)
+
+    voc.place_on_mesh(make_mesh(data=8, model=1))
+    out = voc.decode_batch_device(jnp.asarray(mels), lengths)
+    # the batch really is sharded: every device holds a 1-row shard
+    assert len(out.sharding.device_set) == 8
+    dev = np.asarray(jax.device_get(out)).astype(np.float32) / 32767.0
+
+    hop = host.shape[1] // T
+    for i, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            dev[i, : n * hop], np.clip(host[i, : n * hop], -1.0, 1.0),
+            atol=1.0 / 32767.0 + 1e-6,
+            err_msg=f"row {i} mesh device tail diverges from host path",
+        )
+
+    # non-divisible batches are rejected with a clear error
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        voc.decode_batch_device(jnp.asarray(mels[:3]), lengths[:3])
