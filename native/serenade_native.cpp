@@ -444,6 +444,192 @@ int sn_harvest_f0(const float* audio, int64_t n, int fs, double f0_floor,
   return n_frames;
 }
 
+// CheapTrick spectral envelope (WORLD's analyzer, the pyworld.cheaptrick
+// role): |H(w)|^2 per frame, out_sp is n_frames x (fft_size/2+1).
+// Mirrors serenade_tpu/ops/world.py cheaptrick step for step
+// (pitch-synchronous 3*T0 Hanning with window-weighted DC removal, DC
+// bin correction, fractional-width box smoothing, sinc lifter + Q1
+// compensation in the cepstral domain) so the two implementations
+// cross-validate. fft_size must be a power of two
+// (ops/world.py _fft_size_for). Returns 0, or -1 on error.
+int sn_cheaptrick(const float* audio, int64_t n, int fs, const float* f0,
+                  int n_frames, double f0_floor, double frame_period_ms,
+                  int fft_size, double* out_sp) {
+  if (n <= 0 || fs <= 0 || n_frames <= 0 || fft_size <= 0 ||
+      (fft_size & (fft_size - 1)) != 0)
+    return -1;
+  const int hop = static_cast<int>(fs * frame_period_ms / 1000.0);
+  const int F = fft_size / 2 + 1;
+  const int max_half = fft_size / 2;
+  const double bin_hz = static_cast<double>(fs) / fft_size;
+  const int pad = max_half + 1;
+
+  std::vector<double> xp(static_cast<size_t>(n) + 2 * pad, 0.0);
+  for (int64_t i = 0; i < n; ++i) xp[pad + i] = audio[i];
+
+  std::vector<double> re(fft_size), im(fft_size), win(fft_size);
+  std::vector<double> power(F), rep(F), smoothed(F), csum(F + 1);
+
+  for (int f = 0; f < n_frames; ++f) {
+    double f0s = f0[f] <= 0.0f ? 500.0 : f0[f];
+    f0s = std::max(f0s, f0_floor);
+    const int center = f * hop;
+
+    // pitch-synchronous Hanning of length 3*T0 inside the buffer
+    const double half_len = std::rint(1.5 * fs / f0s);
+    double wsum = 0.0, xw = 0.0;
+    for (int j = 0; j < fft_size; ++j) {
+      const int off = j - max_half;
+      double w = 0.0;
+      if (std::abs(off) <= half_len)
+        w = 0.5 + 0.5 * std::cos(M_PI * off / std::max(half_len, 1.0));
+      win[j] = w;
+      const double xv = xp[center + off + pad];
+      wsum += w;
+      xw += xv * w;
+    }
+    const double mean = xw / std::max(wsum, 1e-9);
+    for (int j = 0; j < fft_size; ++j) {
+      const int off = j - max_half;
+      re[j] = (xp[center + off + pad] - mean) * win[j];
+      im[j] = 0.0;
+    }
+    fft_radix2(re.data(), im.data(), fft_size, false);
+    for (int k = 0; k < F; ++k) power[k] = re[k] * re[k] + im[k] * im[k] + 1e-12;
+
+    // DCCorrection: add the spectrum mirrored around f0 below f0
+    const double f0_bins = f0s / bin_hz;
+    for (int k = 0; k < F; ++k) {
+      rep[k] = 0.0;
+      if (k < f0_bins) {
+        const double mirror = f0_bins - k;
+        const double lo = std::min(std::max(std::floor(mirror), 0.0),
+                                   static_cast<double>(F - 2));
+        const double frac = std::min(std::max(mirror - lo, 0.0), 1.0);
+        const int lo_i = static_cast<int>(lo);
+        rep[k] = (1.0 - frac) * power[lo_i] + frac * power[lo_i + 1];
+      }
+    }
+    for (int k = 0; k < F; ++k) power[k] += rep[k];
+
+    // LinearSmoothing: fractional-width box filter via cumulative sum
+    const double w_bins = (2.0 * f0s / 3.0) / bin_hz;
+    csum[0] = 0.0;
+    for (int k = 0; k < F; ++k) csum[k + 1] = csum[k] + power[k];
+    for (int k = 0; k < F; ++k) {
+      const double lo = std::min(std::max(k - w_bins / 2.0, 0.0),
+                                 static_cast<double>(F - 1));
+      const double hi = std::min(std::max(k + w_bins / 2.0, 0.0),
+                                 static_cast<double>(F - 1));
+      const int lo_i = static_cast<int>(std::floor(lo));
+      const int hi_i = static_cast<int>(std::floor(hi));
+      const double area = csum[hi_i] - csum[lo_i]
+          + (hi - hi_i) * power[std::min(hi_i, F - 1)]
+          - (lo - lo_i) * power[std::min(lo_i, F - 1)];
+      smoothed[k] = area / std::max(hi - lo, 1e-6);
+    }
+
+    // cepstral liftering: log -> quefrency -> sinc lifter * Q1 comp -> back
+    for (int k = 0; k < fft_size; ++k) {
+      const int kk = std::min(k, fft_size - k);
+      re[k] = std::log(std::max(smoothed[kk], 1e-12));
+      im[k] = 0.0;
+    }
+    fft_radix2(re.data(), im.data(), fft_size, true);  // cepstrum (real)
+    for (int k = 0; k < fft_size; ++k) {
+      const double q = std::min(k, fft_size - k) / static_cast<double>(fs);
+      const double f0q = f0s * q;
+      const double lifter = f0q == 0.0
+          ? 1.0
+          : std::sin(M_PI * f0q) / std::max(M_PI * f0q, 1e-9);
+      const double comp = (1.0 + 0.3) - 0.3 * std::cos(2.0 * M_PI * f0q);
+      re[k] *= lifter * comp;
+      im[k] = 0.0;
+    }
+    fft_radix2(re.data(), im.data(), fft_size, false);
+    double* row = out_sp + static_cast<size_t>(f) * F;
+    for (int k = 0; k < F; ++k) row[k] = std::exp(re[k]);
+  }
+  return 0;
+}
+
+// Coarse band aperiodicity in dB (the pyworld.d4c coded-aperiodicity
+// role): out_bap is n_frames x n_bands with bands at 3 kHz spacing,
+// n_bands = floor(min(15000, fs/2 - 3000) / 3000). Mirrors
+// serenade_tpu/ops/world.py band_aperiodicity (Hann-windowed power
+// spectrum, Wiener-Khinchin autocorrelation at the exact fractional
+// pitch period, window-decay normalization). Returns n_bands, -1 on error.
+int sn_band_aperiodicity(const float* audio, int64_t n, int fs,
+                         const float* f0, int n_frames,
+                         double frame_period_ms, float* out_bap) {
+  if (n <= 0 || fs <= 0 || n_frames <= 0) return -1;
+  const int hop = static_cast<int>(fs * frame_period_ms / 1000.0);
+  const int win_len = 1024;
+  const int nfft = 2 * win_len;
+  const int F = nfft / 2 + 1;
+  const int n_bands =
+      static_cast<int>(std::min(15000.0, fs / 2.0 - 3000.0) / 3000.0);
+  if (n_bands <= 0) return -1;
+
+  std::vector<double> xp(static_cast<size_t>(n) + win_len / 2 + win_len, 0.0);
+  for (int64_t i = 0; i < n; ++i) xp[win_len / 2 + i] = audio[i];
+
+  std::vector<double> window(win_len), re(nfft), im(nfft);
+  std::vector<double> power(F), freqs(F), w2(F);
+  for (int j = 0; j < win_len; ++j)
+    window[j] = 0.5 - 0.5 * std::cos(2.0 * M_PI * j / win_len);
+  for (int k = 0; k < F; ++k)
+    freqs[k] = static_cast<double>(k) * fs / nfft;
+
+  // the window's own power spectrum (for the decay normalization)
+  std::fill(re.begin(), re.end(), 0.0);
+  std::fill(im.begin(), im.end(), 0.0);
+  for (int j = 0; j < win_len; ++j) re[j] = window[j];
+  fft_radix2(re.data(), im.data(), nfft, false);
+  double w2_sum = 0.0;
+  for (int k = 0; k < F; ++k) {
+    const double wgt = (k == 0 || k == F - 1) ? 0.5 : 1.0;
+    w2[k] = (re[k] * re[k] + im[k] * im[k]) * wgt;
+    w2_sum += w2[k];
+  }
+
+  for (int f = 0; f < n_frames; ++f) {
+    const double f0s = std::max(f0[f] <= 0.0f ? 500.0 : f0[f], 40.0);
+    const double tau = 1.0 / f0s;
+    const int center = f * hop;
+    std::fill(re.begin(), re.end(), 0.0);
+    std::fill(im.begin(), im.end(), 0.0);
+    for (int j = 0; j < win_len; ++j)
+      re[j] = xp[center + j] * window[j];
+    fft_radix2(re.data(), im.data(), nfft, false);
+    double r_w = 0.0;
+    for (int k = 0; k < F; ++k) {
+      const double wgt = (k == 0 || k == F - 1) ? 0.5 : 1.0;
+      power[k] = (re[k] * re[k] + im[k] * im[k]) * wgt;
+      r_w += w2[k] * std::cos(2.0 * M_PI * freqs[k] * tau);
+    }
+    r_w /= w2_sum;
+
+    float* row = out_bap + static_cast<size_t>(f) * n_bands;
+    for (int b = 0; b < n_bands; ++b) {
+      const double lo = b * 3000.0;
+      const double hi = (b + 1) * 3000.0;
+      double energy = 0.0, r = 0.0;
+      for (int k = 0; k < F; ++k) {
+        if (freqs[k] >= lo && freqs[k] < hi) {
+          energy += power[k];
+          r += power[k] * std::cos(2.0 * M_PI * freqs[k] * tau);
+        }
+      }
+      const double rn = r / std::max(energy, 1e-12) / std::max(r_w, 1e-3);
+      const double ap = std::min(std::max(1.0 - rn, 1e-6), 1.0);
+      row[b] = f0[f] <= 0.0f ? 0.0f
+                             : static_cast<float>(10.0 * std::log10(ap));
+    }
+  }
+  return n_bands;
+}
+
 // SPTK frequency transform: c (n_frames x in_len) -> out (n_frames x
 // (order+1)), alpha warping. Matches serenade_tpu/ops/sptk.py freqt.
 void sn_freqt(const double* c, int n_frames, int in_len, int order,

@@ -112,6 +112,13 @@ def main():
                         "'d4c' (WORLD's static-group-delay D4C, the "
                         "reference's pyworld.d4c algorithm — see "
                         "ops/world.py for the measured comparison)")
+    p.add_argument("--analysis-backend", default="jax",
+                   choices=("jax", "native"),
+                   help="CheapTrick/bandap execution: 'jax' (jitted, one "
+                        "bucket-padded dispatch) or 'native' (the C++ host "
+                        "library — no accelerator dispatch, for CPU-only "
+                        "hosts; requires --ap-backend bandap; "
+                        "cross-validated in tests/test_native.py)")
     p.add_argument("--synth-batch-size", type=int, default=8,
                    help="max utterances per SiFiGAN dispatch; same-bucket "
                         "utterances batch together (pow2-padded, so at most "
@@ -275,6 +282,7 @@ def main():
         mcep, bap, sp = world_mcep_bap(
             x, lf0.astype(np.float32), sr, fp, int(config["mcep_dim"]),
             ap_backend=args.ap_backend,
+            analysis_backend=args.analysis_backend,
         )
 
         uv, cf0, ok = convert_continuous_f0(lf0)

@@ -58,6 +58,18 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.sn_cheaptrick.restype = ctypes.c_int
+    lib.sn_cheaptrick.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.sn_band_aperiodicity.restype = ctypes.c_int
+    lib.sn_band_aperiodicity.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -122,6 +134,71 @@ def harvest_f0_native(
     if ret != n_frames:
         raise RuntimeError(f"sn_harvest_f0 failed (ret={ret})")
     return f0, vuv
+
+
+def cheaptrick_native(
+    audio: np.ndarray,
+    f0: np.ndarray,
+    fs: int = 24000,
+    f0_floor: float = 71.0,
+    frame_period_ms: float = 5.0,
+    fft_size: Optional[int] = None,
+) -> np.ndarray:
+    """Native CheapTrick envelope; same contract (and algorithm) as
+    serenade_tpu.ops.world.cheaptrick — the role pyworld's C++
+    CheapTrick plays in the reference (ssc_postprocessing.py:167), for
+    CPU-only hosts.  Returns (T, fft_size//2+1) float64."""
+    import math
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if fft_size is None:
+        fft_size = 1 << math.ceil(math.log2(3.0 * fs / f0_floor + 1.0))
+    audio = np.ascontiguousarray(audio, np.float32)
+    f0 = np.ascontiguousarray(np.asarray(f0).reshape(-1), np.float32)
+    t = len(f0)
+    out = np.zeros((t, fft_size // 2 + 1), np.float64)
+    ret = lib.sn_cheaptrick(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(audio)), fs,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t,
+        f0_floor, frame_period_ms, fft_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if ret != 0:
+        raise RuntimeError(f"sn_cheaptrick failed (ret={ret})")
+    return out
+
+
+def band_aperiodicity_native(
+    audio: np.ndarray,
+    f0: np.ndarray,
+    fs: int = 24000,
+    frame_period_ms: float = 5.0,
+) -> np.ndarray:
+    """Native coarse band aperiodicity (dB); same contract as
+    serenade_tpu.ops.world.band_aperiodicity — the coded-aperiodicity
+    role of pyworld's D4C (ssc_postprocessing.py:167-171), for CPU-only
+    hosts.  Returns (T, n_bands) float32."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    audio = np.ascontiguousarray(audio, np.float32)
+    f0 = np.ascontiguousarray(np.asarray(f0).reshape(-1), np.float32)
+    t = len(f0)
+    n_bands = int(min(15000.0, fs / 2.0 - 3000.0) // 3000.0)
+    out = np.zeros((t, n_bands), np.float32)
+    ret = lib.sn_band_aperiodicity(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(audio)), fs,
+        f0.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t,
+        frame_period_ms,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if ret != n_bands:
+        raise RuntimeError(f"sn_band_aperiodicity failed (ret={ret})")
+    return out
 
 
 def freqt_native(c: np.ndarray, order: int, alpha: float) -> np.ndarray:

@@ -104,7 +104,7 @@ def _world_program(padded_len: int, n_frames_b: int, fs: int,
 
 
 def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int,
-                  ap_backend: str = "bandap"):
+                  ap_backend: str = "bandap", analysis_backend: str = "jax"):
     """CheapTrick + aperiodicity analysis → ``(mcep, bap, sp)``.
 
     The SiFiGAN aux-feature contract, shared by stage-9 postprocessing
@@ -118,6 +118,12 @@ def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int,
     calibrated to ~0.3 dB of true band noise ratios) or 'd4c' (WORLD's
     static-group-delay D4C, the reference's pyworld.d4c algorithm); see
     ops/world.py for the measured comparison.
+
+    ``analysis_backend='native'`` runs the same CheapTrick + bandap
+    algorithms through the C++ host library (serenade_tpu.native) —
+    no JAX dispatch, for CPU-only hosts; cross-validated ≤0.1 dB LSD /
+    ≤0.25 dB bap in tests/test_native.py.  Requires ap_backend='bandap'
+    (there is no native D4C).
     """
     import jax.numpy as jnp
 
@@ -126,6 +132,19 @@ def world_mcep_bap(wav, f0, fs: int, frame_period_ms: float, mcep_dim: int,
     wav = np.asarray(wav, np.float32).reshape(-1)
     f0 = np.asarray(f0, np.float32).reshape(-1)
     t = f0.shape[0]
+    if analysis_backend == "native":
+        if ap_backend != "bandap":
+            raise ValueError(
+                "analysis_backend='native' supports ap_backend='bandap' only")
+        from serenade_tpu.native import (band_aperiodicity_native,
+                                         cheaptrick_native)
+
+        sp = cheaptrick_native(wav, f0, fs=fs,
+                               frame_period_ms=frame_period_ms)
+        bap = band_aperiodicity_native(wav, f0, fs=fs,
+                                       frame_period_ms=frame_period_ms)
+        mcep = sp2mc(sp, order=mcep_dim, alpha=ALPHA[fs])
+        return mcep, bap, sp
     hop = int(fs * frame_period_ms / 1000.0)
     bucket = 128 * hop
     padded = max(((len(wav) + bucket - 1) // bucket) * bucket, bucket)

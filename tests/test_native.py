@@ -41,6 +41,78 @@ def test_yin_native_matches_jax(freq):
     assert abs(np.median(f0_n[vuv_n > 0]) - freq) < freq * 0.01
 
 
+def _harmonic(seconds=0.6, f0=220.0, tilt=1.0, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    ph = 2 * np.pi * f0 * t
+    x = sum((0.5 / h**tilt) * np.sin(h * ph) for h in range(1, 9))
+    if noise:
+        x = x + noise * rng.standard_normal(len(t))
+    return x.astype(np.float32)
+
+
+def test_cheaptrick_native_matches_jax():
+    """C++ CheapTrick vs ops/world.py: same algorithm step for step;
+    difference is float64 vs float32 FFT accumulation, so agreement is a
+    log-spectral-distance bound, not bitwise."""
+    from serenade_tpu.native import cheaptrick_native
+    from serenade_tpu.ops.f0 import yin_f0
+    from serenade_tpu.ops.world import cheaptrick
+
+    x = _harmonic(noise=0.01)
+    f0, _ = yin_f0(jnp.asarray(x), fs=SR)
+    f0 = np.asarray(f0)
+    sp_j = np.asarray(cheaptrick(jnp.asarray(x), jnp.asarray(f0), fs=SR))
+    sp_n = cheaptrick_native(x, f0, fs=SR)
+    assert sp_n.shape == sp_j.shape
+    # level-floored LSD: the depth of inter-harmonic notches 40+ dB below
+    # the frame peak is ill-conditioned between f32 (JAX) and f64 (C++)
+    # accumulation; floor both at peak-40 dB before comparing
+    floor = sp_j.max(axis=1, keepdims=True) * 1e-4
+    lj = 10 * np.log10(np.maximum(sp_j, floor))
+    ln = 10 * np.log10(np.maximum(sp_n, floor))
+    lsd = np.sqrt(np.mean((ln - lj) ** 2, axis=1))
+    assert np.median(lsd) < 0.1, f"median LSD {np.median(lsd):.3f} dB"
+    assert lsd.max() < 0.5, f"max LSD {lsd.max():.3f} dB"
+
+
+def test_band_aperiodicity_native_matches_jax():
+    from serenade_tpu.native import band_aperiodicity_native
+    from serenade_tpu.ops.f0 import yin_f0
+    from serenade_tpu.ops.world import band_aperiodicity
+
+    x = _harmonic(noise=0.02, seed=3)
+    x[: SR // 10] = 0.0  # leading silence exercises the unvoiced branch
+    f0, _ = yin_f0(jnp.asarray(x), fs=SR)
+    f0 = np.asarray(f0)
+    bap_j = np.asarray(band_aperiodicity(jnp.asarray(x), jnp.asarray(f0),
+                                         fs=SR))
+    bap_n = band_aperiodicity_native(x, f0, fs=SR)
+    assert bap_n.shape == bap_j.shape
+    np.testing.assert_allclose(bap_n, bap_j, atol=0.25)
+    # unvoiced frames fully aperiodic (0 dB) in both
+    uv = f0 <= 0
+    assert np.all(bap_n[uv] == 0.0)
+
+
+def test_world_mcep_bap_native_backend_matches_jax():
+    """The stage-9 aux-feature chain through the native analysis backend
+    agrees with the jitted JAX chain (the CPU-only-host execution path of
+    bin/ssc_postprocessing.py --analysis-backend native)."""
+    from serenade_tpu.ops.f0 import yin_f0
+    from serenade_tpu.sifigan.features import world_mcep_bap
+
+    x = _harmonic(noise=0.01, seed=5)
+    f0, _ = yin_f0(jnp.asarray(x), fs=SR)
+    f0 = np.asarray(f0)
+    mcep_j, bap_j, _ = world_mcep_bap(x, f0, SR, 5.0, 39)
+    mcep_n, bap_n, _ = world_mcep_bap(x, f0, SR, 5.0, 39,
+                                      analysis_backend="native")
+    assert mcep_n.shape == mcep_j.shape and bap_n.shape == bap_j.shape
+    np.testing.assert_allclose(mcep_n[:, 1:], mcep_j[:, 1:], atol=0.05)
+    np.testing.assert_allclose(bap_n, bap_j, atol=0.25)
+
+
 def test_harvest_native_matches_jax():
     """C++ and JAX Harvest share algorithm + constants; only the decimation
     filter differs (windowed sinc vs ideal FFT truncation), so agreement is
