@@ -459,6 +459,9 @@ int sn_cheaptrick(const float* audio, int64_t n, int fs, const float* f0,
       (fft_size & (fft_size - 1)) != 0)
     return -1;
   const int hop = static_cast<int>(fs * frame_period_ms / 1000.0);
+  // frame centers must stay inside the padded buffer (the JAX twin
+  // clamps gathers; here out-of-range frames would read past the heap)
+  if (hop <= 0 || static_cast<int64_t>(n_frames - 1) * hop > n) return -1;
   const int F = fft_size / 2 + 1;
   const int max_half = fft_size / 2;
   const double bin_hz = static_cast<double>(fs) / fft_size;
@@ -564,6 +567,8 @@ int sn_band_aperiodicity(const float* audio, int64_t n, int fs,
                          double frame_period_ms, float* out_bap) {
   if (n <= 0 || fs <= 0 || n_frames <= 0) return -1;
   const int hop = static_cast<int>(fs * frame_period_ms / 1000.0);
+  // frame windows must stay inside the padded buffer (see sn_cheaptrick)
+  if (hop <= 0 || static_cast<int64_t>(n_frames - 1) * hop > n) return -1;
   const int win_len = 1024;
   const int nfft = 2 * win_len;
   const int F = nfft / 2 + 1;
@@ -575,7 +580,7 @@ int sn_band_aperiodicity(const float* audio, int64_t n, int fs,
   for (int64_t i = 0; i < n; ++i) xp[win_len / 2 + i] = audio[i];
 
   std::vector<double> window(win_len), re(nfft), im(nfft);
-  std::vector<double> power(F), freqs(F), w2(F);
+  std::vector<double> power(F), freqs(F), w2(F), cosv(F);
   for (int j = 0; j < win_len; ++j)
     window[j] = 0.5 - 0.5 * std::cos(2.0 * M_PI * j / win_len);
   for (int k = 0; k < F; ++k)
@@ -606,7 +611,8 @@ int sn_band_aperiodicity(const float* audio, int64_t n, int fs,
     for (int k = 0; k < F; ++k) {
       const double wgt = (k == 0 || k == F - 1) ? 0.5 : 1.0;
       power[k] = (re[k] * re[k] + im[k] * im[k]) * wgt;
-      r_w += w2[k] * std::cos(2.0 * M_PI * freqs[k] * tau);
+      cosv[k] = std::cos(2.0 * M_PI * freqs[k] * tau);
+      r_w += w2[k] * cosv[k];
     }
     r_w /= w2_sum;
 
@@ -618,7 +624,7 @@ int sn_band_aperiodicity(const float* audio, int64_t n, int fs,
       for (int k = 0; k < F; ++k) {
         if (freqs[k] >= lo && freqs[k] < hi) {
           energy += power[k];
-          r += power[k] * std::cos(2.0 * M_PI * freqs[k] * tau);
+          r += power[k] * cosv[k];
         }
       }
       const double rn = r / std::max(energy, 1e-12) / std::max(r_w, 1e-3);

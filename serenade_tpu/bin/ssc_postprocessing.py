@@ -136,6 +136,9 @@ def main():
                         "tests/test_postprocessing.py)")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
+    if args.analysis_backend == "native" and args.ap_backend != "bandap":
+        p.error("--analysis-backend native supports --ap-backend bandap "
+                "only (there is no native D4C)")
 
     logging.basicConfig(
         level=logging.INFO if args.verbose > 0 else logging.WARN,

@@ -154,8 +154,16 @@ def export_converter(
             )
             if voc_model is None:
                 return (mel,)
-            c = mel * jnp.asarray(voc.trg_stats["scale"]) + jnp.asarray(
-                voc.trg_stats["mean"])
+            # edge-pad past the true length before vocoding (zero-padding
+            # in normalized mel space means average energy, audible
+            # through the conv receptive field — same rationale as
+            # Vocoder.decode_batch_device)
+            idx = jnp.minimum(jnp.arange(ts)[None, :],
+                              (src_len - 1)[:, None])
+            c = jnp.take_along_axis(mel, idx[:, :, None], axis=1)
+            if voc.take_norm_feat:
+                c = c * jnp.asarray(voc.trg_stats["scale"]) + jnp.asarray(
+                    voc.trg_stats["mean"])
             c = (c - jnp.asarray(voc.stats["mean"])) / jnp.asarray(
                 voc.stats["scale"])
             wav = voc_model.apply(voc_params, c)[:, :, 0]
@@ -228,6 +236,8 @@ class ExportedConverter:
     any model code."""
 
     def __init__(self, art_dir: str, seed: int = 0):
+        import threading
+
         import jax
         from jax import export as jexport
 
@@ -236,8 +246,12 @@ class ExportedConverter:
         if self.manifest.get("kind") != "serenade_tpu.converter":
             raise ValueError(f"{art_dir} is not a converter artifact")
         backend = jax.default_backend()
-        backend = "tpu" if backend not in ("cpu", "gpu") else backend
-        if backend not in self.manifest["platforms"]:
+        # lowering platform names: jax.export knows cuda/rocm, the runtime
+        # backend reports 'gpu'; anything else TPU-like reports as 'tpu'
+        aliases = {"gpu": ("gpu", "cuda", "rocm"),
+                   "cpu": ("cpu",), "tpu": ("tpu",)}.get(
+            backend if backend in ("cpu", "gpu") else "tpu")
+        if not any(p in self.manifest["platforms"] for p in aliases):
             raise RuntimeError(
                 f"artifact exported for {self.manifest['platforms']}, "
                 f"current backend is {backend}")
@@ -247,6 +261,9 @@ class ExportedConverter:
                 self._programs[name] = jexport.deserialize(f.read())
         self._jax = jax
         self._key = jax.random.key(seed)
+        # serving may convert from multiple threads; the PRNG chain must
+        # advance atomically (same contract as api.Converter._next_key)
+        self._key_lock = threading.Lock()
 
     @property
     def sample_rate(self) -> Optional[int]:
@@ -259,7 +276,8 @@ class ExportedConverter:
             raise ValueError(
                 f"no exported bucket fits src={t_src}/ref={t_ref} frames "
                 f"(buckets: {self.manifest['buckets']})")
-        return min(fits, key=lambda b: (b[0], b[1]))
+        # least total padded work: the packed CFM sequence is ts+tr frames
+        return min(fits, key=lambda b: (b[0] + b[1], b[0], b[1]))
 
     @staticmethod
     def _pad(a, T: int) -> np.ndarray:
@@ -290,7 +308,8 @@ class ExportedConverter:
         zeros_s = np.zeros((t_src, 1), np.float32)
         zeros_r = np.zeros((t_ref, 1), np.float32)
 
-        self._key, sub = self._jax.random.split(self._key)
+        with self._key_lock:
+            self._key, sub = self._jax.random.split(self._key)
         key_data = np.asarray(self._jax.random.key_data(sub))
         out = prog.call(
             self._pad(src_feats["hubert"], ts),

@@ -24,23 +24,47 @@ _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libserenade_native.so"))
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _rebuild() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True)
+        return True
+    except Exception:
+        logger.warning("could not build native library", exc_info=True)
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                           check=True, capture_output=True)
-        except Exception:
-            logger.warning("could not build native library", exc_info=True)
-            return None
+    if not os.path.exists(_LIB_PATH) and not _rebuild():
+        return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = _open_and_bind()
     except OSError:
         logger.warning("could not load %s", _LIB_PATH, exc_info=True)
         return None
+    except AttributeError:
+        # a loadable but STALE .so (built from older sources, missing
+        # newer symbols): rebuild once — `make` replaces the file with a
+        # new inode, so a fresh dlopen picks up the new library — and
+        # fall back to the JAX ops if symbols are still missing
+        logger.warning("stale %s (missing symbols); rebuilding", _LIB_PATH)
+        if not _rebuild():
+            return None
+        try:
+            lib = _open_and_bind()
+        except (OSError, AttributeError):
+            logger.warning("native library unusable after rebuild",
+                           exc_info=True)
+            return None
+    _lib = lib
+    return lib
 
+
+def _open_and_bind() -> ctypes.CDLL:
+    lib = ctypes.CDLL(_LIB_PATH)
     lib.sn_yin_f0.restype = ctypes.c_int
     lib.sn_yin_f0.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
@@ -70,7 +94,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float),
     ]
-    _lib = lib
     return lib
 
 

@@ -106,6 +106,90 @@ def test_export_roundtrip_matches_converter(tmp_path):
         exp.convert_features(big, items[ref])
 
 
+def test_export_with_vocoder_matches_live_interior(tmp_path):
+    """The vocoded artifact path edge-pads past the true length before
+    synthesis (like Vocoder.decode_batch_device), so exported and live
+    waveforms agree away from the receptive-field tail."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_e2e_pipeline import UTTS
+    from serenade_tpu.api import Converter
+    from serenade_tpu.checkpoint import save_checkpoint
+    from serenade_tpu.collaters.ssc import bucket_length
+    from serenade_tpu.deploy import export_converter, load
+    from serenade_tpu.utils.h5 import write_hdf5
+    from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
+
+    expdir, stats, items = _tiny_experiment(tmp_path)
+    (src, _), (ref, _) = UTTS[:2]
+    t_src = items[src]["hubert"].shape[0]
+    num_mels = items[src]["logmel"].shape[1]
+
+    # tiny in-framework HiFiGAN checkpoint wired into the experiment config
+    gp = dict(in_channels=num_mels, channels=16, upsample_scales=[4, 2],
+              upsample_kernel_sizes=[8, 4], resblock_kernel_sizes=[3],
+              resblock_dilations=[[1, 3]], use_additional_convs=True)
+    gen = HiFiGANGenerator(
+        in_channels=num_mels, channels=16, upsample_scales=(4, 2),
+        upsample_kernel_sizes=(8, 4), resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),),
+    )
+    params = gen.init(jax.random.key(0), jnp.zeros((1, 10, num_mels)))
+    save_checkpoint(str(tmp_path / "voc"), 5,
+                    {"generator": params, "discriminator": {}})
+    with open(tmp_path / "voc.yml", "w") as f:
+        yaml.safe_dump(dict(sampling_rate=24000, generator_params=gp), f)
+    write_hdf5(str(tmp_path / "voc_stats.h5"), "mean",
+               np.zeros(num_mels, np.float32))
+    write_hdf5(str(tmp_path / "voc_stats.h5"), "scale",
+               np.ones(num_mels, np.float32))
+    cfg_path = os.path.join(expdir, "config.yml")
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["vocoder"] = dict(checkpoint=str(tmp_path / "voc" / "checkpoint-5steps"),
+                          config=str(tmp_path / "voc.yml"),
+                          stats=str(tmp_path / "voc_stats.h5"))
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    conv = Converter(expdir, stats, n_timesteps=2, seed=3)
+    assert conv.vocoder is not None
+    ts = bucket_length(t_src)
+    tr = bucket_length(items[ref]["hubert"].shape[0])
+    art = str(tmp_path / "export_voc")
+    manifest = export_converter(conv, art, buckets=((ts, tr),))
+    assert manifest["has_vocoder"] and manifest["hop_size"] == 8
+    assert manifest["sample_rate"] == 24000
+
+    exp = load(art, seed=3)
+    mel_live, wav_live, sr = conv.convert_features(items[src], items[ref])
+    mel_exp, wav_exp, sr_e = exp.convert_features(items[src], items[ref])
+    assert sr == sr_e == 24000
+    assert wav_exp.shape == (t_src * 8,) == wav_live.shape
+    np.testing.assert_allclose(mel_exp, mel_live, atol=1e-4, rtol=1e-4)
+    # interior samples match; the last ~receptive field differs by the
+    # edge-pad-vs-no-pad right context (same deviation class as
+    # decode_batch_device, quantified in test_postprocessing bucketing)
+    interior = (t_src - 16) * 8
+    np.testing.assert_allclose(wav_exp[:interior], wav_live[:interior],
+                               atol=1e-3)
+    assert np.isfinite(wav_exp).all()
+
+
+def test_pick_bucket_minimizes_padded_work():
+    from serenade_tpu.deploy import ExportedConverter
+
+    exp = ExportedConverter.__new__(ExportedConverter)
+    exp.manifest = {"buckets": [[512, 4096], [1024, 512], [2048, 2048]]}
+    # a near-exact (1024, 512) fit must beat the lexicographically-smaller
+    # (512, 4096) monster: least total packed frames wins
+    assert exp._pick_bucket(400, 400) == (1024, 512)
+    assert exp._pick_bucket(1500, 1000) == (2048, 2048)
+    with pytest.raises(ValueError, match="no exported bucket"):
+        exp._pick_bucket(4000, 100)
+
+
 def test_export_cli(tmp_path):
     from tests.test_e2e_pipeline import UTTS, _run_cli
     from serenade_tpu.bin.export import main as export_main

@@ -113,6 +113,20 @@ def test_world_mcep_bap_native_backend_matches_jax():
     np.testing.assert_allclose(bap_n, bap_j, atol=0.25)
 
 
+def test_native_analysis_rejects_out_of_range_frames():
+    """f0 tracks longer than the audio supports fail loudly instead of
+    reading past the heap (the JAX twins clamp gathers; the C++ cannot)."""
+    from serenade_tpu.native import band_aperiodicity_native, cheaptrick_native
+
+    x = _harmonic(seconds=0.2)
+    n_frames_bad = len(x) // 120 + 10  # 5 ms hop at 24 kHz
+    f0 = np.full(n_frames_bad, 220.0, np.float32)
+    with pytest.raises(RuntimeError):
+        cheaptrick_native(x, f0, fs=SR)
+    with pytest.raises(RuntimeError):
+        band_aperiodicity_native(x, f0, fs=SR)
+
+
 def test_harvest_native_matches_jax():
     """C++ and JAX Harvest share algorithm + constants; only the decimation
     filter differs (windowed sinc vs ideal FFT truncation), so agreement is
