@@ -49,12 +49,16 @@ def resample_device(x, up: int, down: int):
 
     g = math.gcd(up, down)
     up, down = up // g, down // g
-    h = resample_poly_taps(up, down)
-    half_len = (len(h) - 1) // 2
 
     if jnp.issubdtype(x.dtype, jnp.integer):
         x = x.astype(jnp.float32) / 32768.0  # matches read_wav's PCM16 decode
     x = x.astype(jnp.float32)
+    if up == down:
+        # identity ratio: scipy.resample_poly returns the input unchanged
+        # (and firwin rejects cutoff == Nyquist, so no taps exist)
+        return x
+    h = resample_poly_taps(up, down)
+    half_len = (len(h) - 1) // 2
     n = x.shape[-1]
     target = (n * up + down - 1) // down  # ceil, scipy's output length
     # pad_r sized so the strided conv emits at least ``target`` outputs:

@@ -15,12 +15,15 @@ ICI, across slices DCN — XLA handles placement from the mesh device order.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 _distributed_initialized = False
 
@@ -67,13 +70,21 @@ def make_mesh(
     data: int = -1,
     model: int = 1,
     devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data", "model"),
 ) -> Mesh:
-    """Build a 2-D ('data', 'model') mesh.
+    """Build a 2-D mesh (default axes ('data', 'model')).
 
-    ``data=-1`` consumes all remaining devices. The model axis is placed
-    innermost (fastest-varying) so tensor-parallel collectives stay on the
-    shortest ICI hops.
+    ``data=-1`` consumes all remaining devices. The second axis is placed
+    innermost (fastest-varying) so its collectives stay on the shortest
+    ICI hops; when the mesh uses ALL devices the layout comes from
+    ``mesh_utils.create_device_mesh``, which orders axes along the
+    physical TPU topology (a plain ``jax.devices()`` reshape guarantees
+    no adjacency on multi-host pods).
+
+    ``expert_mesh``/``pipeline_mesh`` (moe.py, pipeline.py) are this with
+    axis_names ('data', 'expert') / ('data', 'pipe').
     """
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
@@ -82,13 +93,29 @@ def make_mesh(
         data = n // model
     if data * model > n:
         raise ValueError(
-            f"mesh data={data} x model={model} needs {data * model} "
-            f"devices but only {n} are available"
+            f"mesh {axis_names[0]}={data} x {axis_names[1]}={model} needs "
+            f"{data * model} devices but only {n} are available"
         )
     if data * model != n:
+        # legitimate for tests/partial meshes, but never silent: the
+        # remaining devices IDLE
+        logger.warning(
+            "mesh %s=%d x %s=%d uses %d of %d devices; %d stay idle",
+            axis_names[0], data, axis_names[1], model, data * model, n,
+            n - data * model)
         devices = devices[: data * model]
+    elif not explicit:
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(
+                (data, model), devices=devices)
+            return Mesh(dev_array, axis_names=tuple(axis_names))
+        except Exception:  # pragma: no cover — odd shapes/backends
+            logger.info("create_device_mesh failed; using enumeration "
+                        "order", exc_info=True)
     dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+    return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
@@ -106,6 +133,9 @@ def batch_spec(tree):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with its leading axis sharded over 'data'."""
-    sharding = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    """Device-put a host batch with its leading axis sharded over 'data'.
+
+    One pytree ``device_put`` (single runtime dispatch), not one per leaf
+    — per-dispatch overhead is ~2.3 ms on tunneled links and this runs
+    per serving request / train step."""
+    return jax.device_put(batch, data_sharding(mesh))

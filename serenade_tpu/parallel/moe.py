@@ -58,15 +58,25 @@ def moe_capacity(n_tokens: int, num_experts: int,
 
 
 def moe_ffn(params, x, *, capacity_factor: float = 1.25,
+            group_size: Optional[int] = None,
             mesh: Optional[Mesh] = None, expert_axis: str = "expert",
             data_axis: Optional[str] = "data"):
     """Switch top-1 MoE FFN.  x: (B, T, D) -> (y, aux_loss).
 
+    Tokens route in GROUPS of ``group_size`` (default: one group per
+    batch row, the GShard layout): routing queues and the capacity
+    ``ceil(group_size/E * capacity_factor)`` are per group, so the dense
+    dispatch/combine masks are (G, S, E, C) with C ∝ S/E — memory LINEAR
+    in the token count.  A single global group (``group_size = B*T``)
+    would make those masks ~(N, E, N/E) ≈ N² elements: ~1.3 GB at
+    B=16, T=1024 — quadratic, OOM long before FLOPs matter.
+
     ``mesh`` adds the EP sharding annotations (stacked expert weights on
-    ``expert_axis``; the (E, capacity, D) dispatched block on
-    ``(expert, data)``) — XLA turns the dispatch/combine contractions
-    into all-to-alls.  Without a mesh it is the identical single-device
-    computation (the tests' equality oracle).
+    ``expert_axis``; groups on ``data_axis``, experts of the dispatched
+    (G, E, C, D) block on ``expert_axis``) — XLA turns the
+    dispatch/combine contractions into all-to-alls.  Without a mesh it
+    is the identical single-device computation (the tests' equality
+    oracle).
 
     ``aux_loss`` is the Switch load-balancing loss (mean fraction ×
     mean router prob per expert, scaled by E) — add it to the task loss
@@ -75,45 +85,49 @@ def moe_ffn(params, x, *, capacity_factor: float = 1.25,
     b, t, d = x.shape
     e = params["wi"].shape[0]
     n = b * t
-    cap = moe_capacity(n, e, capacity_factor)
-    xf = x.reshape(n, d)
+    s = group_size or t
+    if n % s:
+        raise ValueError(f"tokens {n} not divisible by group_size {s}")
+    g = n // s
+    cap = moe_capacity(s, e, capacity_factor)
+    xg = x.reshape(g, s, d)
 
-    logits = xf @ params["router"]                    # (N, E)
+    logits = jnp.einsum("gsd,de->gse", xg, params["router"])
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    gate = jnp.max(probs, axis=-1)                    # (N,)
-    choice = jnp.argmax(probs, axis=-1)               # (N,)
+    gate = jnp.max(probs, axis=-1)                    # (G, S)
+    choice = jnp.argmax(probs, axis=-1)               # (G, S)
 
-    onehot = jax.nn.one_hot(choice, e, dtype=jnp.float32)      # (N, E)
-    # position of each token within its expert's queue (token order)
-    pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0            # (N, E)
+    onehot = jax.nn.one_hot(choice, e, dtype=jnp.float32)      # (G, S, E)
+    # position of each token within its expert's per-group queue
+    pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0            # (G, S, E)
     keep = (pos >= 0) & (pos < cap)
-    # dispatch[n, e, c] = 1 iff token n is slot c of expert e
+    # dispatch[g, s, e, c] = 1 iff group-g token s is slot c of expert e
     dispatch = keep[..., None] * jax.nn.one_hot(
         jnp.clip(pos, 0, cap - 1).astype(jnp.int32), cap,
-        dtype=jnp.float32)                                      # (N, E, C)
-    combine = dispatch * gate[:, None, None]                    # (N, E, C)
+        dtype=jnp.float32)                                      # (G, S, E, C)
+    combine = dispatch * gate[..., None, None]                  # (G, S, E, C)
 
-    expert_in = jnp.einsum("nec,nd->ecd", dispatch,
-                           xf.astype(jnp.float32)).astype(x.dtype)
+    expert_in = jnp.einsum("gsec,gsd->gecd", dispatch,
+                           xg.astype(jnp.float32)).astype(x.dtype)
     if mesh is not None:
         expert_in = jax.lax.with_sharding_constraint(
-            expert_in, NamedSharding(mesh, P(expert_axis, data_axis)))
-    h = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", expert_in, params["wi"]),
+            expert_in, NamedSharding(mesh, P(data_axis, expert_axis)))
+    h = jax.nn.gelu(jnp.einsum("gecd,edf->gecf", expert_in, params["wi"]),
                     approximate=False)
-    expert_out = jnp.einsum("ecf,efd->ecd", h, params["wo"])
+    expert_out = jnp.einsum("gecf,efd->gecd", h, params["wo"])
     if mesh is not None:
         expert_out = jax.lax.with_sharding_constraint(
-            expert_out, NamedSharding(mesh, P(expert_axis, data_axis)))
+            expert_out, NamedSharding(mesh, P(data_axis, expert_axis)))
 
-    y = jnp.einsum("nec,ecd->nd", combine,
+    y = jnp.einsum("gsec,gecd->gsd", combine,
                    expert_out.astype(jnp.float32))
     # residual identity: overflow tokens (combine row all-zero) pass
     # through untouched; routed tokens add their gated expert output
-    y = y + xf.astype(jnp.float32)
+    y = y + xg.astype(jnp.float32)
 
-    # Switch load-balance aux: E * sum_e f_e * p_e
-    frac = jnp.mean(onehot, axis=0)
-    mean_prob = jnp.mean(probs, axis=0)
+    # Switch load-balance aux: E * sum_e f_e * p_e (over ALL tokens)
+    frac = jnp.mean(onehot, axis=(0, 1))
+    mean_prob = jnp.mean(probs, axis=(0, 1))
     aux = e * jnp.sum(frac * mean_prob)
     return y.reshape(b, t, d).astype(x.dtype), aux
 
@@ -130,8 +144,8 @@ def place_moe_params(params, mesh: Mesh, expert_axis: str = "expert"):
 
 
 def expert_mesh(expert: int, data: int = 1):
-    """A ('data', 'expert') mesh over the first data*expert local devices."""
-    import numpy as np
+    """A ('data', 'expert') mesh (make_mesh with a renamed second axis —
+    inherits its device-count validation and topology-aware layout)."""
+    from serenade_tpu.parallel.mesh import make_mesh
 
-    devs = np.array(jax.devices()[: data * expert]).reshape(data, expert)
-    return Mesh(devs, ("data", "expert"))
+    return make_mesh(data=data, model=expert, axis_names=("data", "expert"))

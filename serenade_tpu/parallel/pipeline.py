@@ -104,10 +104,15 @@ def gpipe(
             return (act_next, outbuf), None
 
         # the carry varies per pipe device from tick 1 on; mark the initial
-        # value varying so scan's carry type is stable (shard_map VMA rule)
+        # value varying so scan's carry type is stable (shard_map VMA rule).
+        # Warmup activations are REAL data (x_all[0]), not zeros: warmup
+        # outputs are discarded, but their zero cotangent still transposes
+        # through stage_fn, and 0 * inf = NaN — a stage op with an
+        # unbounded derivative at 0 (sqrt, x/|x|) would NaN-poison the
+        # parameter gradients if warmup ran on zeros.
         carry0 = jax.tree_util.tree_map(
             lambda z: lax.pcast(z, (axis,), to="varying"),
-            (jnp.zeros_like(x_all[0]), jnp.zeros_like(x_all)))
+            (x_all[0], jnp.zeros_like(x_all)))
         (_, outbuf), _ = lax.scan(tick, carry0, jnp.arange(ticks))
         # only the last device holds real outputs; psum broadcasts them
         outbuf = jnp.where(idx == s - 1, outbuf, jnp.zeros_like(outbuf))
@@ -131,6 +136,8 @@ def place_pipeline_params(stacked_params, mesh: Mesh, axis: str = "pipe"):
 
 
 def pipeline_mesh(pipe: int, data: int = 1):
-    """A ('data', 'pipe') mesh over the first data*pipe local devices."""
-    devs = np.array(jax.devices()[: data * pipe]).reshape(data, pipe)
-    return Mesh(devs, ("data", "pipe"))
+    """A ('data', 'pipe') mesh (make_mesh with a renamed second axis —
+    inherits its device-count validation and topology-aware layout)."""
+    from serenade_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=data, model=pipe, axis_names=("data", "pipe"))

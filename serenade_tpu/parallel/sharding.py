@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _MIN_SHARD_ELEMS = 1 << 16
 
 
-def _leaf_spec(path: str, leaf, model_size: int) -> P:
+def _leaf_spec(leaf, model_size: int) -> P:
     if model_size <= 1 or leaf.ndim == 0:
         return P()
     last = leaf.shape[-1]
@@ -32,17 +32,16 @@ def infer_param_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings matching ``params`` under ``mesh``."""
     model_size = mesh.shape.get("model", 1)
 
-    def to_sharding(path, leaf):
-        spec = _leaf_spec(jax.tree_util.keystr(path), leaf, model_size)
-        return NamedSharding(mesh, spec)
+    def to_sharding(leaf):
+        return NamedSharding(mesh, _leaf_spec(leaf, model_size))
 
-    return jax.tree_util.tree_map_with_path(to_sharding, params)
+    return jax.tree_util.tree_map(to_sharding, params)
 
 
 def shard_params(params, mesh: Mesh):
-    """Device-put params according to ``infer_param_shardings``."""
-    shardings = infer_param_shardings(params, mesh)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    """Device-put params according to ``infer_param_shardings`` (one pytree
+    device_put = one runtime dispatch)."""
+    return jax.device_put(params, infer_param_shardings(params, mesh))
 
 
 # --- ZeRO-1: optimizer-state sharding over the data axis --------------------
@@ -65,11 +64,11 @@ _MIN_ZERO1_ELEMS = 1 << 14
 def _zero1_spec(leaf, data_size: int, model_size: int,
                 data_axis: str = "data") -> P:
     if getattr(leaf, "ndim", 0) == 0 or data_size <= 1:
-        return _leaf_spec("", leaf, model_size) if getattr(
+        return _leaf_spec(leaf, model_size) if getattr(
             leaf, "ndim", 0) else P()
     # start from the param-rule spec so tp-sharded params' moments keep the
     # matching 'model' placement on their output-feature axis
-    base = _leaf_spec("", leaf, model_size)
+    base = _leaf_spec(leaf, model_size)
     spec = list(base) + [None] * (leaf.ndim - len(base))
     if leaf.size < _MIN_ZERO1_ELEMS:
         return P(*spec)
@@ -103,5 +102,5 @@ def infer_opt_state_shardings(opt_state, mesh: Mesh,
 
 def shard_opt_state(opt_state, mesh: Mesh, data_axis: str = "data"):
     """Device-put an optax state according to ``infer_opt_state_shardings``."""
-    shardings = infer_opt_state_shardings(opt_state, mesh, data_axis)
-    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)
+    return jax.device_put(
+        opt_state, infer_opt_state_shardings(opt_state, mesh, data_axis))

@@ -99,6 +99,22 @@ def test_resample_device_matches_scipy():
             np.testing.assert_allclose(got, want, atol=2e-6, rtol=0)
 
 
+def test_resample_device_identity_ratio():
+    """up == down returns the input unchanged (scipy resample_poly
+    semantics; a naive tap build would ask firwin for cutoff == Nyquist
+    and crash) — e.g. a client whose source is already at the target
+    rate."""
+    from serenade_tpu.ops.resample import resample_device
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 1000)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(resample_device(jnp.asarray(x), 3, 3)), x)
+    pcm = rng.integers(-32768, 32768, size=(1, 100), dtype=np.int16)
+    got = np.asarray(resample_device(jnp.asarray(pcm), 1, 1))
+    np.testing.assert_allclose(got, pcm.astype(np.float32) / 32768.0)
+
+
 def test_resample_device_int16_wire_lossless_for_pcm16():
     """int16 wire + /32768 dequant: PCM16-sourced audio (read_wav decode)
     resamples identically to its f32 representation."""

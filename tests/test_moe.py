@@ -21,30 +21,32 @@ def _setup(b=2, t=16, d=8, d_ff=16, e=4, seed=0, dtype=jnp.float32):
     return params, x
 
 
-def _reference_moe(params, x, capacity_factor):
-    """Per-token numpy oracle of Switch top-1 routing with capacity."""
+def _reference_moe(params, x, capacity_factor, group_size=None):
+    """Per-token numpy oracle of Switch top-1 routing with per-GROUP
+    capacity queues (groups default to batch rows, like moe_ffn)."""
     p = {k: np.asarray(v, np.float64) for k, v in params.items()}
     b, t, d = x.shape
-    xf = np.asarray(x, np.float64).reshape(-1, d)
+    s = group_size or t
+    xg = np.asarray(x, np.float64).reshape(-1, s, d)
     e = p["wi"].shape[0]
-    cap = moe_capacity(xf.shape[0], e, capacity_factor)
-    logits = xf @ p["router"]
-    probs = np.exp(logits - logits.max(-1, keepdims=True))
-    probs /= probs.sum(-1, keepdims=True)
-    choice = probs.argmax(-1)
-    gate = probs.max(-1)
-    counts = np.zeros(e, int)
-    y = xf.copy()
-    for n in range(xf.shape[0]):
-        ex = choice[n]
-        if counts[ex] < cap:
-            counts[ex] += 1
-            from scipy.special import erf
+    cap = moe_capacity(s, e, capacity_factor)
+    y = xg.copy()
+    for gi in range(xg.shape[0]):
+        counts = np.zeros(e, int)
+        for n in range(s):
+            logits = xg[gi, n] @ p["router"]
+            probs = np.exp(logits - logits.max())
+            probs /= probs.sum()
+            ex = probs.argmax()
+            gate = probs.max()
+            if counts[ex] < cap:
+                counts[ex] += 1
+                from scipy.special import erf
 
-            h = xf[n] @ p["wi"][ex]
-            h = 0.5 * h * (1.0 + erf(h / np.sqrt(2)))
-            y[n] = xf[n] + gate[n] * (h @ p["wo"][ex])
-        # else: overflow -> residual only
+                h = xg[gi, n] @ p["wi"][ex]
+                h = 0.5 * h * (1.0 + erf(h / np.sqrt(2)))
+                y[gi, n] = xg[gi, n] + gate * (h @ p["wo"][ex])
+            # else: overflow -> residual only
     return y.reshape(b, t, d)
 
 
@@ -64,6 +66,22 @@ def test_moe_capacity_overflow_passes_residual():
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
     changed = np.abs(np.asarray(y) - np.asarray(x)).max(-1) > 1e-7
     assert changed.sum() <= params["wi"].shape[0]  # <= E routed tokens
+
+
+def test_moe_group_queues_are_independent():
+    """Capacity queues are per group (batch row): a row full of expert-0
+    fans must not consume another row's capacity — and the dense masks
+    stay (G, S, E, C), linear in tokens, not the quadratic (N, E, N·f/E)
+    a single global queue would need."""
+    params, x = _setup(b=2, t=32)
+    y, _ = moe_ffn(params, x, capacity_factor=1.0)
+    ref = _reference_moe(params, x, 1.0)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+    # each row gets its own cap-per-expert quota
+    changed = np.abs(np.asarray(y) - np.asarray(x)).max(-1) > 1e-7
+    cap = moe_capacity(32, params["wi"].shape[0], 1.0)
+    for row in changed:
+        assert row.sum() <= cap * params["wi"].shape[0]
 
 
 def test_moe_ep_sharded_matches_single_device():

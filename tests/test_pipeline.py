@@ -151,3 +151,40 @@ def test_gpipe_fewer_microbatches_than_stages():
     got = gpipe(_toy_stage_fn, stacked, x, mesh)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(_sequential(stages, x)), atol=1e-6)
+
+
+def test_gpipe_grad_finite_with_sqrt_stage():
+    """Warmup lanes run on REAL data, not zeros: a stage op with an
+    unbounded derivative at 0 (here sqrt) would otherwise NaN-poison the
+    parameter gradients through the discarded warmup outputs' zero
+    cotangent (0 * inf = NaN), even though the forward output is exact."""
+    stages = _toy_stages(jax.random.key(20))
+
+    def sqrt_stage(p, a):
+        # zero in -> zero out with an unbounded derivative at 0: zeros
+        # warmup feeds a zero into the NEXT stage at tick 1, whose inf
+        # local derivative meets the discarded lane's zero cotangent
+        # (verified to NaN the param grads pre-fix)
+        return jnp.sqrt(jnp.abs(a @ p["w"]))
+
+    x = jnp.abs(jax.random.normal(jax.random.key(21), (8, 6, D))) + 0.5
+    mesh = pipeline_mesh(pipe=S)
+    stacked = place_pipeline_params(stack_stage_params(stages), mesh)
+    xm = microbatch(x, 4)
+
+    def loss(sp):
+        return jnp.sum(gpipe(sqrt_stage, sp, xm, mesh) ** 2)
+
+    grads = jax.grad(loss)(stacked)
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+
+    # and the forward still matches the sequential oracle
+    def seq(x_flat):
+        for p in stages:
+            x_flat = sqrt_stage(p, x_flat)
+        return x_flat
+
+    np.testing.assert_allclose(
+        np.asarray(gpipe(sqrt_stage, stacked, xm, mesh)).reshape(x.shape),
+        np.asarray(seq(x)), atol=1e-6)
