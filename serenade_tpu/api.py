@@ -74,6 +74,12 @@ class Converter:
 
         self.vocoder = None
         voc = self.config.get("vocoder") or {}
+        if voc.get("checkpoint") and not os.path.exists(voc["checkpoint"]):
+            # a typo'd path silently degrading the server to mel-only
+            # output breaks clients downstream with nothing in the logs
+            logger.warning(
+                "configured vocoder checkpoint %s does not exist; "
+                "conversions will return mel only", voc["checkpoint"])
         if voc.get("checkpoint") and os.path.exists(voc["checkpoint"]):
             from serenade_tpu.vocoder import Vocoder
 
@@ -386,12 +392,21 @@ class Converter:
             stitcher = StreamStitcher()
             it = iter(audio_chunks)
             buf = np.zeros(0, np.float32)
-            s, done = 0, False
+            # `base`: absolute frame index of buf[0].  Samples no span
+            # will read again (left of s - ctx) are trimmed as the
+            # session advances — an indefinite live source must run in
+            # BOUNDED memory, and the per-piece np.concatenate must not
+            # copy the whole session's audio (O(n^2) total copying)
+            s, base, done = 0, 0, False
             while True:
+                new_base = max(base, s - extract_ctx_frames)
+                if new_base > base:
+                    buf = buf[(new_base - base) * hop:]
+                    base = new_base
                 e = s + chunk_frames
                 # enough audio for the span + right context + the
                 # content/STFT tails?
-                need = (e + extract_ctx_frames) * hop + fc.fft_size
+                need = (e - base + extract_ctx_frames) * hop + fc.fft_size
                 while not done and len(buf) < need:
                     try:
                         piece = validate_waveform(next(it), "live chunk")
@@ -402,23 +417,23 @@ class Converter:
                                                           np.float32)])
                 if done:
                     break
-                mel = convert_chunk(extract(buf, (s, e)))
+                mel = convert_chunk(extract(buf, (s - base, e - base)))
                 yield from stitcher.add((s, e), mel, next_start=e
                                         - overlap_frames)
                 s = e - overlap_frames
             # source exhausted: the reflect tail pad _prepare_audio
             # applies to files, then drain the remaining spans
-            if len(buf) < fc.fft_size:
+            if base == 0 and len(buf) < fc.fft_size:
                 raise ValueError(
                     f"live stream ended after {len(buf)} samples — too "
                     "short to analyze")
             audio = np.pad(buf, (0, fc.fft_size), mode="reflect")
-            n = stream_total_frames(len(audio), fc)
+            n = stream_total_frames(base * hop + len(audio), fc)
             if n <= s:
                 return
             while s < n:
                 e = min(s + chunk_frames, n)
-                mel = convert_chunk(extract(audio, (s, e)))
+                mel = convert_chunk(extract(audio, (s - base, e - base)))
                 last = e >= n
                 yield from stitcher.add(
                     (s, e), mel, next_start=None if last else
@@ -445,7 +460,9 @@ class Converter:
                 wav, _ = self.vocoder.decode(mel_in)
                 hop = len(wav) // mel_in.shape[0]
                 wav_seg = wav[ctx * hop:]
-            mel_tail = seg[-vocoder_context_frames:]
+            # seg[-0:] is the WHOLE segment, not "no context"
+            mel_tail = (seg[-vocoder_context_frames:]
+                        if vocoder_context_frames > 0 else None)
             yield start, seg, wav_seg
 
     def _source_frame_feats(self, src_feats):

@@ -19,6 +19,11 @@ import numpy as np
 def split_chunks(n_frames: int, chunk: int, overlap: int) -> List[tuple]:
     """[(start, end), ...] covering [0, n_frames) with `overlap` shared
     frames between neighbors."""
+    if overlap >= chunk:
+        # a negative/zero step silently yields NO spans -> a stream that
+        # emits only its success marker; fail loudly instead
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk ({chunk})")
     if n_frames <= chunk:
         return [(0, n_frames)]
     step = chunk - overlap

@@ -156,14 +156,53 @@ class BatchingConverter:
         self._require_style(name)
         return self._refs[name]
 
+    def _validate_feats(self, feats, what: str, with_mel: bool) -> None:
+        """Reject malformed feature dicts AT SUBMIT time: conversion is
+        batched across the pending window, so a bad payload that only
+        failed inside the dispatch would collateral-fault every
+        co-batched request ('fails alone' durability contract)."""
+        need = ["hubert", "score", "loud"] + (["logmel"] if with_mel else [])
+        if self.converter.variant_new:
+            need.append("f0_fluc")
+        for k in need:
+            if k not in feats:
+                raise ValueError(f"{what} missing feature {k!r}")
+        hub = np.asarray(feats["hubert"])
+        want = np.asarray(self.converter.scaler["hubert"].mean_).shape[0]
+        if hub.ndim != 2 or hub.shape[1] != want:
+            raise ValueError(
+                f"{what} hubert must be (T, {want}); got {hub.shape}")
+        if with_mel:
+            mel = np.asarray(feats["logmel"])
+            want_m = np.asarray(
+                self.converter.scaler["logmel"].mean_).shape[0]
+            if mel.ndim != 2 or mel.shape[1] != want_m:
+                raise ValueError(
+                    f"{what} logmel must be (T, {want_m}); got {mel.shape}")
+
+    def _check_open(self) -> None:
+        if self._stop.is_set():
+            # post-close submits would sit on the queue for their full
+            # timeout — no thread will ever service them
+            raise RuntimeError("server shutting down")
+
     def convert(self, src_feats, ref, timeout: float = 300.0):
         """Blocking submit; returns (mel, wav|None, sr|None).
 
         ``ref`` is a feature dict (ad-hoc) or a registered style name.
         Thread-safe: many callers batch together transparently.
         """
-        if isinstance(ref, str):
-            self._require_style(ref)
+        self._check_open()
+        try:
+            self._validate_feats(src_feats, "src", with_mel=False)
+            if isinstance(ref, str):
+                self._require_style(ref)
+            else:
+                self._validate_feats(ref, "ref", with_mel=True)
+        except (ValueError, KeyError):
+            with self._lock:
+                self.stats["errors"] += 1
+            raise
         req = _Request(src=src_feats, ref=ref)
         self._queue.put(req)
         if not req.done.wait(timeout):
@@ -186,6 +225,7 @@ class BatchingConverter:
         # validate HERE so a malformed request faults alone at submit time
         # (extraction is batched across the whole pending window — one bad
         # waveform must not collateral-fault other clients' requests)
+        self._check_open()
         src_wav = validate_waveform(src_wav, "src_wav")
         if isinstance(ref, str):
             self._require_style(ref)
@@ -498,16 +538,24 @@ class _PayloadTooLarge(ValueError):
     """POST body exceeds the server's max_body_bytes cap (HTTP 413)."""
 
 
+class _UnreadBody(ValueError):
+    """Request body cannot be consumed on this endpoint (HTTP 411)."""
+
+
+def _ref_from_npz(z) -> dict:
+    """The one place the ``ref_*`` feature layout is decoded (an optional
+    reference feature added here reaches every endpoint)."""
+    ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
+    if "ref_f0_fluc" in z.files:
+        ref["f0_fluc"] = z["ref_f0_fluc"]
+    return ref
+
+
 def _feats_from_npz(z):
     src = {k: z[f"src_{k}"] for k in _SRC_KEYS}
     if "src_f0_fluc" in z.files:  # SerenadeNew variant
         src["f0_fluc"] = z["src_f0_fluc"]
-    if "ref_name" in z.files:
-        ref = str(z["ref_name"])
-    else:
-        ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
-        if "ref_f0_fluc" in z.files:
-            ref["f0_fluc"] = z["ref_f0_fluc"]
+    ref = str(z["ref_name"]) if "ref_name" in z.files else _ref_from_npz(z)
     return src, ref
 
 
@@ -569,18 +617,13 @@ def _parse_stream_body(body: bytes, query, batching):
             ref = _extract_or_raise(
                 conv, [z["ref_wav"]], [int(z["ref_sr"])])[0]
         else:  # raw source, pre-extracted reference features
-            ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
-            if "ref_f0_fluc" in z.files:
-                ref["f0_fluc"] = z["ref_f0_fluc"]
+            ref = _ref_from_npz(z)
     return _RawSource(src_wav, sr), ref
 
 
 def _parse_ref_npz(body: bytes):
     with np.load(io.BytesIO(body)) as z:
-        ref = {k: z[f"ref_{k}"] for k in _REF_KEYS}
-        if "ref_f0_fluc" in z.files:
-            ref["f0_fluc"] = z["ref_f0_fluc"]
-    return ref
+        return _ref_from_npz(z)
 
 
 def _encode_feats(prefix: str, feats, keys) -> dict:
@@ -719,6 +762,13 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             self.wfile.write(body)
 
         def _read_body(self) -> bytes:
+            if self.headers.get("Content-Length") is None and (
+                    "chunked" in (self.headers.get(
+                        "Transfer-Encoding") or "").lower()):
+                # only /convert_stream_live consumes chunked bodies; on
+                # any other endpoint the body would stay on the socket
+                # and desync keep-alive
+                raise _UnreadBody("endpoint requires Content-Length")
             n = int(self.headers.get("Content-Length", "0"))
             if n > max_body_bytes:
                 raise _PayloadTooLarge(
@@ -727,11 +777,13 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             return self.rfile.read(n)
 
         def _fault(self, e: Exception):
-            code = 413 if isinstance(e, _PayloadTooLarge) else 400
-            if code == 413:
-                # the oversized body was never read off the socket; under
-                # HTTP/1.1 keep-alive the next request parse would start
-                # mid-body and desync every pipelined request after it
+            code = (413 if isinstance(e, _PayloadTooLarge)
+                    else 411 if isinstance(e, _UnreadBody) else 400)
+            if code != 400:
+                # the body was never read off the socket (oversized or
+                # chunked-without-length); under HTTP/1.1 keep-alive the
+                # next request parse would start mid-body and desync
+                # every pipelined request after it
                 self.close_connection = True
             return self._send(code, json.dumps({"error": str(e)}).encode(),
                               "application/json")
@@ -840,7 +892,18 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             consumes pieces as the client uploads them."""
             total = 0
             while True:
-                line = self.rfile.readline(34)
+                line = self.rfile.readline(1024)
+                if line == b"":
+                    # EOF between chunks is a DISCONNECT, not end-of-body:
+                    # treating it as the terminal 0-chunk would convert a
+                    # truncated upload 'successfully' and end the stream
+                    # with the {done: 1} marker
+                    raise ValueError("chunked upload disconnected "
+                                     "mid-stream")
+                if not line.endswith(b"\n"):
+                    # a >1 KiB size line (chunk extensions) would leave
+                    # its remainder to be read as payload and desync
+                    raise ValueError("oversized chunk-size line")
                 size = int(line.split(b";")[0].strip() or b"0", 16)
                 if size == 0:
                     while True:  # drain optional trailers up to blank

@@ -123,12 +123,20 @@ def test_batching_converter_faults_bad_request_alone(tiny_experiment):
         # must fault alone, not kill the dispatcher thread
         with pytest.raises(Exception):
             b.convert({"wrong": np.zeros(3, np.float32)}, ref, timeout=60)
+        # malformed ad-hoc reference features reject at SUBMIT time too
+        # (they would otherwise collateral-fault the whole batched window)
+        with pytest.raises(Exception):
+            b.convert(src, {**ref, "logmel": np.zeros((4, 2), np.float32)},
+                      timeout=60)
         # server still alive: a good request succeeds afterwards
         mel, _, _ = b.convert(src, ref, timeout=120)
         assert np.isfinite(mel).all()
-        assert b.stats["errors"] >= 2
+        assert b.stats["errors"] >= 3
     finally:
         b.close()
+    # post-close submits fail fast instead of waiting out their timeout
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.convert(src, ref, timeout=60)
 
 
 def test_registered_reference_styles(tiny_experiment):
