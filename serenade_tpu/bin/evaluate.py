@@ -41,7 +41,13 @@ def _index_wavs(root: str):
     for dirpath, _dirnames, filenames in os.walk(root):
         for f in filenames:
             if fnmatch.fnmatch(f, "*.wav"):
-                out[os.path.splitext(f)[0]] = os.path.join(dirpath, f)
+                stem = os.path.splitext(f)[0]
+                if stem in out:
+                    logging.warning(
+                        "duplicate target stem %r: %s shadows %s "
+                        "(targets index by bare filename stem)",
+                        stem, os.path.join(dirpath, f), out[stem])
+                out[stem] = os.path.join(dirpath, f)
     return out
 
 
@@ -63,8 +69,11 @@ def main():
     p.add_argument("--exclude", nargs="*",
                    default=["*_gt", "*_reference"],
                    help="converted stems to skip (glob, like stage 9)")
-    p.add_argument("--f0-backend", default="yin",
-                   choices=("yin", "harvest"))
+    p.add_argument("--f0-backend", default="viterbi",
+                   choices=("viterbi", "yin", "harvest"),
+                   help="same names as preprocessing's --f0-backend: "
+                        "viterbi (YIN+Viterbi, default), yin (plain), "
+                        "harvest")
     p.add_argument("--frame-period-ms", type=float, default=5.0)
     p.add_argument("--mcep-order", type=int, default=34)
     p.add_argument("--no-dtw", action="store_true",
@@ -165,6 +174,14 @@ def main():
                 from serenade_tpu.utils.audio import resample
 
                 wav_t = resample(wav_t, sr_t, sr_c)
+            if any(s == stem for s, *_ in pairs):
+                # per-style subdirs can repeat a filename; a bare-stem
+                # key would silently drop all but the last
+                rel = os.path.relpath(os.path.join(dirpath, f),
+                                      args.converted_dir)
+                logging.warning("duplicate converted stem %r; reporting "
+                                "it as %r", stem, rel)
+                stem = os.path.splitext(rel)[0]
             pairs.append((stem, wav_c, wav_t, sr_c))
 
     from serenade_tpu.metrics import extract_eval_feats_batch, pair_metrics
@@ -185,6 +202,11 @@ def main():
 
     per_utt = {}
     for i, (stem, wav_c, _wav_t, sr_c) in enumerate(pairs):
+        if feats_c[i] is None or feats_t[i] is None:
+            logging.warning("skipping %s: corrupt waveform "
+                            "(non-finite/empty)", stem)
+            n_skipped += 1
+            continue
         m = pair_metrics(feats_c[i], feats_t[i], use_dtw=not args.no_dtw)
         if style_scorer is not None:
             m["style_cos"] = style_scorer(stem, wav_c, sr_c)

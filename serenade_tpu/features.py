@@ -159,17 +159,20 @@ def extract_signal_features_group(
     else:
         batch = jnp.stack([jnp.asarray(a) for a in audios_b])
     if f0_backend in ("native", "harvest_native"):
+        import jax
+
         from serenade_tpu.native import harvest_f0_native, yin_f0_native
 
         host_f0 = (harvest_f0_native if f0_backend == "harvest_native"
                    else yin_f0_native)
         logmel, loud = (np.asarray(a) for a in fn(batch))
-        f0 = np.stack([
-            np.asarray(smooth_f0_median(jnp.asarray(host_f0(
-                a, fs=config.sampling_rate, f0_floor=minf0, f0_ceil=maxf0,
-                frame_period_ms=config.shiftms,
-            )[0]))) for a in audios_b
-        ])
+        raw = np.stack([host_f0(
+            a, fs=config.sampling_rate, f0_floor=minf0, f0_ceil=maxf0,
+            frame_period_ms=config.shiftms,
+        )[0] for a in audios_b])
+        # ONE vmapped smoothing dispatch for the whole group (a per-row
+        # device call would pay the tunnel dispatch floor per utterance)
+        f0 = np.asarray(jax.vmap(smooth_f0_median)(jnp.asarray(raw)))
     else:
         logmel, loud, f0 = (np.asarray(a) for a in fn(batch))
     return [
@@ -503,10 +506,17 @@ def extract_features_batch(
             )
             for i, sig in zip(chunk, sigs):
                 utt_id, audio_p, _, n_frames, _, mx, gt_note_seq = prepared[i]
-                out[utt_id] = _finalize_utt(
-                    utt_id, audio_p, config, sig, n_frames, mx,
-                    gt_note_seq=gt_note_seq, content_fn=content_fn,
-                    midi_transcribe_fn=midi_transcribe_fn,
-                    with_f0_fluc=with_f0_fluc, hubert=huberts.get(i),
-                )
+                try:
+                    out[utt_id] = _finalize_utt(
+                        utt_id, audio_p, config, sig, n_frames, mx,
+                        gt_note_seq=gt_note_seq, content_fn=content_fn,
+                        midi_transcribe_fn=midi_transcribe_fn,
+                        with_f0_fluc=with_f0_fluc, hubert=huberts.get(i),
+                    )
+                except Exception as e:  # noqa: BLE001 — skips ALONE, like
+                    # the _prepare_audio guard above (e.g. a clip too
+                    # short for the f0_fluc spline must not abort the
+                    # whole batch)
+                    logger.warning("skipping %s: %s", utt_id, e)
+                    out[utt_id] = None
     return out

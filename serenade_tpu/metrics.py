@@ -32,6 +32,18 @@ _MCD_SCALE = _LOG_SPEC * np.sqrt(2.0)
 _CENTS = 1200.0 / np.log(2.0)
 
 
+def _check_eval_wav(wav: np.ndarray, name: str) -> np.ndarray:
+    """Reject corrupt waveforms before analysis: one NaN wav would
+    otherwise poison the corpus-level means in ``summarize`` silently.
+    (No [-1, 1] bound — resampled targets legitimately overshoot.)"""
+    wav = np.asarray(wav, np.float32)
+    if wav.size == 0:
+        raise ValueError(f"{name}: empty waveform")
+    if not np.isfinite(wav).all():
+        raise ValueError(f"{name}: non-finite samples")
+    return wav
+
+
 @functools.lru_cache(maxsize=None)
 def _analysis_program(padded_len: int, fs: int, frame_period_ms: float,
                       f0_floor: float, f0_ceil: float, backend: str,
@@ -45,9 +57,13 @@ def _analysis_program(padded_len: int, fs: int, frame_period_ms: float,
     from serenade_tpu.ops.world import cheaptrick
 
     def run(wav):
+        # SAME backend names as features.py f0_backend, so eval and
+        # preprocessing configured with one string use one estimator
         if backend == "harvest":
             from serenade_tpu.ops.harvest import harvest_f0 as f0_fn
-        else:
+        elif backend == "yin":
+            from serenade_tpu.ops.f0 import yin_f0 as f0_fn
+        else:  # "viterbi" (default)
             from serenade_tpu.ops.f0 import yin_f0_viterbi as f0_fn
         f0, vuv = f0_fn(wav, fs=fs, f0_floor=f0_floor, f0_ceil=f0_ceil,
                         frame_period_ms=frame_period_ms)
@@ -65,7 +81,7 @@ def extract_eval_feats(
     frame_period_ms: float = 5.0,
     f0_floor: float = 70.0,
     f0_ceil: float = 1100.0,
-    f0_backend: str = "yin",
+    f0_backend: str = "viterbi",
     mcep_order: int = 34,
 ) -> Dict[str, np.ndarray]:
     """Per-frame analysis of one waveform: mel-cepstrum (T, order+1),
@@ -76,14 +92,14 @@ def extract_eval_feats(
     from serenade_tpu.ops.sptk import ALPHA, sp2mc
     from serenade_tpu.utils.audio import to_mono
 
-    wav = to_mono(np.asarray(wav)).astype(np.float32)
+    wav = _check_eval_wav(to_mono(np.asarray(wav)), "eval wav")
     hop = int(sr * frame_period_ms / 1000.0)
     wav_b, n_frames = _bucketed(wav, hop)
     fn = _analysis_program(len(wav_b), sr, frame_period_ms, f0_floor,
                            f0_ceil, f0_backend)
     f0, vuv, log_env = (np.asarray(a) for a in fn(jnp.asarray(wav_b)))
     alpha = ALPHA.get(sr, 0.466)
-    mcep = sp2mc(np.exp(log_env[:n_frames]), mcep_order, alpha)
+    mcep = sp2mc(log_env[:n_frames], mcep_order, alpha, log_input=True)
     return {
         "mcep": mcep.astype(np.float32),
         "f0": f0[:n_frames].astype(np.float32),
@@ -98,7 +114,7 @@ def extract_eval_feats_batch(
     frame_period_ms: float = 5.0,
     f0_floor: float = 70.0,
     f0_ceil: float = 1100.0,
-    f0_backend: str = "yin",
+    f0_backend: str = "viterbi",
     mcep_order: int = 34,
     max_group: int = 8,
 ):
@@ -107,7 +123,10 @@ def extract_eval_feats_batch(
     preprocessing pattern — corpus evaluation stops paying the
     per-utterance dispatch floor).  Per-row numerics are identical to the
     solo path (same padded shapes).  Returns a list of feature dicts in
-    input order."""
+    input order; a corrupt waveform yields ``None`` at its index (and a
+    warning) instead of poisoning its whole batch."""
+    import logging
+
     import jax.numpy as jnp
 
     from serenade_tpu.features import _bucketed
@@ -116,11 +135,18 @@ def extract_eval_feats_batch(
     from serenade_tpu.utils.audio import to_mono
 
     hop = int(sr * frame_period_ms / 1000.0)
-    prepped = [_bucketed(to_mono(np.asarray(w)).astype(np.float32), hop)
-               for w in wavs]
+    prepped = [None] * len(wavs)
+    for i, w in enumerate(wavs):
+        try:
+            prepped[i] = _bucketed(
+                _check_eval_wav(to_mono(np.asarray(w)), f"wav[{i}]"), hop)
+        except ValueError:
+            logging.getLogger(__name__).warning(
+                "skipping corrupt eval waveform %d", i, exc_info=True)
     groups = {}
-    for i, (wav_b, _n) in enumerate(prepped):
-        groups.setdefault(wav_b.shape[0], []).append(i)
+    for i, pr in enumerate(prepped):
+        if pr is not None:
+            groups.setdefault(pr[0].shape[0], []).append(i)
 
     alpha = ALPHA.get(sr, 0.466)
     out = [None] * len(prepped)
@@ -135,8 +161,8 @@ def extract_eval_feats_batch(
             for row, i in enumerate(chunk):
                 n = prepped[i][1]
                 out[i] = {
-                    "mcep": sp2mc(np.exp(log_env[row, :n]), mcep_order,
-                                  alpha).astype(np.float32),
+                    "mcep": sp2mc(log_env[row, :n], mcep_order, alpha,
+                                  log_input=True).astype(np.float32),
                     "f0": f0[row, :n].astype(np.float32),
                     "vuv": vuv[row, :n].astype(np.float32),
                 }
@@ -205,21 +231,27 @@ def dtw_path(cost: np.ndarray, band_frac: float = 0.25):
     return p[:, 0], p[:, 1]
 
 
+def _cepstral_alignment(mc1: np.ndarray, mc2: np.ndarray):
+    """DTW path (idx1, idx2) + per-pair cepstral distances over c1..cD."""
+    a, b = mc1[:, 1:], mc2[:, 1:]
+    # Euclidean distance matrix without materializing (T1,T2,D)
+    sq = (np.sum(a**2, axis=1)[:, None] + np.sum(b**2, axis=1)[None, :]
+          - 2.0 * (a @ b.T))
+    dist = np.sqrt(np.maximum(sq, 0.0))
+    i, j = dtw_path(dist)
+    return i, j, dist[i, j]
+
+
 def mel_cepstral_distortion(
     mc1: np.ndarray, mc2: np.ndarray, *, use_dtw: bool = True,
 ) -> float:
     """MCD in dB over c1..cD (c0 — overall energy — excluded, the
     convention of VC evaluation).  ``use_dtw`` aligns the sequences on
     the cepstral distance; otherwise frames pair up to min length."""
-    a, b = mc1[:, 1:], mc2[:, 1:]
     if use_dtw:
-        # Euclidean distance matrix without materializing (T1,T2,D)
-        sq = (np.sum(a**2, axis=1)[:, None] + np.sum(b**2, axis=1)[None, :]
-              - 2.0 * (a @ b.T))
-        dist = np.sqrt(np.maximum(sq, 0.0))
-        i, j = dtw_path(dist)
-        per_frame = dist[i, j]
+        _, _, per_frame = _cepstral_alignment(mc1, mc2)
     else:
+        a, b = mc1[:, 1:], mc2[:, 1:]
         n = min(len(a), len(b))
         per_frame = np.sqrt(np.sum((a[:n] - b[:n]) ** 2, axis=1))
     return float(_MCD_SCALE * np.mean(per_frame))
@@ -244,13 +276,28 @@ def vuv_error_rate(f0a: np.ndarray, f0b: np.ndarray) -> float:
 
 def pair_metrics(fa: Dict[str, np.ndarray], fb: Dict[str, np.ndarray],
                  *, use_dtw: bool = True) -> Dict[str, Optional[float]]:
-    """All metrics from two extracted feature dicts."""
+    """All metrics from two extracted feature dicts.
+
+    Under ``use_dtw`` the ONE cepstral alignment drives every metric:
+    F0 RMSE and V/UV error compare DTW-paired frames, not index-paired
+    ones — against a parallel rendition with different timing,
+    index-pairing reads a global offset as hundreds of cents of
+    spurious F0 error."""
+    if use_dtw:
+        i, j, per_frame = _cepstral_alignment(fa["mcep"], fb["mcep"])
+        mcd = float(_MCD_SCALE * np.mean(per_frame))
+        f0a, f0b = fa["f0"][i], fb["f0"][j]
+        frames = float(len(i))
+    else:
+        mcd = mel_cepstral_distortion(fa["mcep"], fb["mcep"],
+                                      use_dtw=False)
+        f0a, f0b = fa["f0"], fb["f0"]
+        frames = float(min(len(f0a), len(f0b)))
     return {
-        "mcd_db": mel_cepstral_distortion(fa["mcep"], fb["mcep"],
-                                          use_dtw=use_dtw),
-        "f0_rmse_cents": f0_rmse_cents(fa["f0"], fb["f0"]),
-        "vuv_error": vuv_error_rate(fa["f0"], fb["f0"]),
-        "frames": float(min(len(fa["f0"]), len(fb["f0"]))),
+        "mcd_db": mcd,
+        "f0_rmse_cents": f0_rmse_cents(f0a, f0b),
+        "vuv_error": vuv_error_rate(f0a, f0b),
+        "frames": frames,
     }
 
 

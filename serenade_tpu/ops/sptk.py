@@ -48,9 +48,16 @@ def freqt(c: np.ndarray, order: int, alpha: float) -> np.ndarray:
     return g
 
 
-def sp2mc(powerspec: np.ndarray, order: int, alpha: float) -> np.ndarray:
-    """Power spectrum (..., fftlen//2+1) -> mel-cepstrum (..., order+1)."""
-    logsp = np.log(np.maximum(np.asarray(powerspec, np.float64), 1e-300))
+def sp2mc(powerspec: np.ndarray, order: int, alpha: float,
+          log_input: bool = False) -> np.ndarray:
+    """Power spectrum (..., fftlen//2+1) -> mel-cepstrum (..., order+1).
+
+    ``log_input=True`` takes an already-log power spectrum (analysis
+    programs that return log envelopes skip an exp/log round trip)."""
+    if log_input:
+        logsp = np.asarray(powerspec, np.float64)
+    else:
+        logsp = np.log(np.maximum(np.asarray(powerspec, np.float64), 1e-300))
     c = np.fft.irfft(logsp, axis=-1)  # (..., fftlen) real cepstrum
     c = c[..., : logsp.shape[-1]]     # one-sided
     c[..., 0] *= 0.5

@@ -94,6 +94,43 @@ def test_dtw_absorbs_time_offset():
     assert mcd_dtw < 0.6 * mcd_raw
 
 
+def test_dtw_aligns_f0_and_vuv_too():
+    """Under use_dtw every metric rides the ONE cepstral alignment: a
+    parallel rendition arriving 150 ms late must not read as hundreds of
+    cents of F0 error or V/UV disagreement (index pairing does both)."""
+    from serenade_tpu.metrics import pair_metrics
+
+    wav = _tone(262.0, dur=1.0, vibrato=True)
+    pad = np.full(int(0.15 * SR), 1e-4, np.float32)
+    shifted = np.concatenate([pad, wav[: len(wav) - len(pad)]])
+    fa = extract_eval_feats(wav, SR)
+    fb = extract_eval_feats(shifted, SR)
+    aligned = pair_metrics(fa, fb, use_dtw=True)
+    raw = pair_metrics(fa, fb, use_dtw=False)
+    # index pairing compares vibrato phases 150 ms apart; the cepstral
+    # alignment (approximate on a stationary tone — the envelope barely
+    # distinguishes frames) still recovers most of it
+    assert aligned["f0_rmse_cents"] < 0.75 * raw["f0_rmse_cents"]
+    assert aligned["f0_rmse_cents"] < 12.0
+    assert aligned["vuv_error"] <= raw["vuv_error"]
+
+
+def test_corrupt_waveform_rejected_not_nan():
+    """A NaN wav raises (solo) / skips with None (batch) instead of
+    poisoning the corpus summary with NaN means."""
+    from serenade_tpu.metrics import extract_eval_feats_batch
+
+    good = _tone(262.0, dur=0.5)
+    bad = good.copy()
+    bad[100:200] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        extract_eval_feats(bad, SR)
+    out = extract_eval_feats_batch([good, bad, good], SR)
+    assert out[1] is None
+    assert out[0] is not None and out[2] is not None
+    np.testing.assert_allclose(out[0]["mcep"], out[2]["mcep"])
+
+
 def test_stereo_wavs_fold_to_mono():
     """(T, 2) inputs (stereo corpus files) must analyze like their mono
     mixdown instead of shape-erroring in the jitted analysis."""
