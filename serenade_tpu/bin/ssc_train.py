@@ -192,7 +192,7 @@ def main(dataset_name: str = DEFAULT_DATASET):
 
     vocoder = _maybe_vocoder(config, scaler)
     eval_fn = make_eval_fn(
-        model, first_batch, outdir=args.outdir, scaler=scaler,
+        model, first_batch, outdir=args.outdir,
         vocoder=vocoder,
         num_save=int(config.get("num_save_intermediate_results", 8)),
         batch_rename=rename,

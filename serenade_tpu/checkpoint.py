@@ -104,7 +104,20 @@ def restore_checkpoint(path: str, template: Optional[dict] = None) -> dict:
         return restorer.restore(os.path.abspath(path))
 
 
-def restore_params_only(path: str):
+def restore_params_only(path: str, template=None):
+    """The ``params`` subtree of a checkpoint.
+
+    With ``template`` (an abstract pytree of the params, e.g. from
+    ``abstract_like``) only that subtree is READ from the store — an
+    AdamW checkpoint is ~3x params-sized (mu/nu moments), so a full
+    restore per snapshot triples the I/O of e.g. checkpoint averaging."""
+    if template is not None:
+        with ocp.PyTreeCheckpointer() as restorer:
+            return restorer.restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(item={"params": template},
+                                            partial_restore=True),
+            )["params"]
     return restore_checkpoint(path)["params"]
 
 
@@ -155,11 +168,14 @@ def average_checkpoints(paths):
     if not paths:
         raise ValueError("no checkpoints to average")
     acc = restore_params_only(paths[0])
+    # later snapshots read ONLY the params subtree (skipping the ~2x
+    # params-sized optimizer moments), templated on the first restore
+    template = abstract_like(acc)
     acc = jax.tree_util.tree_map(
         lambda x: np.asarray(x, np.float32)
         if np.issubdtype(np.asarray(x).dtype, np.floating) else x, acc)
     for p in paths[1:]:
-        nxt = restore_params_only(p)
+        nxt = restore_params_only(p, template=template)
         acc = jax.tree_util.tree_map(
             lambda a, b: a + np.asarray(b, np.float32)
             if np.issubdtype(np.asarray(b).dtype, np.floating) else b,

@@ -17,10 +17,14 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def make_eval_fn(model, dev_batch, *, outdir: str, scaler=None,
+def make_eval_fn(model, dev_batch, *, outdir: str,
                  vocoder=None, num_save: int = 8, n_timesteps: int = 10,
                  batch_rename=None):
-    """Build an ``eval_fn(state, steps)`` for SSCTrainer."""
+    """Build an ``eval_fn(state, steps)`` for SSCTrainer.
+
+    EVERY process runs the jitted inference (it is a collective program
+    when params are mesh-sharded — a rank-gated call would deadlock
+    multi-host); only process 0 does the host IO (plots/wavs)."""
     import jax
 
     rename = batch_rename or {"xs": "x", "ys": "logmel", "scores": "midi",
@@ -30,23 +34,27 @@ def make_eval_fn(model, dev_batch, *, outdir: str, scaler=None,
     with_fluc = "f0_fluc" in batch
 
     @jax.jit
-    def infer(params, key):
-        args = [batch["x"], batch["lengths"], batch["midi"], batch["loud"]]
+    def infer(params, b, key):
+        # the batch rides as a jit ARGUMENT: baked-in closure constants
+        # would bloat the HLO with the whole dev batch and pin a copy in
+        # device memory for the entire run
+        args = [b["x"], b["lengths"], b["midi"], b["loud"]]
         if with_fluc:
-            args.append(batch["f0_fluc"])
-        args += [batch["x"], batch["lengths"], batch["logmel"],
-                 batch["midi"], batch["loud"]]
+            args.append(b["f0_fluc"])
+        args += [b["x"], b["lengths"], b["logmel"], b["midi"], b["loud"]]
         if with_fluc:
-            args.append(batch["f0_fluc"])
+            args.append(b["f0_fluc"])
         return model.apply(params, *args, rng=key, n_timesteps=n_timesteps,
                            method="inference")
 
     def eval_fn(state, steps: int):
+        out = infer(state.params, batch, jax.random.key(steps))
+        if jax.process_index() != 0:
+            jax.block_until_ready(out)
+            return
         dirname = os.path.join(outdir, "predictions", f"{steps}steps")
         os.makedirs(dirname, exist_ok=True)
-        mel_pred = np.asarray(jax.device_get(
-            infer(state.params, jax.random.key(steps))
-        ))
+        mel_pred = np.asarray(jax.device_get(out))
         n = min(num_save, mel_pred.shape[0])
         for i in range(n):
             T = int(batch["lengths"][i])

@@ -82,6 +82,7 @@ class SSCTrainer:
         # false` restores fully synchronous saves)
         self._async_save = bool(config.get("async_checkpointing", True))
         self._saver = AsyncSaver() if self._async_save else None
+        self._last_saved_step = -1
 
         if writer is None and _is_main_process():
             try:
@@ -101,7 +102,18 @@ class SSCTrainer:
                 self._train_epoch(max_steps)
                 self.epochs += 1
         finally:
-            self.save(self.steps)
+            if self._profiling:  # trace started but the stop step never
+                # came (early finish/crash): write it out instead of
+                # losing the capture
+                jax.profiler.stop_trace()
+                self._profiling = False
+                logger.info("profiler trace written to %s",
+                            self.profile_dir)
+            if self._last_saved_step != self.steps:
+                # skip when the interval save already committed this
+                # step: a force re-save deletes the only copy first —
+                # a crash mid-rewrite would destroy the final checkpoint
+                self.save(self.steps)
             self.wait_for_saves()
         logger.info("finished training at step %d", self.steps)
 
@@ -156,6 +168,10 @@ class SSCTrainer:
         interval = int(self.config.get("log_interval_steps", 500))
         if self.steps % interval:
             return
+        # divide by the count actually accumulated: after resuming from a
+        # mid-interval checkpoint the first window is shorter than
+        # `interval`, and total/interval would under-report every loss
+        n_acc = len(self._pending)
         for m in jax.device_get(self._pending):
             for k, v in m.items():
                 self.total_train_loss[k] += float(v)
@@ -166,7 +182,7 @@ class SSCTrainer:
             self.total_train_loss = defaultdict(float)
             return
         for key, total in self.total_train_loss.items():
-            avg = total / interval
+            avg = total / max(n_acc, 1)
             logger.info("(steps: %d) %s = %.4f", self.steps, key, avg)
             if self._writer is not None:
                 self._writer.add_scalar(key, avg, self.steps)
@@ -180,8 +196,10 @@ class SSCTrainer:
         interval = int(self.config.get("eval_interval_steps", 2500))
         if self.steps % interval or self.eval_fn is None:
             return
-        if not _is_main_process():
-            return
+        # NO rank gate here: the eval computation is a collective program
+        # over (possibly) globally-sharded params — every process must
+        # enter it or process 0 deadlocks at the first cross-host
+        # collective.  eval_fn gates its host IO internally.
         try:
             self.eval_fn(self.state, self.steps)
         except Exception:  # eval must never kill training
@@ -213,6 +231,7 @@ class SSCTrainer:
                 self.outdir, step, self.state.params,
                 self.state.opt_state, epochs=self.epochs,
             )
+        self._last_saved_step = step
         if _is_main_process():
             logger.info(
                 "saved checkpoint: %s (%s, step blocked %.3fs)", path,
@@ -230,33 +249,43 @@ class SSCTrainer:
         if path is None:
             logger.info("no checkpoint found; starting fresh")
             return
-        if load_only_params:
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from serenade_tpu.checkpoint import abstract_like
+
+        # restore against the LIVE state's structure: a raw restore
+        # returns plain dicts, silently destroying the optax NamedTuple
+        # opt_state (the optimizer then crashes on the next step).
+        # abstract_like keeps each leaf's sharding so restoration places
+        # shards directly on the mesh (resharding if the checkpoint was
+        # written under a different topology) — the params-only branch
+        # needs this placement just as much as the full resume.
+        template = {
+            "params": abstract_like(self.state.params, self.mesh),
+            "meta": {"step": np.asarray(0), "epochs": np.asarray(0)},
+        }
+        if self.state.opt_state is not None:
+            template["opt_state"] = abstract_like(
+                self.state.opt_state, self.mesh)
+        try:
+            restored = restore_checkpoint(path, template)
+        except Exception:
+            if not load_only_params:
+                raise
+            # fine-tune init from a checkpoint whose optimizer state has a
+            # different structure (different optimizer/accum config):
+            # params are all we need — raw restore, host-resident
+            logger.warning("template restore failed; raw params-only "
+                           "restore", exc_info=True)
             restored = restore_checkpoint(path)
+        if load_only_params:
             self.state = self.state.__class__(
                 params=restored["params"], opt_state=self.state.opt_state,
                 step=self.state.step,
             )
         else:
-            import numpy as np
-
-            import jax.numpy as jnp
-
-            from serenade_tpu.checkpoint import abstract_like
-
-            # restore against the LIVE state's structure: a raw restore
-            # returns plain dicts, silently destroying the optax NamedTuple
-            # opt_state (the optimizer then crashes on the next step).
-            # abstract_like keeps each leaf's sharding so restoration places
-            # shards directly on the mesh (resharding if the checkpoint was
-            # written under a different topology).
-            template = {
-                "params": abstract_like(self.state.params, self.mesh),
-                "meta": {"step": np.asarray(0), "epochs": np.asarray(0)},
-            }
-            if self.state.opt_state is not None:
-                template["opt_state"] = abstract_like(
-                    self.state.opt_state, self.mesh)
-            restored = restore_checkpoint(path, template)
             self.state = self.state.__class__(
                 params=restored["params"],
                 opt_state=restored.get("opt_state", self.state.opt_state),

@@ -135,7 +135,10 @@ def build_train_step(
         rngs = {"dropout": jax.random.fold_in(rng, 1)}
         out = model.apply(params, *args, rng=rng, deterministic=False,
                           rngs=rngs, **kwargs)
-        use_prior = (step >= prior_loss_start_steps).astype(jnp.float32)
+        # strict >, matching the reference gate (ref trainers/ssc.py:80
+        # `self.steps > prior_loss_start_steps`): with the default 0 the
+        # very first step trains on cfm_loss alone
+        use_prior = (step > prior_loss_start_steps).astype(jnp.float32)
         loss = out["cfm_loss"] + use_prior * out["prior_loss"]
         metrics = {
             "train/vector_loss": out["cfm_loss"],

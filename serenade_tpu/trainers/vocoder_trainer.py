@@ -128,7 +128,9 @@ def sample_mel_wav_segments(dataset_items, rng: "Any", batch_size: int,
         item = dataset_items[rng.integers(len(dataset_items))]
         mel = np.asarray(item["logmel"])
         wav = np.asarray(item["wave"]).reshape(-1)
-        max_start = max(mel.shape[0] - segment_frames, 1)
+        # +1: the window starting at exactly L - S is a valid crop — an
+        # exclusive bound never trains on the last S frames' tail
+        max_start = max(mel.shape[0] - segment_frames + 1, 1)
         s = int(rng.integers(max_start))
         mel_seg = mel[s:s + segment_frames]
         wav_seg = wav[s * hop_size:(s + segment_frames) * hop_size]
@@ -232,7 +234,7 @@ def sample_sifigan_segments(items, rng, batch_size: int,
     for _ in range(batch_size):
         it = items[rng.integers(len(items))]
         n = it["c"].shape[0]
-        s = int(rng.integers(max(n - segment_frames, 1)))
+        s = int(rng.integers(max(n - segment_frames + 1, 1)))
         e = s + segment_frames
         cs.append(it["c"][s:e])
         sines.append(it["sine"][s * hop_size:e * hop_size])
