@@ -54,9 +54,12 @@ def build_argparser():
                    help="batch conversions with matching length buckets "
                         "(>1 exploits the packed-sequence batched inference "
                         "the reference cannot do, serenade.py:208-210)")
-    p.add_argument("--n-timesteps", type=int, default=10)
+    p.add_argument("--n-timesteps", type=int, default=None,
+                   help="CFM ODE steps (default: the checkpoint config's "
+                        "inference_n_timesteps — 2 for serenade-distill "
+                        "checkpoints — else 10, the reference sampler)")
     p.add_argument("--temperature", type=float, default=0.667)
-    p.add_argument("--solver", default="euler",
+    p.add_argument("--solver", default=None,
                    choices=("euler", "midpoint", "ab2"),
                    help="CFM ODE solver (euler = reference parity). "
                         "Measured against the converged flow on a trained "
@@ -149,6 +152,13 @@ def run(variant_new: bool):
     if args.config is None:
         args.config = os.path.join(os.path.dirname(args.checkpoint), "config.yml")
     config = load_config(args.config)
+    # a distilled checkpoint's config recommends its own sampler
+    # (serenade-distill writes inference_n_timesteps/inference_solver);
+    # explicit CLI flags always win
+    if args.n_timesteps is None:
+        args.n_timesteps = int(config.get("inference_n_timesteps", 10))
+    if args.solver is None:
+        args.solver = str(config.get("inference_solver", "euler"))
     config.update({k: v for k, v in vars(args).items() if v is not None})
     os.makedirs(args.outdir, exist_ok=True)
 

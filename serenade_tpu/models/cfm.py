@@ -55,7 +55,7 @@ class CFM(nn.Module):
                                  deterministic=deterministic)
 
     def compute_loss(self, x1, mask, mu, spk, *, mask_l=None, rng=None,
-                     deterministic: bool = True):
+                     deterministic: bool = True, x0=None):
         """Masked CFM loss.
 
         Args:
@@ -65,6 +65,14 @@ class CFM(nn.Module):
             spk: (B, spk_dim) style embedding.
             mask_l: (B, T, 1) infill-segment loss mask (optional).
             rng: PRNG key for (t, z) draws.
+            x0: optional (B, T, C) explicit flow source replacing the fresh
+                standard-normal ``z`` draw — the ReFlow/rectified-flow
+                distillation loss (`trainers/distill.py`) pairs the exact
+                initial noise the teacher sampled from with the teacher's
+                ODE endpoint as ``x1``, which straightens the learned flow
+                so 1-2 Euler steps reproduce the teacher's 10-step output.
+                Pass the noise exactly as inference would draw it
+                (i.e. already scaled by the sampling temperature).
 
         Returns:
             (loss, y): scalar f32 loss and the noisy interpolant.
@@ -72,7 +80,10 @@ class CFM(nn.Module):
         b, T, c = x1.shape
         kt, kz = jax.random.split(rng)
         t = jax.random.uniform(kt, (b, 1, 1), dtype=jnp.float32)
-        z = jax.random.normal(kz, x1.shape, dtype=jnp.float32)
+        if x0 is None:
+            z = jax.random.normal(kz, x1.shape, dtype=jnp.float32)
+        else:
+            z = x0.astype(jnp.float32)
 
         x1f = x1.astype(jnp.float32)
         y = (1.0 - (1.0 - self.sigma_min) * t) * z + t * x1f
@@ -88,7 +99,7 @@ class CFM(nn.Module):
 
     def inference(self, mu, mask, spk, *, n_timesteps: int = 10,
                   temperature: float = 0.667, rng=None,
-                  solver: str = "euler"):
+                  solver: str = "euler", x0=None):
         """ODE sampling: z·τ → x1 over a uniform t grid.
 
         Solvers (estimator body compiled once, iterated with a lifted
@@ -107,11 +118,20 @@ class CFM(nn.Module):
         UNTRAINED (random) field the ranking inverts — coarse AB2 is only
         euler-5-class there — so fast modes are for trained checkpoints.
 
+        With ``x0`` the ODE integrates from that explicit source instead of
+        drawing ``z·temperature`` from ``rng`` (temperature is NOT
+        re-applied — pass the noise pre-scaled).  Used by the ReFlow
+        distillation pair generator, which must know the exact source the
+        teacher integrated from.
+
         Returns (B, T, out_channels) f32 mels (valid under ``mask``).
         """
         b, T, _ = mu.shape
-        z = jax.random.normal(rng, (b, T, self.out_channels), jnp.float32)
-        z = z * temperature
+        if x0 is None:
+            z = jax.random.normal(rng, (b, T, self.out_channels), jnp.float32)
+            z = z * temperature
+        else:
+            z = x0.astype(jnp.float32)
         t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
         dtype = self.dtype
 

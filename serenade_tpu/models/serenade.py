@@ -166,6 +166,72 @@ class Serenade(nn.Module):
         }
 
     # ------------------------------------------------------------------
+    # distillation (ReFlow pair generation — beyond the reference, whose
+    # only sampler is the fixed 10-step Euler loop, flow_matching.py:40)
+    # ------------------------------------------------------------------
+
+    def make_reflow_batch(self, x, lengths, logmel, midi, loud, *, rng,
+                          n_timesteps: int = 10, temperature: float = 0.667,
+                          solver: str = "euler",
+                          mask_size: Tuple[float, float] | None = None,
+                          extras: Dict[str, Any] | None = None):
+        """Teacher pass for ReFlow distillation: build training-style
+        infilling conditioning, then sample the teacher ODE from a KNOWN
+        noise draw, returning the (noise, endpoint) pair.
+
+        The conditioning distribution mirrors ``__call__``'s masked-segment
+        draw, but ``mask_size`` defaults to ``(mask_size[0], 1.0)`` so the
+        segment fraction spans all the way to 1.0 — at fraction 1 the
+        conditioning mel is all-zero over the utterance, which is exactly
+        the source half of the packed inference layout
+        (``inference``'s ``zero_cond``), so distillation covers the
+        deployed regime, not just the 10-50% training segments.
+
+        Returns dict with ``mu`` (B,T,cond), ``mask`` (B,T,1) validity,
+        ``spk`` (B,spk), ``x0`` (B,T,out) the temperature-scaled noise the
+        teacher integrated from, and ``x1_hat`` (B,T,out) the teacher's
+        ODE endpoint.  The student's reflow loss supervises the straight
+        path x0→x1_hat over the full validity mask (the teacher generated
+        every valid frame from this conditioning, so every valid frame
+        constrains the distilled map).
+        """
+        b, T, _ = x.shape
+        lo, hi = mask_size if mask_size is not None else (self.mask_size[0], 1.0)
+        k_seg, k_start, k_x0 = jax.random.split(rng, 3)
+
+        enc_outs = self.encoder(x, lengths)
+        spk = self.gst(logmel, lengths)
+        mask = length_mask(lengths, T)[..., None]
+
+        maxlen = jnp.max(lengths)
+        frac = jax.random.uniform(k_seg, (), minval=lo, maxval=hi)
+        seg_len = jnp.floor(frac * maxlen).astype(jnp.int32)
+        seg_start = jnp.floor(
+            jax.random.uniform(k_start, ()) * (maxlen - seg_len + 1)
+        ).astype(jnp.int32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1), 1)
+        in_seg = ((pos >= seg_start) & (pos < seg_start + seg_len)).astype(
+            mask.dtype)
+        cond = logmel.astype(jnp.float32) * (mask * (1.0 - in_seg))
+
+        mu_parts = [enc_outs, midi, loud] + (
+            [extras["fluc"]] if extras and "fluc" in extras else []
+        )
+        mu = jnp.concatenate(
+            [p.astype(self.dtype) for p in mu_parts] + [cond.astype(self.dtype)],
+            axis=-1,
+        )
+
+        x0 = temperature * jax.random.normal(
+            k_x0, (b, T, self.output_dim), jnp.float32)
+        x1_hat = self.cfm_decoder.inference(
+            mu, mask, spk, n_timesteps=n_timesteps, temperature=temperature,
+            rng=None, solver=solver, x0=x0,
+        )
+        return {"mu": mu, "mask": mask, "spk": spk, "x0": x0,
+                "x1_hat": x1_hat}
+
+    # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------
 

@@ -191,6 +191,50 @@ def test_stats_train_decode(workdir):
     assert sharded == full, (sharded, full)
 
 
+def test_distill_cli(workdir):
+    """serenade-distill on the trained tiny checkpoint: produces a
+    decode-compatible distilled checkpoint whose config defaults decode
+    to the few-step sampler (runs after test_stats_train_decode, reusing
+    its experiment)."""
+    from serenade_tpu.bin.distill import main as distill_main
+    from serenade_tpu.bin.ssc_decode import main as decode_main
+    from serenade_tpu.checkpoint import find_latest_checkpoint
+    from serenade_tpu.config import load_config
+
+    dump = str(workdir / "dump")
+    expdir = str(workdir / "exp")
+    stats_path = str(workdir / "stats" / "stats.joblib")
+    teacher = find_latest_checkpoint(expdir)
+    if teacher is None:
+        pytest.skip("teacher checkpoint missing (train test did not run)")
+    distdir = str(workdir / "exp_distilled")
+
+    _run_cli(distill_main, [
+        "--teacher-checkpoint", teacher,
+        "--config", os.path.join(expdir, "config.yml"),
+        "--train-dumpdir", dump, "--stats", stats_path,
+        "--outdir", distdir, "--distill-steps", "3",
+        "--teacher-steps", "2", "--student-steps", "1",
+        "--data-axis", "2",  # global batch 2 fits the 3-utt tiny dump
+    ])
+    ckpt = find_latest_checkpoint(distdir)
+    assert ckpt is not None
+    cfg = load_config(os.path.join(distdir, "config.yml"))
+    assert cfg.get("distilled") is True
+    assert int(cfg["inference_n_timesteps"]) == 1
+
+    # decode WITHOUT --n-timesteps: must pick up the distilled default
+    outdir = str(workdir / "decoded_distilled")
+    _run_cli(decode_main, [
+        "--dumpdir", dump, "--stats", stats_path, "--outdir", outdir,
+        "--checkpoint", ckpt,
+    ])
+    decoded = [f for f in os.listdir(outdir) if f.endswith(".h5")]
+    assert decoded, "no decoded outputs from the distilled checkpoint"
+    mel = read_hdf5(os.path.join(outdir, decoded[0]), "mel")
+    assert np.isfinite(mel).all()
+
+
 def test_batched_extraction_matches_per_utt():
     """extract_features_batch must reproduce extract_features exactly:
     same-bucket same-range utterances share one vmapped dispatch but the
