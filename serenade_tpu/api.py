@@ -32,7 +32,8 @@ class Converter:
         stats: str,
         checkpoint: Optional[str] = None,
         contentvec_ckpt: Optional[str] = None,
-        n_timesteps: int = 10,
+        n_timesteps: Optional[int] = None,
+        solver: Optional[str] = None,
         temperature: float = 0.667,
         seed: int = 0,
         data_mesh: Optional[int] = None,
@@ -40,7 +41,13 @@ class Converter:
         """``data_mesh=N`` shards batched conversions over an N-way 'data'
         mesh (params replicated) — serving/decode on a pod slice.  Batches
         are padded up to a multiple of N; single-request paths are
-        unaffected."""
+        unaffected.
+
+        ``n_timesteps``/``solver`` default to the checkpoint config's own
+        recommendation (``inference_n_timesteps``/``inference_solver``,
+        written by ``serenade-distill``) like the decode CLI, falling back
+        to the reference sampler (10 Euler steps) — so serving a distilled
+        checkpoint runs its few-step sampler without extra flags."""
         import jax
         import joblib
 
@@ -63,7 +70,12 @@ class Converter:
         self.variant_new = bool(getattr(model_cls, "uses_f0_fluc", False))
         self.params = restore_params_only(ckpt)
         self.scaler = joblib.load(stats)
+        if n_timesteps is None:
+            n_timesteps = int(self.config.get("inference_n_timesteps", 10))
+        if solver is None:
+            solver = str(self.config.get("inference_solver", "euler"))
         self.n_timesteps = n_timesteps
+        self.solver = solver
         self.temperature = temperature
         self._key = jax.random.key(seed)
         # serving runs conversions from multiple threads (dispatcher +
@@ -129,7 +141,8 @@ class Converter:
             args.append(ref["f0_fluc"])
         return self.model.apply(
             params, *args, rng=key, n_timesteps=self.n_timesteps,
-            temperature=self.temperature, method="inference",
+            temperature=self.temperature, solver=self.solver,
+            method="inference",
         )
 
     def _normalize_src(self, feats: Dict[str, np.ndarray]):

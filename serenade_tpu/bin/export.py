@@ -40,9 +40,15 @@ def main():
                    help="comma list of SRCxREF frame buckets, e.g. "
                         "'512x512,1024x512,2048x1024'; requests pad to the "
                         "smallest fitting bucket at run time")
-    p.add_argument("--n-timesteps", type=int, default=10)
-    p.add_argument("--solver", default="euler",
-                   choices=("euler", "midpoint", "ab2"))
+    p.add_argument("--n-timesteps", type=int, default=None,
+                   help="ODE steps baked into the exported programs "
+                        "(default: the checkpoint config's "
+                        "inference_n_timesteps — 2 for serenade-distill "
+                        "outputs — else 10)")
+    p.add_argument("--solver", default=None,
+                   choices=("euler", "midpoint", "ab2"),
+                   help="CFM solver (default: the checkpoint config's "
+                        "inference_solver, else euler)")
     p.add_argument("--temperature", type=float, default=0.667)
     p.add_argument("--platforms", default=None,
                    help="comma list (e.g. 'tpu,cpu'); default: current "
@@ -59,7 +65,7 @@ def main():
     from serenade_tpu.deploy import export_converter
 
     conv = Converter(args.expdir, args.stats, checkpoint=args.checkpoint,
-                     n_timesteps=args.n_timesteps,
+                     n_timesteps=args.n_timesteps, solver=args.solver,
                      temperature=args.temperature)
     platforms = (tuple(s.strip() for s in args.platforms.split(","))
                  if args.platforms else None)

@@ -45,7 +45,14 @@ def build_argparser():
                         "a batch is in flight (waiting is free then); "
                         "tune above the steady-state batch time, or 0 "
                         "for latency-first serving")
-    p.add_argument("--n-timesteps", type=int, default=10)
+    p.add_argument("--n-timesteps", type=int, default=None,
+                   help="ODE steps per conversion (default: the checkpoint "
+                        "config's inference_n_timesteps — 2 for "
+                        "serenade-distill outputs — else 10)")
+    p.add_argument("--solver", default=None,
+                   choices=["euler", "midpoint", "ab2"],
+                   help="CFM solver (default: the checkpoint config's "
+                        "inference_solver, else euler)")
     p.add_argument("--data-axis", type=int, default=1,
                    help="shard batched dispatches over an N-way 'data' "
                         "mesh (serving on a pod slice)")
@@ -63,7 +70,7 @@ def build_app(args):
     conv = Converter(
         args.expdir, args.stats, checkpoint=args.checkpoint,
         contentvec_ckpt=args.contentvec_ckpt,
-        n_timesteps=args.n_timesteps,
+        n_timesteps=args.n_timesteps, solver=args.solver,
         data_mesh=args.data_axis if args.data_axis > 1 else None,
     )
     batching = BatchingConverter(conv, max_batch=args.max_batch,

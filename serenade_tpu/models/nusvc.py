@@ -70,12 +70,13 @@ class NUSVC(nn.Module):
                 "loss": cfm_loss + prior_loss}
 
     def inference(self, x, lengths, ref_logmel, ref_lengths, *, rng,
-                  n_timesteps: int = 10, temperature: float = 0.667):
+                  n_timesteps: int = 10, temperature: float = 0.667,
+                  solver: str = "euler"):
         b, T, _ = x.shape
         enc = self.post_encoder(self.encoder(x, lengths))
         spk = self.gst(ref_logmel, ref_lengths)
         mask = length_mask(lengths, T)[..., None]
         return self.cfm_decoder.inference(
             enc, mask, spk, n_timesteps=n_timesteps, temperature=temperature,
-            rng=rng,
+            rng=rng, solver=solver,
         )

@@ -55,3 +55,24 @@ def test_converter_api(tmp_path):
     assert mel.shape[1] == TINY_CONFIG["num_mels"]
     assert np.isfinite(mel).all()
     assert wav is None  # no vocoder checkpoint in the tiny config
+
+    # distilled checkpoints dump inference_n_timesteps/inference_solver into
+    # their config (trainers/distill.py); the Converter must honor them as
+    # defaults so serving a distilled checkpoint runs its few-step sampler
+    # without extra flags.
+    exp_cfg = tmp_path / "exp" / "config.yml"
+    with open(exp_cfg) as f:
+        dumped = yaml.safe_load(f)
+    dumped["inference_n_timesteps"] = 2
+    dumped["inference_solver"] = "midpoint"
+    with open(exp_cfg, "w") as f:
+        yaml.safe_dump(dumped, f)
+    conv2 = Converter(str(tmp_path / "exp"), str(tmp_path / "stats.joblib"))
+    assert conv2.n_timesteps == 2
+    assert conv2.solver == "midpoint"
+    mel2, _, _ = conv2.convert_features(items[src], items[ref])
+    assert mel2.shape == mel.shape and np.isfinite(mel2).all()
+    # explicit flags still win over the config recommendation
+    conv3 = Converter(str(tmp_path / "exp"), str(tmp_path / "stats.joblib"),
+                      n_timesteps=3, solver="euler")
+    assert conv3.n_timesteps == 3 and conv3.solver == "euler"
