@@ -118,6 +118,37 @@ def bench_conversion(model, vocoder, params, voc_params):
             n_timesteps=7, solver="ab2", method="inference",
         )
 
+    @jax.jit
+    def convert_distilled(params, src, ref, key):
+        # the serenade-distill sampler: 2 Euler steps on a distilled
+        # (rectified/endpoint-matched) field.  Its COST is weight-
+        # independent so random params measure the true RTF; quality is
+        # checkpoint-dependent and quantified separately
+        # (tests/test_distill.py: distilled euler-2 lands ~0.45 dB MCD
+        # from the converged flow on a trained field)
+        return model.apply(
+            params, src["x"], src["lengths"], src["midi"], src["loud"],
+            ref["ref_x"], ref["ref_lengths"], ref["ref_logmel"],
+            ref["ref_midi"], ref["ref_loud"], rng=key,
+            n_timesteps=2, solver="euler", method="inference",
+        )
+
+    from serenade_tpu.quantize import dequantize_tree, quantize_tree
+
+    @jax.jit
+    def convert_int8(params_q, src, ref, key):
+        # weight-only int8 serving mode: weights cross HBM as int8 (1/4
+        # the f32 bytes) and dequantize in-program; batch-1 conversion is
+        # weight-bandwidth-bound, so this measures the bandwidth win.
+        # Quality bound: tests/test_quantize.py (MCD vs f32 weights)
+        return model.apply(
+            dequantize_tree(params_q), src["x"], src["lengths"],
+            src["midi"], src["loud"], ref["ref_x"], ref["ref_lengths"],
+            ref["ref_logmel"], ref["ref_midi"], ref["ref_loud"], rng=key,
+            n_timesteps=N_TIMESTEPS, method="inference",
+        )
+
+    params_q = jax.jit(quantize_tree)(params)
     vocode = jax.jit(lambda vp, mel: vocoder.apply(vp, mel))
 
     elapsed = _timeit(
@@ -129,7 +160,18 @@ def bench_conversion(model, vocoder, params, voc_params):
         lambda i: vocode(voc_params,
                          convert_fast(params, src, ref,
                                       jax.random.fold_in(ks[9], i))), n=10)
-    return elapsed / audio_seconds, elapsed_fast / audio_seconds
+    elapsed_distilled = _timeit(
+        lambda i: vocode(voc_params,
+                         convert_distilled(params, src, ref,
+                                           jax.random.fold_in(ks[7], i))),
+        n=10)
+    elapsed_int8 = _timeit(
+        lambda i: vocode(voc_params,
+                         convert_int8(params_q, src, ref,
+                                      jax.random.fold_in(ks[8], i + 777))),
+        n=10)
+    return (elapsed / audio_seconds, elapsed_fast / audio_seconds,
+            elapsed_distilled / audio_seconds, elapsed_int8 / audio_seconds)
 
 
 def bench_train(model_f32, opt_params=None):
@@ -391,8 +433,11 @@ def main():
         lambda: vocoder.init(jax.random.key(7), jnp.zeros((1, 64, 80)))
     )()
 
-    rtf, rtf_fast = bench_conversion(model, vocoder, params, voc_params)
+    rtf, rtf_fast, rtf_distilled, rtf_int8 = bench_conversion(
+        model, vocoder, params, voc_params)
     details["conversion_rtf_ab2_7step"] = round(rtf_fast, 5)
+    details["conversion_rtf_distilled_euler2"] = round(rtf_distilled, 5)
+    details["conversion_rtf_int8_weights"] = round(rtf_int8, 5)
 
     try:
         sps, mfu, flops = bench_train(Serenade(dtype=jnp.bfloat16))

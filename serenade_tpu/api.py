@@ -37,6 +37,7 @@ class Converter:
         temperature: float = 0.667,
         seed: int = 0,
         data_mesh: Optional[int] = None,
+        quantize: Optional[str] = None,
     ):
         """``data_mesh=N`` shards batched conversions over an N-way 'data'
         mesh (params replicated) — serving/decode on a pod slice.  Batches
@@ -47,7 +48,13 @@ class Converter:
         recommendation (``inference_n_timesteps``/``inference_solver``,
         written by ``serenade-distill``) like the decode CLI, falling back
         to the reference sampler (10 Euler steps) — so serving a distilled
-        checkpoint runs its few-step sampler without extra flags."""
+        checkpoint runs its few-step sampler without extra flags.
+
+        ``quantize="int8"`` stores the model weights int8 per-channel
+        (serenade_tpu.quantize): ~4x smaller device-resident params and
+        exported artifacts, RTF-neutral at conversion shapes (the
+        dequant hoists out of the ODE scan); quality bound quantified in
+        tests/test_quantize.py."""
         import jax
         import joblib
 
@@ -69,6 +76,14 @@ class Converter:
         # class capability, not inferred from the registry name
         self.variant_new = bool(getattr(model_cls, "uses_f0_fluc", False))
         self.params = restore_params_only(ckpt)
+        if quantize is not None:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r} "
+                                 "(supported: 'int8')")
+            from serenade_tpu.quantize import quantize_tree
+
+            self.params = jax.jit(quantize_tree)(self.params)
+        self.quantize = quantize
         self.scaler = joblib.load(stats)
         if n_timesteps is None:
             n_timesteps = int(self.config.get("inference_n_timesteps", 10))
@@ -132,6 +147,11 @@ class Converter:
     # ------------------------------------------------------------------
 
     def _infer_impl(self, params, src, ref, key):
+        from serenade_tpu.quantize import dequantize_tree
+
+        # identity on unquantized trees; with quantize="int8" the weights
+        # cross HBM as int8 and the scale multiply fuses into consumers
+        params = dequantize_tree(params)
         args = [src["x"], src["lengths"], src["midi"], src["loud"]]
         if self.variant_new:
             args.append(src["f0_fluc"])
@@ -725,8 +745,12 @@ class Converter:
         mel_n = (np.asarray(logmel) - s.mean_) / s.scale_
         t = mel_n.shape[0]
         if self._gst_fn is None:
-            self._gst_fn = jax.jit(lambda p, mel, lens: self.model.apply(
-                p, mel, lens, method=lambda m, mel_, l_: m.gst(mel_, l_)))
+            from serenade_tpu.quantize import dequantize_tree
+
+            self._gst_fn = jax.jit(
+                lambda p, mel, lens: self.model.apply(
+                    dequantize_tree(p), mel, lens,
+                    method=lambda m, mel_, l_: m.gst(mel_, l_)))
         mel_b = jnp.asarray(pad_to(mel_n.astype(np.float32),
                                    bucket_length(t)))[None]
         emb = self._gst_fn(self.params, mel_b, jnp.asarray([t]))

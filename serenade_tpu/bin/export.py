@@ -50,6 +50,11 @@ def main():
                    help="CFM solver (default: the checkpoint config's "
                         "inference_solver, else euler)")
     p.add_argument("--temperature", type=float, default=0.667)
+    p.add_argument("--quantize", default=None, choices=("int8",),
+                   help="weight-only int8 quantization: int8 constants "
+                        "in the artifact (~4x smaller) dequantized "
+                        "per-channel inside the program; quality bound "
+                        "in tests/test_quantize.py")
     p.add_argument("--platforms", default=None,
                    help="comma list (e.g. 'tpu,cpu'); default: current "
                         "backend + cpu")
@@ -66,12 +71,15 @@ def main():
 
     conv = Converter(args.expdir, args.stats, checkpoint=args.checkpoint,
                      n_timesteps=args.n_timesteps, solver=args.solver,
-                     temperature=args.temperature)
+                     temperature=args.temperature, quantize=args.quantize)
     platforms = (tuple(s.strip() for s in args.platforms.split(","))
                  if args.platforms else None)
+    # conv.solver carries the resolved choice (explicit flag, else the
+    # checkpoint config's inference_solver, else euler) — args.solver is
+    # None when the flag was omitted
     manifest = export_converter(
         conv, args.out_dir, buckets=_parse_buckets(args.buckets),
-        platforms=platforms, solver=args.solver)
+        platforms=platforms, solver=conv.solver)
     logging.info("exported %d bucket program(s) to %s (platforms: %s)",
                  len(manifest["files"]), args.out_dir,
                  ",".join(manifest["platforms"]))

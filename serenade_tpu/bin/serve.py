@@ -13,6 +13,12 @@ long-form), ``/register_reference``, GET ``/healthz``.
 
     serenade-serve --expdir exp/serenade --stats data/stats.joblib \
         --host 0.0.0.0 --port 8571 --max-batch 8 --max-wait-ms 10
+
+Deployment mode: ``--artifact DIR`` serves an exported StableHLO
+directory (``serenade-export``) instead — no model code, checkpoints, or
+scaler pickles on the serving host.  /convert_features and
+/register_reference work; the raw-audio/streaming endpoints (which need
+on-host feature extraction) fault with a clear 400.
 """
 
 from __future__ import annotations
@@ -25,9 +31,16 @@ import numpy as np
 
 def build_argparser():
     p = argparse.ArgumentParser(description="SSC conversion server")
-    p.add_argument("--expdir", required=True,
+    p.add_argument("--expdir", default=None,
                    help="experiment dir (config.yml + checkpoints)")
-    p.add_argument("--stats", required=True, help="stats.joblib path")
+    p.add_argument("--stats", default=None, help="stats.joblib path")
+    p.add_argument("--artifact", default=None,
+                   help="serve an exported StableHLO artifact directory "
+                        "(serenade-export) instead of a live experiment: "
+                        "no model code, checkpoints, or scaler pickles "
+                        "needed on the serving host.  Supports "
+                        "/convert_features + /register_reference; the "
+                        "raw-audio/streaming endpoints need --expdir")
     p.add_argument("--checkpoint", default=None,
                    help="explicit checkpoint (default: latest in expdir)")
     p.add_argument("--contentvec-ckpt", default=None)
@@ -56,6 +69,11 @@ def build_argparser():
     p.add_argument("--data-axis", type=int, default=1,
                    help="shard batched dispatches over an N-way 'data' "
                         "mesh (serving on a pod slice)")
+    p.add_argument("--quantize", default=None, choices=("int8",),
+                   help="weight-only int8 model weights (~4x smaller "
+                        "device-resident params; RTF-neutral at "
+                        "conversion shapes; quality bound in "
+                        "tests/test_quantize.py)")
     p.add_argument("--verbose", type=int, default=1)
     return p
 
@@ -64,18 +82,48 @@ def build_app(args):
     """Assemble (server, batching) from parsed args — the whole CLI minus
     serve_forever, so tests can run the real entry path on an ephemeral
     port."""
-    from serenade_tpu.api import Converter
-    from serenade_tpu.serving import BatchingConverter, make_server
+    from serenade_tpu.serving import make_server
 
-    conv = Converter(
-        args.expdir, args.stats, checkpoint=args.checkpoint,
-        contentvec_ckpt=args.contentvec_ckpt,
-        n_timesteps=args.n_timesteps, solver=args.solver,
-        data_mesh=args.data_axis if args.data_axis > 1 else None,
-    )
-    batching = BatchingConverter(conv, max_batch=args.max_batch,
-                                 max_wait_ms=args.max_wait_ms,
-                                 busy_hold_ms=args.busy_hold_ms)
+    if args.artifact:
+        if args.expdir or args.stats:
+            raise SystemExit("--artifact replaces --expdir/--stats")
+        # model semantics are BAKED into the artifact at export time —
+        # silently ignoring these flags would serve a different program
+        # than the user asked for
+        baked = {"--checkpoint": args.checkpoint,
+                 "--contentvec-ckpt": args.contentvec_ckpt,
+                 "--n-timesteps": args.n_timesteps,
+                 "--solver": args.solver,
+                 "--quantize": args.quantize}
+        bad = [k for k, v in baked.items() if v is not None]
+        if args.data_axis != 1:
+            bad.append("--data-axis")
+        if bad:
+            raise SystemExit(
+                f"{', '.join(bad)} cannot apply to an exported artifact "
+                "(they are fixed at serenade-export time); re-export "
+                "with the desired settings or serve with --expdir")
+        from serenade_tpu.deploy import ArtifactService
+
+        batching = ArtifactService(args.artifact)
+        variant_new = bool(batching.manifest["variant_new"])
+    elif not (args.expdir and args.stats):
+        raise SystemExit("need --expdir and --stats (or --artifact)")
+    else:
+        from serenade_tpu.api import Converter
+        from serenade_tpu.serving import BatchingConverter
+
+        conv = Converter(
+            args.expdir, args.stats, checkpoint=args.checkpoint,
+            contentvec_ckpt=args.contentvec_ckpt,
+            n_timesteps=args.n_timesteps, solver=args.solver,
+            data_mesh=args.data_axis if args.data_axis > 1 else None,
+            quantize=args.quantize,
+        )
+        batching = BatchingConverter(conv, max_batch=args.max_batch,
+                                     max_wait_ms=args.max_wait_ms,
+                                     busy_hold_ms=args.busy_hold_ms)
+        variant_new = conv.variant_new
     if args.ref_dict:
         import json
 
@@ -91,7 +139,7 @@ def build_app(args):
                 "score": np.asarray(
                     read_hdf5(h5path, args.score_type)).reshape(-1, 1),
             }
-            if conv.variant_new:  # SerenadeNew dumps carry f0_fluc
+            if variant_new:  # SerenadeNew dumps carry f0_fluc
                 feats["f0_fluc"] = np.asarray(
                     read_hdf5(h5path, "f0_fluc")).reshape(-1, 1)
             batching.register_reference(style, feats)

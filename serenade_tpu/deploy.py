@@ -71,10 +71,11 @@ def export_converter(
     out_dir: str,
     buckets: Sequence[Tuple[int, int]] = ((1024, 512),),
     platforms: Optional[Sequence[str]] = None,
-    solver: str = "euler",
+    solver: Optional[str] = None,
 ) -> dict:
     """Export ``conv`` (an ``api.Converter``) for the given
     (src_frames, ref_frames) buckets.  Returns the manifest dict.
+    ``solver`` defaults to the Converter's own resolved choice.
 
     Each bucket program takes raw (un-normalized, h5-layout) features
     padded to the bucket shape plus threefry key data, and returns the
@@ -87,6 +88,8 @@ def export_converter(
 
     from serenade_tpu.ops import attention
 
+    if solver is None:
+        solver = getattr(conv, "solver", "euler")
     if platforms is None:
         cur = jax.default_backend()
         cur = "tpu" if cur not in ("cpu", "gpu") else cur
@@ -147,8 +150,14 @@ def export_converter(
             ]
             if variant_new:
                 args.append(ref_fluc * m_ref)
+            # identity on float trees; with Converter(quantize="int8")
+            # the weights serialize as int8 constants (~4x smaller
+            # artifact) and dequantize inside the program
+            from serenade_tpu.quantize import dequantize_tree
+
             mel = model.apply(
-                params, *args, rng=key, n_timesteps=conv.n_timesteps,
+                dequantize_tree(params), *args, rng=key,
+                n_timesteps=conv.n_timesteps,
                 temperature=conv.temperature, solver=solver,
                 method="inference",
             )
@@ -206,9 +215,15 @@ def export_converter(
     finally:
         attention.FLASH_MIN_T = old_min_t
 
+    fc_hop = conv.config.get("hop_size")
+    fc_sr = conv.config.get("sampling_rate")
     manifest = {
         "format_version": _FORMAT_VERSION,
         "kind": "serenade_tpu.converter",
+        # feature frame shift in seconds (audio-seconds accounting for
+        # the artifact server's /healthz RTF)
+        "frame_shift_s": (float(fc_hop) / float(fc_sr)
+                          if fc_hop and fc_sr else None),
         "buckets": [[int(ts), int(tr)] for ts, tr in buckets],
         "files": files,
         "platforms": list(platforms),
@@ -219,6 +234,7 @@ def export_converter(
         "num_mels": mel_dim,
         "content_dim": content_dim,
         "has_vocoder": voc_model is not None,
+        "quantize": getattr(conv, "quantize", None),
         "hop_size": hop,
         "sample_rate": (int(voc.sampling_rate) if voc is not None else None),
         "jax_version": __import__("jax").__version__,
@@ -334,3 +350,118 @@ class ExportedConverter:
 
 def load(art_dir: str, seed: int = 0) -> ExportedConverter:
     return ExportedConverter(art_dir, seed=seed)
+
+
+class ArtifactService:
+    """Serve an exported artifact through ``serving.make_server`` — HTTP
+    conversion on a host with NO model code, checkpoints, or scaler
+    pickles (``serenade-serve --artifact DIR``).
+
+    Duck-types the BatchingConverter surface the HTTP handler uses:
+    POST /convert_features and /register_reference work (the exported
+    programs are batch-1 — requests run directly, no batching queue) and
+    GET /healthz reports stats.  The extraction-dependent endpoints
+    (/convert_wav, /convert_stream, /convert_stream_live) fault with a
+    clear 400: feature extraction and ContentVec are not part of the
+    exported program — serve with ``--expdir`` for those.
+    """
+
+    def __init__(self, art_dir: str, seed: int = 0,
+                 max_references: int = 64):
+        import threading
+
+        self._exp = ExportedConverter(art_dir, seed=seed)
+        self._max_references = max_references
+        self._lock = threading.Lock()
+        self._raw_refs: Dict[str, Dict[str, np.ndarray]] = {}
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "audio_sec": 0.0, "compute_sec": 0.0}
+
+    @property
+    def manifest(self) -> dict:
+        return self._exp.manifest
+
+    @property
+    def converter(self):
+        """The streaming handlers grab this first; there is no live
+        Converter behind an artifact, so they fault per-request."""
+        raise ValueError(
+            "streaming endpoints need a live model (serenade-serve "
+            "--expdir); the exported artifact serves pre-extracted "
+            "features only (/convert_features)")
+
+    # -- reference registry (raw features host-side; normalization is
+    # baked into the exported program, so there is nothing to pre-pack) --
+
+    def reference_names(self):
+        return sorted(self._raw_refs)
+
+    def register_reference(self, name: str, ref_feats) -> None:
+        from serenade_tpu.serving import check_registry_capacity
+
+        feats = {k: np.asarray(v) for k, v in ref_feats.items()}
+        self._validate(feats, "ref", with_mel=True)
+        with self._lock:  # check+insert atomic (handler threads race)
+            check_registry_capacity(self._raw_refs, name,
+                                    self._max_references)
+            self._raw_refs[name] = feats
+
+    def raw_reference(self, name: str):
+        if name not in self._raw_refs:
+            raise KeyError(f"unknown reference style {name!r}; "
+                           f"registered: {self.reference_names()}")
+        return self._raw_refs[name]
+
+    def packed_reference(self, name: str):
+        raise ValueError(
+            "streaming endpoints are not supported by the artifact "
+            "server; serve with --expdir")
+
+    def _validate(self, feats, what: str, with_mel: bool) -> None:
+        """The shared submit-time contract, against the manifest's baked
+        dimensions (the live server reads them off the scaler)."""
+        from serenade_tpu.serving import validate_feature_dict
+
+        validate_feature_dict(
+            feats, what, with_mel,
+            content_dim=int(self.manifest["content_dim"]),
+            num_mels=int(self.manifest["num_mels"]),
+            variant_new=bool(self.manifest["variant_new"]))
+
+    # -- request paths ---------------------------------------------------
+
+    def convert(self, src_feats, ref, timeout: float = 300.0):
+        """(mel, wav|None, sr|None) — the /convert_features contract.
+        ``ref`` is a feature dict or a registered style name."""
+        import time
+
+        del timeout  # synchronous: the exported program runs inline
+        try:
+            self._validate(src_feats, "src", with_mel=False)
+            if isinstance(ref, str):
+                ref = self.raw_reference(ref)
+            else:
+                self._validate(ref, "ref", with_mel=True)
+            t0 = time.perf_counter()
+            mel, wav, sr = self._exp.convert_features(src_feats, ref)
+            dt = time.perf_counter() - t0
+        except Exception:
+            with self._lock:
+                self.stats["errors"] += 1
+            raise
+        shift = self.manifest.get("frame_shift_s") or 0.0
+        with self._lock:
+            self.stats["requests"] += 1
+            self.stats["batches"] += 1
+            self.stats["compute_sec"] += dt
+            self.stats["audio_sec"] += mel.shape[0] * shift
+        return mel, wav, sr
+
+    def convert_wav(self, src_wav, sr, ref, timeout: float = 300.0):
+        raise ValueError(
+            "/convert_wav needs on-device feature extraction; the "
+            "exported artifact serves pre-extracted features only — "
+            "serve with --expdir and --contentvec-ckpt for raw audio")
+
+    def close(self, join_timeout: float = 5.0) -> None:
+        pass  # no worker threads to stop

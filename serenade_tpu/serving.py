@@ -41,6 +41,41 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def validate_feature_dict(feats, what: str, with_mel: bool,
+                          content_dim: int, num_mels: int,
+                          variant_new: bool) -> None:
+    """The submit-time feature contract, shared by the live batching
+    server (dims from the scaler) and the artifact server (dims from the
+    manifest): reject malformed dicts BEFORE they reach a batched
+    dispatch, so a bad payload fails alone."""
+    need = ["hubert", "score", "loud"] + (["logmel"] if with_mel else [])
+    if variant_new:
+        need.append("f0_fluc")
+    for k in need:
+        if k not in feats:
+            raise ValueError(f"{what} missing feature {k!r}")
+    hub = np.asarray(feats["hubert"])
+    if hub.ndim != 2 or hub.shape[1] != content_dim:
+        raise ValueError(
+            f"{what} hubert must be (T, {content_dim}); got {hub.shape}")
+    if with_mel:
+        mel = np.asarray(feats["logmel"])
+        if mel.ndim != 2 or mel.shape[1] != num_mels:
+            raise ValueError(
+                f"{what} logmel must be (T, {num_mels}); got {mel.shape}")
+
+
+def check_registry_capacity(refs, name: str, max_references: int) -> None:
+    """Reference-registry cap (call under the registry lock): each
+    registration pins features resident, so an unbounded registry is a
+    memory-exhaustion vector on a reachable port.  Re-registering an
+    existing name is always allowed."""
+    if name not in refs and len(refs) >= max_references:
+        raise ValueError(
+            f"reference registry full ({max_references}); "
+            "re-register an existing name or raise max_references")
+
+
 @dataclass
 class _Request:
     src: Optional[Dict[str, np.ndarray]]
@@ -119,12 +154,7 @@ class BatchingConverter:
         packed = self._conv.pack_reference(ref_feats)
         raw = {k: np.asarray(v) for k, v in ref_feats.items()}
         with self._lock:  # check+insert atomic: handler threads race here
-            if (name not in self._refs
-                    and len(self._refs) >= self._max_references):
-                raise ValueError(
-                    f"reference registry full ({self._max_references}); "
-                    "re-register an existing name or raise max_references"
-                )
+            check_registry_capacity(self._refs, name, self._max_references)
             # raw first: _refs gates availability, so a concurrent lookup
             # that passes the gate must already find the raw copy
             self._raw_refs[name] = raw
@@ -161,24 +191,13 @@ class BatchingConverter:
         batched across the pending window, so a bad payload that only
         failed inside the dispatch would collateral-fault every
         co-batched request ('fails alone' durability contract)."""
-        need = ["hubert", "score", "loud"] + (["logmel"] if with_mel else [])
-        if self.converter.variant_new:
-            need.append("f0_fluc")
-        for k in need:
-            if k not in feats:
-                raise ValueError(f"{what} missing feature {k!r}")
-        hub = np.asarray(feats["hubert"])
-        want = np.asarray(self.converter.scaler["hubert"].mean_).shape[0]
-        if hub.ndim != 2 or hub.shape[1] != want:
-            raise ValueError(
-                f"{what} hubert must be (T, {want}); got {hub.shape}")
-        if with_mel:
-            mel = np.asarray(feats["logmel"])
-            want_m = np.asarray(
-                self.converter.scaler["logmel"].mean_).shape[0]
-            if mel.ndim != 2 or mel.shape[1] != want_m:
-                raise ValueError(
-                    f"{what} logmel must be (T, {want_m}); got {mel.shape}")
+        validate_feature_dict(
+            feats, what, with_mel,
+            content_dim=np.asarray(
+                self.converter.scaler["hubert"].mean_).shape[0],
+            num_mels=np.asarray(
+                self.converter.scaler["logmel"].mean_).shape[0],
+            variant_new=self.converter.variant_new)
 
     def _check_open(self) -> None:
         if self._stop.is_set():

@@ -190,6 +190,97 @@ def test_pick_bucket_minimizes_padded_work():
         exp._pick_bucket(4000, 100)
 
 
+def test_artifact_server(tmp_path):
+    """serenade-serve --artifact: HTTP conversion from the exported
+    StableHLO directory alone (no model code / checkpoint / scaler on the
+    serving path), with the extraction-dependent endpoints faulting
+    clearly."""
+    import http.client
+    import threading
+
+    from tests.test_e2e_pipeline import UTTS
+    from serenade_tpu.api import Converter
+    from serenade_tpu.bin.serve import build_app, build_argparser
+    from serenade_tpu.collaters.ssc import bucket_length
+    from serenade_tpu.deploy import export_converter
+    from serenade_tpu.serving import (
+        decode_response, encode_reference, encode_request,
+    )
+
+    expdir, stats, items = _tiny_experiment(tmp_path)
+    (src, _), (ref, _) = UTTS[:2]
+    ts = bucket_length(items[src]["hubert"].shape[0])
+    tr = bucket_length(items[ref]["hubert"].shape[0])
+    # seed 0 matches ArtifactService's default: both key chains start
+    # identically, so the first conversion on each side draws the same
+    # noise (the export itself consumes no keys)
+    conv = Converter(expdir, stats, n_timesteps=2, seed=0)
+    art = str(tmp_path / "art")
+    export_converter(conv, art, buckets=((ts, tr),))
+
+    args = build_argparser().parse_args(
+        ["--artifact", art, "--port", "0"])
+    server, service = build_app(args)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", "/convert_features",
+                  body=encode_request(items[src], items[ref]))
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        mel, wav, sr = decode_response(resp.read())
+        assert mel.shape[0] == items[src]["hubert"].shape[0]
+        assert np.isfinite(mel).all() and wav is None
+
+        # same seed as the live Converter => the first conversions match
+        mel_live, _, _ = conv.convert_features(items[src], items[ref])
+        np.testing.assert_allclose(mel, mel_live, atol=1e-4, rtol=1e-4)
+
+        # style registration + convert-by-name works artifact-side
+        c.request("POST", "/register_reference?name=Breathy",
+                  body=encode_reference(items[ref]))
+        r = c.getresponse()
+        assert r.status == 200
+        r.read()
+        c.request("POST", "/convert_features",
+                  body=encode_request(items[src], "Breathy"))
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        mel2, _, _ = decode_response(resp.read())
+        assert mel2.shape == mel.shape and np.isfinite(mel2).all()
+
+        # extraction-dependent endpoints fault with a clear 400
+        from serenade_tpu.serving import encode_wav_request
+
+        c.request("POST", "/convert_wav", body=encode_wav_request(
+            np.zeros(1000, np.float32), 24000, "Breathy"))
+        r = c.getresponse()
+        assert r.status == 400 and b"expdir" in r.read()
+        c.request("POST", "/convert_stream",
+                  body=encode_request(items[src], "Breathy"))
+        r = c.getresponse()
+        assert r.status == 400 and b"convert_features" in r.read()
+
+        # healthz reports request stats + registered styles
+        c.request("GET", "/healthz")
+        r = c.getresponse()
+        assert r.status == 200
+        health = r.read().decode()
+        assert "Breathy" in health and '"requests": 2' in health
+    finally:
+        server.shutdown()
+        service.close()
+
+    # CLI arg contract: --artifact excludes/replaces --expdir
+    with pytest.raises(SystemExit):
+        build_app(build_argparser().parse_args(
+            ["--artifact", art, "--expdir", expdir, "--port", "0"]))
+    with pytest.raises(SystemExit):
+        build_app(build_argparser().parse_args(["--port", "0"]))
+
+
 def test_export_cli(tmp_path):
     from tests.test_e2e_pipeline import UTTS, _run_cli
     from serenade_tpu.bin.export import main as export_main
