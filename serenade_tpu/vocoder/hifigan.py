@@ -84,13 +84,24 @@ class HiFiGANGenerator(nn.Module):
 
 
 class PeriodDiscriminator(nn.Module):
-    """Reshapes the waveform into (T/p, p) and runs strided 2D convs
-    (hifigan.py:287-420)."""
+    """Reshapes the waveform into (T/p, p) and runs strided 2D convs.
+
+    Geometry matches reference hifigan.py:287-400 exactly: one conv per
+    ``downsample_scales`` entry with kernel (k0, 1) and per-layer stride,
+    channels starting at ``channels`` and growing ×4 capped at
+    ``max_downsample_channels`` (32→128→512→1024→1024 by default), then
+    an output conv of kernel (k1-1, 1) (reference :352-359 — the odd
+    ``kernel_sizes[1] - 1`` is the reference's own quirk, preserved).
+    Weight norm is omitted: these discriminators train from scratch (no
+    released checkpoint to match) and the generator's own training was
+    measured stable without it.
+    """
 
     period: int = 3
-    channels: Tuple[int, ...] = (32, 128, 512, 1024)
-    kernel_size: int = 5
-    stride: int = 3
+    kernel_sizes: Tuple[int, int] = (5, 3)
+    channels: int = 32
+    downsample_scales: Tuple[int, ...] = (3, 3, 3, 3, 1)
+    max_downsample_channels: int = 1024
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -102,15 +113,18 @@ class PeriodDiscriminator(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
         x = x.reshape(b, -1, self.period, 1)  # (B, T/p, p, 1) NHWC
         fmaps = []
-        for i, ch in enumerate(self.channels):
-            x = nn.Conv(ch, kernel_size=(self.kernel_size, 1),
-                        strides=(self.stride, 1),
-                        padding=(((self.kernel_size - 1) // 2,) * 2, (0, 0)),
+        k0, k1 = self.kernel_sizes
+        ch = self.channels
+        for i, s in enumerate(self.downsample_scales):
+            x = nn.Conv(ch, kernel_size=(k0, 1), strides=(s, 1),
+                        padding=((((k0 - 1) // 2),) * 2, (0, 0)),
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name=f"conv{i}")(x)
             x = leaky_relu_01(x)
             fmaps.append(x)
-        x = nn.Conv(1, kernel_size=(3, 1), padding=((1, 1), (0, 0)),
+            ch = min(ch * 4, self.max_downsample_channels)
+        x = nn.Conv(1, kernel_size=(k1 - 1, 1),
+                    padding=((((k1 - 1) // 2),) * 2, (0, 0)),
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv_post")(x)
         fmaps.append(x)
@@ -135,13 +149,19 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
-    """Stacked grouped 1D convs on (possibly pooled) waveforms
-    (hifigan.py:473-721)."""
+    """Stacked grouped 1D convs on (possibly pooled) waveforms.
+
+    Geometry matches reference hifigan.py:473-584 exactly: a k15 input
+    conv, one grouped k41 conv per ``downsample_scales`` entry with
+    channels doubling (capped) and groups 4→16 (128→128→256→512→1024→1024
+    by default), then k5 + k3 output convs.  Weight/spectral norm omitted
+    (see PeriodDiscriminator)."""
 
     kernel_sizes: Tuple[int, ...] = (15, 41, 5, 3)
     channels: int = 128
     max_downsample_channels: int = 1024
     max_groups: int = 16
+    downsample_scales: Tuple[int, ...] = (2, 2, 4, 4, 1)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -153,17 +173,17 @@ class ScaleDiscriminator(nn.Module):
                    name="conv0")(x)
         x = leaky_relu_01(x)
         fmaps.append(x)
-        ch, groups = self.channels, 4
-        for i in range(4):
-            out_ch = min(ch * 4, self.max_downsample_channels)
-            x = _grouped_conv1d(out_ch, self.kernel_sizes[1], 4,
-                                min(groups, self.max_groups), self.dtype,
-                                self.param_dtype, f"down{i}")(x)
+        out_ch, groups = self.channels, 4
+        for i, s in enumerate(self.downsample_scales):
+            x = _grouped_conv1d(out_ch, self.kernel_sizes[1], s, groups,
+                                self.dtype, self.param_dtype, f"down{i}")(x)
             x = leaky_relu_01(x)
             fmaps.append(x)
-            ch, groups = out_ch, groups * 4
-        x = Conv1d(ch, kernel_size=self.kernel_sizes[2], dtype=self.dtype,
-                   param_dtype=self.param_dtype, name="conv_mid")(x)
+            out_ch = min(out_ch * 2, self.max_downsample_channels)
+            groups = min(groups * 4, self.max_groups)
+        x = Conv1d(out_ch, kernel_size=self.kernel_sizes[2],
+                   dtype=self.dtype, param_dtype=self.param_dtype,
+                   name="conv_mid")(x)
         x = leaky_relu_01(x)
         fmaps.append(x)
         x = Conv1d(1, kernel_size=self.kernel_sizes[3], dtype=self.dtype,
@@ -194,9 +214,12 @@ class MultiScaleDiscriminator(nn.Module):
                                    param_dtype=self.param_dtype,
                                    name=f"scale{i}")(x)
             )
-            # avg-pool stride 2 between scales (hifigan.py:760-ish)
+            # AvgPool1d(kernel 4, stride 2, padding 2) between scales
+            # (reference hifigan.py:773-775 defaults); flax avg_pool with
+            # explicit padding divides by the full window like torch's
+            # count_include_pad=True
             x = nn.avg_pool(x, window_shape=(4,), strides=(2,),
-                            padding=((1, 1),))
+                            padding=((2, 2),))
         return outs
 
 
