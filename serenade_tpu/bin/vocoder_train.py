@@ -1,18 +1,23 @@
 """serenade-vocoder-train: vocoder GAN training on feature dumps.
 
 New capability relative to the reference (which consumes externally
-pretrained vocoders): trains either vocoder family against the MSD+MPD
-discriminators —
+pretrained vocoders): trains either vocoder family in-framework —
 
 * ``--vocoder-type hifigan`` (default): mel-conditioned HiFiGAN on the
-  `wave`/`logmel` pairs the standard preprocessing stage dumps.
+  `wave`/`logmel` pairs the standard preprocessing stage dumps, against
+  the HiFiGAN MSD+MPD adversary.
 * ``--vocoder-type sifigan``: the source-filter generator on
   WORLD-analyzed conditioning (mcep+bap aux features, sine excitation,
   dense dilation factors — the same streams stage-9 postprocessing
-  feeds, so the trained generator is drop-in for it).
+  feeds, so the trained generator is drop-in for it), against the
+  UnivNet MR-spectral + MPD adversary with the source-regularization
+  residual loss — the reference SiFiGAN recipe's exact training setup
+  (ref bin/sifigan_config/train.yaml:6-7, train/sifigan.yaml:12,27-41).
 
+``--discriminator-type``/``discriminator_type`` overrides the adversary.
 Config keys: generator_params / discriminator periods-scales defaults,
-vocoder_batch_size, segment_frames, lambda_{adv,fm,mel}, lr's, intervals.
+vocoder_batch_size, segment_frames, lambda_{adv,fm,mel,reg}, lr's,
+intervals.
 """
 
 from __future__ import annotations
@@ -31,6 +36,12 @@ def main():
     p.add_argument("--config", required=True)
     p.add_argument("--vocoder-type", choices=("hifigan", "sifigan"),
                    default="hifigan")
+    p.add_argument("--discriminator-type",
+                   choices=("msd_mpd", "univnet"), default=None,
+                   help="adversary family; default follows the reference "
+                        "recipe (univnet for sifigan — ref sifigan_config/"
+                        "train.yaml:6 — msd_mpd for hifigan).  Config key "
+                        "discriminator_type overrides the default too")
     p.add_argument("--resume", default="")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
@@ -100,7 +111,19 @@ def main():
             raise SystemExit(
                 f"generator upsample product {total_up} must equal hop {hop}"
             )
-    discriminator = MultiScaleMultiPeriodDiscriminator()
+    disc_type = (args.discriminator_type
+                 or config.get("discriminator_type")
+                 or ("univnet" if args.vocoder_type == "sifigan"
+                     else "msd_mpd"))
+    if disc_type == "univnet":
+        from serenade_tpu.vocoder.univnet import (
+            UnivNetMultiResolutionMultiPeriodDiscriminator,
+        )
+
+        discriminator = UnivNetMultiResolutionMultiPeriodDiscriminator()
+    else:
+        discriminator = MultiScaleMultiPeriodDiscriminator()
+    logging.info("discriminator: %s", disc_type)
 
     dataset = FeatsDataset(args.train_dumpdir, scaler=None)
     seg_frames = int(config.get("segment_frames", 32))
@@ -128,7 +151,21 @@ def main():
                 items, rng_np, batch, seg_frames, hop,
                 upsample_scales=generator.upsample_scales)
 
-        gen_fwd = sifigan_forward(generator)
+        # source regularization (reference train/sifigan.yaml:12,27-41:
+        # lambda_reg 1.0): the excitation output must match the natural
+        # waveform's CheapTrick-envelope-removed residual
+        lambda_reg = float(config.get("lambda_reg", 1.0))
+        if lambda_reg > 0:
+            from serenade_tpu.vocoder.losses import residual_loss
+
+            gen_fwd = sifigan_forward(generator, with_excitation=True)
+
+            def reg_loss_fn(aux, batch_):
+                return residual_loss(aux, batch_["wav"], batch_["cf0"],
+                                     sampling_rate=sr, hop_size=hop)
+        else:
+            gen_fwd = sifigan_forward(generator)
+            reg_loss_fn = None
     else:
         items = [dataset[i] for i in range(len(dataset))]
 
@@ -137,6 +174,8 @@ def main():
                                            hop)
 
         gen_fwd = None
+        reg_loss_fn = None
+        lambda_reg = 0.0
     logging.info("loaded %d utterances", len(items))
     first = sampler()
 
@@ -170,7 +209,9 @@ def main():
         lambda_adv=float(config.get("lambda_adv", 1.0)),
         lambda_fm=float(config.get("lambda_fm", 2.0)),
         lambda_mel=float(config.get("lambda_mel", 45.0)),
+        lambda_reg=lambda_reg,
         gen_forward=gen_fwd,
+        reg_loss_fn=reg_loss_fn,
     )
 
     start_step = 0

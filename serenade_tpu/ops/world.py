@@ -92,7 +92,8 @@ def _linear_smooth(spec, width_bins):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fs", "f0_floor", "frame_period_ms", "fft_size")
+    jax.jit, static_argnames=("fs", "f0_floor", "frame_period_ms", "fft_size",
+                              "elim_0th")
 )
 def cheaptrick(
     x,
@@ -101,12 +102,18 @@ def cheaptrick(
     f0_floor: float = 71.0,
     frame_period_ms: float = 5.0,
     fft_size: int | None = None,
+    elim_0th: bool = False,
 ):
     """Spectral envelope |H(w)|^2, shape (T, fft_size//2+1).
 
     Args:
         x: (N,) waveform.
         f0: (T,) per-frame F0 in Hz (0 = unvoiced).
+        elim_0th: zero the 0th cepstral coefficient before rebuilding the
+            envelope, removing its overall gain (geometric mean 1) — the
+            SiFiGAN residual-loss convention ('elim_0th: true',
+            reference bin/sifigan_config/train/sifigan.yaml:41) that
+            forces the source excitation to carry the signal power.
     """
     if fft_size is None:
         fft_size = _fft_size_for(fs, f0_floor)
@@ -139,7 +146,15 @@ def cheaptrick(
     windowed = (frames - mean) * win
 
     power = jnp.abs(jnp.fft.rfft(windowed, fft_size)) ** 2  # (T, F)
-    power = power + 1e-12
+
+    # per-frame gain normalization: _dc_correct and _linear_smooth are
+    # LINEAR in power, so dividing by the frame mean here and adding
+    # log(mean) back after the log is exact — and it makes the envelope
+    # gain-EQUIVARIANT in fp32 (otherwise the smoothing cumsum's rounding
+    # depends on the absolute signal level; recording gain must move the
+    # envelope by a pure constant, which elim_0th then removes exactly)
+    frame_gain = jnp.maximum(jnp.mean(power, axis=1, keepdims=True), 1e-30)
+    power = power / frame_gain + 1e-12
 
     bin_hz = fs / fft_size
     F = fft_size // 2 + 1
@@ -149,8 +164,10 @@ def cheaptrick(
     smoothed = _linear_smooth(power, width_bins)
 
     # cepstral liftering: log spectrum -> quefrency -> lifter -> back
-    log_s = jnp.log(jnp.maximum(smoothed, 1e-12))
+    log_s = jnp.log(jnp.maximum(smoothed, 1e-12)) + jnp.log(frame_gain)
     ceps = jnp.fft.irfft(log_s, n=fft_size, axis=1)  # (T, fft), symmetric
+    if elim_0th:
+        ceps = ceps.at[:, 0].set(0.0)
     q_idx = jnp.arange(fft_size)
     q = jnp.minimum(q_idx, fft_size - q_idx) / fs  # symmetric quefrency (s)
     f0q = f0_safe[:, None] * q[None, :]

@@ -55,29 +55,40 @@ def build_vocoder_train_step(
     lambda_adv: float = 1.0,
     lambda_fm: float = 2.0,
     lambda_mel: float = 45.0,
+    lambda_reg: float = 0.0,
     donate: bool = True,
     gen_forward: Callable | None = None,
+    reg_loss_fn: Callable | None = None,
 ) -> Callable:
     """Return jitted ``(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: {"mel": (B, T, n_mels), "wav": (B, T*hop, 1)} aligned
     segments for the default (HiFiGAN) forward; pass ``gen_forward``
     (e.g. :func:`sifigan_forward`) for generators with other conditioning.
+
+    ``reg_loss_fn(aux, batch) -> scalar`` adds a ``lambda_reg``-weighted
+    auxiliary term (SiFiGAN source regularization,
+    :func:`serenade_tpu.vocoder.losses.residual_loss`); when set,
+    ``gen_forward`` must return ``(waveform, aux)``.
     """
 
     if gen_forward is None:
         def gen_forward(gen_params, batch):
             return generator.apply(gen_params, batch["mel"])
 
+    def run_gen(gen_params, batch):
+        out = gen_forward(gen_params, batch)
+        return out if isinstance(out, tuple) else (out, None)
+
     def disc_loss_fn(disc_params, gen_params, batch):
-        wav_hat = gen_forward(gen_params, batch)
+        wav_hat, _ = run_gen(gen_params, batch)
         wav_hat = jax.lax.stop_gradient(wav_hat)
         outs_real = discriminator.apply(disc_params, batch["wav"])
         outs_fake = discriminator.apply(disc_params, wav_hat)
         return discriminator_adversarial_loss(outs_real, outs_fake)
 
     def gen_loss_fn(gen_params, disc_params, batch):
-        wav_hat = gen_forward(gen_params, batch)
+        wav_hat, aux = run_gen(gen_params, batch)
         outs_fake = discriminator.apply(disc_params, wav_hat)
         outs_real = discriminator.apply(disc_params, batch["wav"])
         adv = generator_adversarial_loss(outs_fake)
@@ -86,8 +97,16 @@ def build_vocoder_train_step(
             wav_hat[..., 0], batch["wav"][..., 0], sampling_rate=sampling_rate
         )
         loss = lambda_adv * adv + lambda_fm * fm + lambda_mel * mel
-        return loss, {"train/adv_loss": adv, "train/fm_loss": fm,
-                      "train/mel_loss": mel}
+        metrics = {"train/adv_loss": adv, "train/fm_loss": fm,
+                   "train/mel_loss": mel}
+        if reg_loss_fn is not None:
+            if aux is None:
+                raise ValueError("reg_loss_fn requires a gen_forward that "
+                                 "returns (waveform, aux)")
+            reg = reg_loss_fn(aux, batch)
+            loss = loss + lambda_reg * reg
+            metrics["train/reg_loss"] = reg
+        return loss, metrics
 
     def step_fn(state: VocoderTrainState, batch, rng):
         d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
@@ -150,19 +169,22 @@ def sample_mel_wav_segments(dataset_items, rng: "Any", batch_size: int,
 # SiFiGAN (source-filter vocoder) training support
 # ---------------------------------------------------------------------------
 
-def sifigan_forward(generator):
+def sifigan_forward(generator, with_excitation: bool = False):
     """``gen_forward`` for :class:`serenade_tpu.sifigan.SiFiGANGenerator`:
     the batch carries the sine excitation, aux features, and per-level
     dense dilation factors (the stage-9 conditioning contract,
-    bin/ssc_postprocessing.py:200-245)."""
+    bin/ssc_postprocessing.py:200-245).
+
+    ``with_excitation=True`` returns ``(waveform, source excitation)`` so
+    the train step can apply the SiFiGAN source-regularization loss
+    (:func:`serenade_tpu.vocoder.losses.residual_loss`) to the excitation.
+    """
 
     def fwd(gen_params, batch):
-        # the generator returns (waveform, source excitation); the GAN
-        # losses train on the waveform
-        wav_hat, _ = generator.apply(
+        wav_hat, excitation = generator.apply(
             gen_params, batch["sine"], batch["c"], list(batch["dfs"])
         )
-        return wav_hat
+        return (wav_hat, excitation) if with_excitation else wav_hat
 
     return fwd
 
@@ -218,6 +240,9 @@ def prepare_sifigan_utterance(
         "dfs": [d[: n * int(cum)] for d, cum in
                 zip(dfs, np.cumprod(upsample_scales))],
         "wav": wav[: n * hop],
+        # continuous F0 on the frame grid: the residual (source
+        # regularization) loss tracks the envelope along it
+        "cf0": np.asarray(cf0[:n], np.float32),
     }
 
 
@@ -229,7 +254,7 @@ def sample_sifigan_segments(items, rng, batch_size: int,
     import numpy as np
 
     cum = np.cumprod(upsample_scales)
-    cs, sines, wavs = [], [], []
+    cs, sines, wavs, cf0s = [], [], [], []
     dfs_lv = [[] for _ in cum]
     for _ in range(batch_size):
         it = items[rng.integers(len(items))]
@@ -239,11 +264,13 @@ def sample_sifigan_segments(items, rng, batch_size: int,
         cs.append(it["c"][s:e])
         sines.append(it["sine"][s * hop_size:e * hop_size])
         wavs.append(it["wav"][s * hop_size:e * hop_size, None])
+        cf0s.append(it["cf0"][s:e])
         for i, cm in enumerate(cum):
             dfs_lv[i].append(it["dfs"][i][s * int(cm):e * int(cm)])
     return {
         "c": np.stack(cs).astype(np.float32),
         "sine": np.stack(sines).astype(np.float32),
         "wav": np.stack(wavs).astype(np.float32),
+        "cf0": np.stack(cf0s).astype(np.float32),
         "dfs": tuple(np.stack(d).astype(np.float32) for d in dfs_lv),
     }
