@@ -109,6 +109,12 @@ def main():
                          "long-form RAW-AUDIO streaming: time-to-first-"
                          "audio and total time for one N-second source "
                          "(server-side extraction + chunked conversion)")
+    ap.add_argument("--live-chunk", type=int, default=512,
+                    help="live mode: conversion span frames (10 ms each)")
+    ap.add_argument("--live-ctx", type=int, default=256,
+                    help="live mode: extraction context frames per side")
+    ap.add_argument("--live-overlap", type=int, default=64,
+                    help="live mode: crossfade overlap frames")
     ap.add_argument("--live-seconds", type=float, default=0.0,
                     help="measure LIVE duplex conversion: feed an "
                          "N-second source as real-time-paced 100 ms "
@@ -143,9 +149,14 @@ def main():
     if args.live_seconds:
         # LIVE duplex lag: chunks arrive at real time; a span converts
         # once chunk+ctx audio exists, so each finalized segment should
-        # land (chunk+ctx+overlap)*10ms + compute behind its own end
+        # land (chunk+ctx+overlap)*10ms + compute behind its own end.
+        # --live-chunk/--live-ctx/--live-overlap tighten the lookahead
+        # (lower lag, more boundary approximation)
         b.register_reference("S", ref)
         n_frames = int(args.live_seconds * 100)
+        knobs = dict(chunk_frames=args.live_chunk,
+                     overlap_frames=args.live_overlap,
+                     extract_ctx_frames=args.live_ctx)
         for run in range(3):  # run 0 warms the window programs
             r = np.random.default_rng(20 + run)
             wav = synth_wav_request(r, n_frames)
@@ -162,13 +173,15 @@ def main():
 
             lags, t0 = [], time.monotonic()
             for start, mel_seg, _ in conv.convert_wav_stream_live(
-                    chunks(), 24000, b.packed_reference("S")):
+                    chunks(), 24000, b.packed_reference("S"), **knobs):
                 end_frame = start + mel_seg.shape[0]
                 lags.append(time.monotonic() - t0 - end_frame / 100.0)
             total = time.monotonic() - t0
             tail = total - args.live_seconds
             print(f"live[{run}] {args.live_seconds:.0f}s source at "
-                  f"real-time pace: {len(lags)} segments, lag behind "
+                  f"real-time pace (chunk {args.live_chunk} ctx "
+                  f"{args.live_ctx} overlap {args.live_overlap}): "
+                  f"{len(lags)} segments, lag behind "
                   f"live mean {np.mean(lags):+.2f}s / max "
                   f"{np.max(lags):+.2f}s, done {tail:+.2f}s after the "
                   f"source ended")

@@ -808,6 +808,35 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                               "application/json")
 
         def do_GET(self):
+            if self.path == "/metrics":
+                # Prometheus text exposition of the same counters
+                # /healthz reports as JSON — scrapeable without adapters
+                s = dict(batching.stats)
+                rtf = (s["compute_sec"] / s["audio_sec"]
+                       if s["audio_sec"] else 0.0)
+                lines = []
+                for name, kind, val, help_ in (
+                    ("requests_total", "counter", s["requests"],
+                     "Completed conversion requests."),
+                    ("batches_total", "counter", s["batches"],
+                     "Device dispatch windows executed."),
+                    ("errors_total", "counter", s["errors"],
+                     "Requests that faulted."),
+                    ("audio_seconds_total", "counter", s["audio_sec"],
+                     "Audio-seconds converted."),
+                    ("compute_seconds_total", "counter", s["compute_sec"],
+                     "Device compute-seconds spent."),
+                    ("rtf", "gauge", rtf,
+                     "Server-side real-time factor (compute/audio)."),
+                    ("registered_references", "gauge",
+                     len(batching.reference_names()),
+                     "Device-resident registered styles."),
+                ):
+                    lines.append(f"# HELP serenade_{name} {help_}")
+                    lines.append(f"# TYPE serenade_{name} {kind}")
+                    lines.append(f"serenade_{name} {val}")
+                return self._send(200, ("\n".join(lines) + "\n").encode(),
+                                  "text/plain; version=0.0.4")
             if self.path != "/healthz":
                 return self._send(404, b"{}", "application/json")
             stats = dict(batching.stats)

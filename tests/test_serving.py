@@ -228,6 +228,16 @@ def test_http_round_trip(tiny_experiment):
         assert np.isfinite(mel).all()
         assert wav is None  # tiny config has no vocoder checkpoint
 
+        # Prometheus exposition mirrors the JSON stats
+        c.request("GET", "/metrics")
+        r = c.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type").startswith("text/plain")
+        text = r.read().decode()
+        assert "# TYPE serenade_requests_total counter" in text
+        assert "serenade_requests_total 1" in text
+        assert "serenade_registered_references 0" in text
+
         # malformed body -> 400, server keeps serving (HTTP/1.1 keep-alive:
         # each response body must be drained before the next request)
         c.request("POST", "/convert_features", body=b"not-an-npz")
