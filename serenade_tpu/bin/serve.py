@@ -69,6 +69,18 @@ def build_argparser():
     p.add_argument("--data-axis", type=int, default=1,
                    help="shard batched dispatches over an N-way 'data' "
                         "mesh (serving on a pod slice)")
+    p.add_argument("--warmup", action="append", default=[],
+                   metavar="SRC:REF[:B]",
+                   help="pre-compile/load the dispatch programs for this "
+                        "(src_frames, ref_frames) shape at concurrency B "
+                        "(default max-batch) before taking traffic; "
+                        "repeatable.  First requests otherwise pay the "
+                        "compile (docs/PROFILING.md)")
+    p.add_argument("--warmup-raw", action="append", default=[],
+                   metavar="SRC:REF[:B]",
+                   help="same, for the raw-audio (/convert_wav) "
+                        "extraction+conversion chain; needs "
+                        "--contentvec-ckpt")
     p.add_argument("--quantize", default=None, choices=("int8",),
                    help="weight-only int8 model weights (~4x smaller "
                         "device-resident params; RTF-neutral at "
@@ -144,6 +156,29 @@ def build_app(args):
                     read_hdf5(h5path, "f0_fluc")).reshape(-1, 1)
             batching.register_reference(style, feats)
             logging.info("registered reference style %r (%s)", style, h5path)
+    if args.warmup or args.warmup_raw:
+        if args.artifact:
+            raise SystemExit("--warmup applies to a live model; exported "
+                             "artifacts are AOT-compiled already")
+        from serenade_tpu.serving import warmup_server
+
+        def parse_shapes(specs):
+            out = []
+            for spec in specs:
+                parts = spec.split(":")
+                if len(parts) not in (2, 3):
+                    raise SystemExit(
+                        f"--warmup wants SRC:REF[:B], got {spec!r}")
+                out.append((int(parts[0]), int(parts[1]),
+                            int(parts[2]) if len(parts) == 3
+                            else args.max_batch))
+            return out
+
+        if args.warmup:
+            warmup_server(batching, parse_shapes(args.warmup))
+        if args.warmup_raw:
+            warmup_server(batching, parse_shapes(args.warmup_raw),
+                          raw_audio=True)
     server = make_server(batching, host=args.host, port=args.port)
     return server, batching
 
@@ -158,10 +193,20 @@ def main(argv=None):
     logging.info("serving on %s:%d (max_batch=%d, wait=%.0fms)",
                  args.host, server.server_address[1], args.max_batch,
                  args.max_wait_ms)
+
+    # SIGTERM (the supervisor/container stop signal) drains like Ctrl-C:
+    # stop accepting, fault queued requests, exit 0 — not a hard kill
+    # that leaves clients waiting out their timeouts
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        logging.info("shutting down: draining the dispatch queue")
     finally:
         server.shutdown()
         batching.close()

@@ -699,6 +699,75 @@ def encode_wav_request(src_wav, sr: int, ref) -> bytes:
     return buf.getvalue()
 
 
+def warmup_server(batching, shapes, raw_audio: bool = False,
+                  seed: int = 0) -> None:
+    """Drive synthetic requests through the dispatcher so the padded
+    dispatch programs compile (and load onto the device) BEFORE real
+    traffic — the first request of a new (bucket, batch) shape otherwise
+    pays the whole compile (minutes for the CFM scan on a cold cache;
+    see docs/PROFILING.md).
+
+    ``shapes``: iterable of ``(src_frames, ref_frames, concurrency)``
+    — concurrency B submits B requests at once so the dispatcher packs a
+    real B-batch window (warm every batch size you expect, not just 1).
+    ``raw_audio=True`` warms the /convert_wav extraction chain instead
+    (requires the Converter's contentvec).  Failures raise: a warmup
+    that cannot convert means serving could not either.
+    """
+    import threading
+    import time as _time
+
+    conv = batching.converter
+    rng = np.random.default_rng(seed)
+    content_dim = np.asarray(conv.scaler["hubert"].mean_).shape[0]
+    n_mels = np.asarray(conv.scaler["logmel"].mean_).shape[0]
+
+    def feats(t: int, with_mel: bool):
+        f = {"hubert": rng.normal(size=(t, content_dim)).astype(np.float32),
+             "score": np.full((t, 1), 5.0, np.float32),
+             "loud": (rng.normal(size=(t, 1)).astype(np.float32) - 30.0)}
+        if with_mel:
+            f["logmel"] = rng.normal(size=(t, n_mels)).astype(np.float32)
+        if conv.variant_new:
+            f["f0_fluc"] = np.zeros((t, 1), np.float32)
+        return f
+
+    sr = int(conv.config.get("sampling_rate", 24000))
+    hop = int(conv.config.get("hop_size", 240))
+
+    def wav(t: int, f0: float):
+        n = t * hop
+        x = np.arange(n, dtype=np.float32) / sr
+        return (0.2 * np.sin(2 * np.pi * f0 * x)).astype(np.float32)
+
+    for ts, tr, b in shapes:
+        t0 = _time.monotonic()
+        errs = []
+
+        def one(i):
+            try:
+                if raw_audio:
+                    batching.convert_wav(wav(ts, 200.0 + 7 * i), sr,
+                                         (wav(tr, 300.0 + 5 * i), sr))
+                else:
+                    batching.convert(feats(ts, False), feats(tr, True))
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(b)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        if errs:
+            raise RuntimeError(
+                f"warmup failed at shape ({ts}, {tr}, b={b})") from errs[0]
+        logger.info("warmup %s (%d, %d) x%d: %.1fs",
+                    "raw" if raw_audio else "features", ts, tr, b,
+                    _time.monotonic() - t0)
+
+
 def _frame_block(arrays: dict) -> bytes:
     """Length-prefixed npz block for the /convert_stream wire format."""
     buf = io.BytesIO()

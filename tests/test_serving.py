@@ -575,10 +575,14 @@ def test_serve_cli_build_app(tiny_experiment):
         args = build_argparser().parse_args([
             "--expdir", expdir, "--stats", stats, "--ref-dict", rd,
             "--port", "0", "--n-timesteps", "2", "--max-wait-ms", "5",
+            "--warmup", "64:64:2",
         ])
         server, batching = build_app(args)
         try:
             assert batching.reference_names() == ["Breathy"]
+            # --warmup drove 2 synthetic conversions through the
+            # dispatcher before the server was built
+            assert batching.stats["requests"] >= 2
             port = server.server_address[1]
             threading.Thread(target=server.serve_forever,
                              daemon=True).start()
