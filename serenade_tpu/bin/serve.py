@@ -69,6 +69,10 @@ def build_argparser():
     p.add_argument("--data-axis", type=int, default=1,
                    help="shard batched dispatches over an N-way 'data' "
                         "mesh (serving on a pod slice)")
+    p.add_argument("--max-request-seconds", type=float, default=600.0,
+                   help="reject single requests longer than this (an "
+                        "over-long utterance pads every co-batched "
+                        "request to a giant bucket); streams included")
     p.add_argument("--warmup", action="append", default=[],
                    metavar="SRC:REF[:B]",
                    help="pre-compile/load the dispatch programs for this "
@@ -132,9 +136,10 @@ def build_app(args):
             data_mesh=args.data_axis if args.data_axis > 1 else None,
             quantize=args.quantize,
         )
-        batching = BatchingConverter(conv, max_batch=args.max_batch,
-                                     max_wait_ms=args.max_wait_ms,
-                                     busy_hold_ms=args.busy_hold_ms)
+        batching = BatchingConverter(
+            conv, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            busy_hold_ms=args.busy_hold_ms,
+            max_request_seconds=args.max_request_seconds)
         variant_new = conv.variant_new
     if args.ref_dict:
         import json

@@ -43,11 +43,14 @@ logger = logging.getLogger(__name__)
 
 def validate_feature_dict(feats, what: str, with_mel: bool,
                           content_dim: int, num_mels: int,
-                          variant_new: bool) -> None:
+                          variant_new: bool,
+                          max_frames: int | None = None) -> None:
     """The submit-time feature contract, shared by the live batching
     server (dims from the scaler) and the artifact server (dims from the
     manifest): reject malformed dicts BEFORE they reach a batched
-    dispatch, so a bad payload fails alone."""
+    dispatch, so a bad payload fails alone.  ``max_frames`` caps request
+    duration (over-long requests pad every co-batched neighbor to a
+    giant bucket)."""
     need = ["hubert", "score", "loud"] + (["logmel"] if with_mel else [])
     if variant_new:
         need.append("f0_fluc")
@@ -58,6 +61,10 @@ def validate_feature_dict(feats, what: str, with_mel: bool,
     if hub.ndim != 2 or hub.shape[1] != content_dim:
         raise ValueError(
             f"{what} hubert must be (T, {content_dim}); got {hub.shape}")
+    if max_frames is not None and hub.shape[0] > max_frames:
+        raise ValueError(
+            f"{what} is {hub.shape[0]} frames, over the server's "
+            f"per-request cap of {max_frames} (max_request_seconds)")
     if with_mel:
         mel = np.asarray(feats["logmel"])
         if mel.ndim != 2 or mel.shape[1] != num_mels:
@@ -111,12 +118,21 @@ class BatchingConverter:
 
     def __init__(self, converter, max_batch: int = 8,
                  max_wait_ms: float = 10.0, max_references: int = 64,
-                 busy_hold_ms: float = 2000.0):
+                 busy_hold_ms: float = 2000.0,
+                 max_request_seconds: float = 600.0):
         self._conv = converter
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
         self._busy_hold = busy_hold_ms / 1000.0
         self._max_references = max_references
+        # per-request duration cap: an over-long utterance pads the whole
+        # co-batched window to its bucket (device memory + a giant
+        # compile), so one hostile/mistaken request could stall every
+        # client — reject at submit time instead
+        self.max_request_seconds = float(max_request_seconds)
+        cfg = converter.config
+        self._frames_per_sec = (float(cfg.get("sampling_rate", 24000))
+                                / float(cfg.get("hop_size", 240)))
         self._inflight = 0  # launched-but-unfinished batches (see _lock)
         self._dispatcher_done = False  # set when _dispatch_loop exits
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -151,6 +167,7 @@ class BatchingConverter:
         existing name is always allowed): each registration pins features
         device-resident, so an unbounded registry is a memory-exhaustion
         vector on a reachable port."""
+        self._validate_feats(ref_feats, "ref", with_mel=True)
         packed = self._conv.pack_reference(ref_feats)
         raw = {k: np.asarray(v) for k, v in ref_feats.items()}
         with self._lock:  # check+insert atomic: handler threads race here
@@ -197,7 +214,9 @@ class BatchingConverter:
                 self.converter.scaler["hubert"].mean_).shape[0],
             num_mels=np.asarray(
                 self.converter.scaler["logmel"].mean_).shape[0],
-            variant_new=self.converter.variant_new)
+            variant_new=self.converter.variant_new,
+            max_frames=int(self.max_request_seconds
+                           * self._frames_per_sec))
 
     def _check_open(self) -> None:
         if self._stop.is_set():
@@ -246,12 +265,23 @@ class BatchingConverter:
         # waveform must not collateral-fault other clients' requests)
         self._check_open()
         src_wav = validate_waveform(src_wav, "src_wav")
+        if len(src_wav) > self.max_request_seconds * sr:
+            raise ValueError(
+                f"src_wav is {len(src_wav) / sr:.0f}s, over the server's "
+                f"per-request cap of {self.max_request_seconds:.0f}s "
+                "(max_request_seconds; use /convert_stream for long "
+                "sources)")
         if isinstance(ref, str):
             self._require_style(ref)
             req = _Request(src=None, ref=ref, raw_src=(src_wav, sr))
         else:
             ref_wav, ref_sr = ref
             ref_wav = validate_waveform(ref_wav, "ref_wav")
+            if len(ref_wav) > self.max_request_seconds * ref_sr:
+                raise ValueError(
+                    f"ref_wav is {len(ref_wav) / ref_sr:.0f}s, over the "
+                    "server's per-request cap "
+                    f"of {self.max_request_seconds:.0f}s")
             req = _Request(src=None, ref=None, raw_src=(src_wav, sr),
                            raw_ref=(ref_wav, ref_sr))
         self._queue.put(req)
@@ -615,6 +645,18 @@ def _parse_stream_body(body: bytes, query, batching):
     the windowed streaming path); raw references extract up front (they
     are short).  Requires a ContentVec checkpoint for any raw audio."""
     conv = batching.converter
+
+    def capped(wav, sr, what):
+        from serenade_tpu.features import validate_waveform
+
+        wav = validate_waveform(wav, what)
+        cap = getattr(batching, "max_request_seconds", None)
+        if cap is not None and len(wav) > cap * sr:
+            raise ValueError(
+                f"{what} is {len(wav) / sr:.0f}s, over the server's "
+                f"per-request cap of {cap:.0f}s (max_request_seconds)")
+        return wav
+
     if body[:4] == b"RIFF":
         from serenade_tpu.utils.audio import read_wav
 
@@ -622,10 +664,12 @@ def _parse_stream_body(body: bytes, query, batching):
         style = query.get("style", [""])[0]
         if not style:
             raise ValueError("RIFF body needs ?style=<registered name>")
-        return _RawSource(src_wav, sr), batching.packed_reference(style)
+        return (_RawSource(capped(src_wav, sr, "src_wav"), sr),
+                batching.packed_reference(style))
     with np.load(io.BytesIO(body)) as z:
         if "src_wav" not in z.files:
             src, ref = _feats_from_npz(z)
+            batching._validate_feats(src, "src", with_mel=False)
             if isinstance(ref, str):
                 ref = batching.packed_reference(ref)
             return src, ref
@@ -634,10 +678,11 @@ def _parse_stream_body(body: bytes, query, batching):
             ref = batching.packed_reference(str(z["ref_name"]))
         elif "ref_wav" in z.files:
             ref = _extract_or_raise(
-                conv, [z["ref_wav"]], [int(z["ref_sr"])])[0]
+                conv, [capped(z["ref_wav"], int(z["ref_sr"]), "ref_wav")],
+                [int(z["ref_sr"])])[0]
         else:  # raw source, pre-extracted reference features
             ref = _ref_from_npz(z)
-    return _RawSource(src_wav, sr), ref
+    return _RawSource(capped(src_wav, sr, "src_wav"), sr), ref
 
 
 def _parse_ref_npz(body: bytes):

@@ -73,6 +73,44 @@ def test_convert_features_batch_matches_shapes(tiny_experiment):
     assert abs(mels[0].mean() - mels[1].mean()) < 2.0
 
 
+def test_per_request_duration_cap(tiny_experiment):
+    """Over-long requests are rejected at submit time (they would pad
+    every co-batched neighbor to a giant bucket), on both the feature
+    and the raw-audio paths; normal requests still convert."""
+    from serenade_tpu.serving import BatchingConverter
+
+    conv, items = tiny_experiment
+    keys = list(items)
+    src, ref = items[keys[0]], items[keys[1]]
+    # 1.5 s: above the ~1.2 s fixture utterances, below the synthetic big
+    b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0,
+                          max_request_seconds=1.5)
+    try:
+        t = int(b.max_request_seconds * b._frames_per_sec) + 1
+        big = {"hubert": np.zeros((t, src["hubert"].shape[1]), np.float32),
+               "score": np.zeros((t, 1), np.float32),
+               "loud": np.zeros((t, 1), np.float32)}
+        with pytest.raises(ValueError, match="per-request cap"):
+            b.convert(big, ref)
+        assert b.stats["errors"] == 1
+
+        sr = int(conv.config.get("sampling_rate", 24000))
+        with pytest.raises(ValueError, match="per-request cap"):
+            b.convert_wav(np.zeros(int(sr * 2.0), np.float32), sr,
+                          (np.zeros(sr // 2, np.float32), sr))
+        with pytest.raises(ValueError, match="per-request cap"):
+            b.register_reference("huge", big | {
+                "logmel": np.zeros(
+                    (t, np.asarray(
+                        conv.scaler["logmel"].mean_).shape[0]),
+                    np.float32)})
+
+        mel, _, _ = b.convert(src, ref)  # normal length still converts
+        assert mel.shape[0] == src["hubert"].shape[0]
+    finally:
+        b.close()
+
+
 def test_batching_converter_groups_requests(tiny_experiment):
     from serenade_tpu.serving import BatchingConverter
 
