@@ -650,12 +650,18 @@ class Converter:
                 for i, f in enumerate(src_list[:b])]
 
     def extract_from_wav(self, wav: np.ndarray, sr: int,
-                         name: str = "utt") -> Dict[str, np.ndarray]:
+                         name: str = "utt",
+                         f0_range: Optional[Tuple[float, float]] = None,
+                         ) -> Dict[str, np.ndarray]:
         """On-device feature extraction from raw audio (mel/loudness/F0 +
         ContentVec + transcribed score) into the feature-dict form every
         convert_* method takes — the serving path for raw-audio requests,
         where the wire payload is ~48x smaller than 768-d content
-        features.  Requires a ContentVec checkpoint."""
+        features.  Requires a ContentVec checkpoint.
+
+        ``f0_range=(minf0, maxf0)`` narrows the F0 search to the singer's
+        range (the reference preprocesses with per-voice-type ranges from
+        conf/f0.yaml, preprocess.py:475-493; defaults 70-1100 Hz)."""
         if self._content_fn is None:
             raise RuntimeError(
                 "raw-audio conversion requires contentvec_ckpt; use "
@@ -666,13 +672,14 @@ class Converter:
         fc = FeatureConfig.from_dict(self.config)
         f = extract_features(name, np.asarray(wav), sr, fc,
                              content_fn=self._content_fn,
-                             with_f0_fluc=self.variant_new)
+                             with_f0_fluc=self.variant_new,
+                             f0_range=f0_range)
         if f is None:
             raise ValueError(f"feature extraction failed for {name}")
         f["score"] = f["est_lf0_score"]
         return f
 
-    def extract_from_wav_batch(self, wavs, srs) -> list:
+    def extract_from_wav_batch(self, wavs, srs, f0_ranges=None) -> list:
         """Batched on-device extraction for N raw waveforms: same-bucket
         utterances share one fused mel/loudness/F0 program and ContentVec
         dispatches batch (features.extract_features_batch — the
@@ -696,6 +703,7 @@ class Converter:
             with_f0_fluc=self.variant_new, pad_group_pow2=True,
             wire_dtype="int16",  # PCM16 uploads: half the wire, and the
             # 24->16 kHz resample runs inside the HuBERT program
+            f0_ranges=f0_ranges,  # per-request F0 search ranges
         )
         out = []
         for n in names:

@@ -69,6 +69,10 @@ def build_argparser():
     p.add_argument("--data-axis", type=int, default=1,
                    help="shard batched dispatches over an N-way 'data' "
                         "mesh (serving on a pod slice)")
+    p.add_argument("--f0-table", default=None,
+                   help="voice-type F0 range yaml (conf/f0.yaml): lets "
+                        "raw-audio requests pass ?voice_type=Tenor "
+                        "instead of explicit ?f0_min=&f0_max=")
     p.add_argument("--max-request-seconds", type=float, default=600.0,
                    help="reject single requests longer than this (an "
                         "over-long utterance pads every co-batched "
@@ -184,7 +188,14 @@ def build_app(args):
         if args.warmup_raw:
             warmup_server(batching, parse_shapes(args.warmup_raw),
                           raw_audio=True)
-    server = make_server(batching, host=args.host, port=args.port)
+    f0_table = None
+    if args.f0_table:
+        import yaml
+
+        with open(args.f0_table) as f:
+            f0_table = yaml.safe_load(f)
+    server = make_server(batching, host=args.host, port=args.port,
+                         f0_table=f0_table)
     return server, batching
 
 

@@ -193,13 +193,19 @@ def extract_features(
     midi_transcribe_fn=None,
     with_f0_fluc: bool = False,
     f0_backend: str = "viterbi",
+    f0_range: Optional[tuple] = None,
 ) -> Optional[Dict[str, np.ndarray]]:
     """Extract the full per-utterance feature dict (h5 key contract of
     preprocess.py:566-611: wave,hubert,logmel,loud,gt_lf0_score,
-    est_lf0_score,f0,vuv,midi[,f0_fluc])."""
+    est_lf0_score,f0,vuv,midi[,f0_fluc]).
+
+    ``f0_range=(minf0, maxf0)`` overrides the voice-type table lookup —
+    the serving path's equivalent of the reference's per-voice-type F0
+    search ranges (conf/f0.yaml, preprocess.py:475-493), where no
+    utt-id → singer mapping exists."""
     audio = _prepare_audio(utt_id, audio, fs, config)
     audio_b, n_frames = _bucketed(audio, config.hop_size)
-    minf0, maxf0 = f0_range_for(utt_id, f0_table)
+    minf0, maxf0 = f0_range or f0_range_for(utt_id, f0_table)
     sig = extract_signal_features_group(
         [audio_b], config, minf0, maxf0, f0_backend
     )[0]
@@ -438,6 +444,7 @@ def extract_features_batch(
     max_group: int = 8,
     pad_group_pow2: bool = False,
     wire_dtype: str = "float32",
+    f0_ranges: Optional[Sequence[Optional[tuple]]] = None,
 ) -> Dict[str, Optional[Dict[str, np.ndarray]]]:
     """Batched extraction over ``(utt_id, audio, fs, gt_note_seq)`` items.
 
@@ -461,7 +468,10 @@ def extract_features_batch(
     """
     out: Dict[str, Optional[Dict[str, np.ndarray]]] = {}
     prepared = []
-    for utt_id, audio, fs, gt_note_seq in items:
+    # f0_ranges: per-item (minf0, maxf0) overrides aligned with items
+    # (None entries fall back to the voice-type table); items with
+    # different ranges split into separate device groups below
+    for j, (utt_id, audio, fs, gt_note_seq) in enumerate(items):
         try:
             audio_p = _prepare_audio(utt_id, audio, fs, config)
         except Exception as e:  # noqa: BLE001 — a bad item skips ALONE
@@ -469,7 +479,8 @@ def extract_features_batch(
             out[utt_id] = None
             continue
         audio_b, n_frames = _bucketed(audio_p, config.hop_size)
-        minf0, maxf0 = f0_range_for(utt_id, f0_table)
+        override = f0_ranges[j] if f0_ranges is not None else None
+        minf0, maxf0 = override or f0_range_for(utt_id, f0_table)
         prepared.append(
             (utt_id, audio_p, audio_b, n_frames, minf0, maxf0, gt_note_seq)
         )

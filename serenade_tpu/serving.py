@@ -83,6 +83,19 @@ def check_registry_capacity(refs, name: str, max_references: int) -> None:
             "re-register an existing name or raise max_references")
 
 
+def check_f0_range(f0_range):
+    """Validate an optional (minf0, maxf0) Hz pair at submit time (a bad
+    range would otherwise fault inside a batched extraction)."""
+    if f0_range is None:
+        return None
+    lo, hi = float(f0_range[0]), float(f0_range[1])
+    if not (0.0 < lo < hi <= 4000.0):
+        raise ValueError(
+            f"f0_range must satisfy 0 < minf0 < maxf0 <= 4000 Hz; "
+            f"got ({lo}, {hi})")
+    return (lo, hi)
+
+
 @dataclass
 class _Request:
     src: Optional[Dict[str, np.ndarray]]
@@ -92,6 +105,9 @@ class _Request:
     # the dispatcher in BATCHED device programs
     raw_src: Optional[tuple] = None
     raw_ref: Optional[tuple] = None
+    # optional (minf0, maxf0) F0 search range for raw extraction (the
+    # per-voice-type ranges of reference preprocess.py:475-493)
+    f0_range: Optional[tuple] = None
     done: threading.Event = field(default_factory=threading.Event)
     mel: Optional[np.ndarray] = None
     wav: Optional[np.ndarray] = None
@@ -249,7 +265,8 @@ class BatchingConverter:
             raise req.error
         return req.mel, req.wav, req.sr
 
-    def convert_wav(self, src_wav, sr: int, ref, timeout: float = 300.0):
+    def convert_wav(self, src_wav, sr: int, ref, timeout: float = 300.0,
+                    f0_range=None):
         """Raw-audio submit: the request enqueues with its waveform and the
         DISPATCHER extracts features for the whole pending window in
         batched device programs (mel/loudness/F0 vmapped per length
@@ -257,8 +274,14 @@ class BatchingConverter:
         converts as usual.  ``ref`` is a registered style name or a
         (ref_wav, ref_sr) tuple.  The raw-audio wire payload is ~48x
         smaller than pre-extracted 768-d content features — on
-        transfer-bound links (tunnel, WAN) this is the fast path."""
+        transfer-bound links (tunnel, WAN) this is the fast path.
+
+        ``f0_range=(minf0, maxf0)`` narrows the F0 search to the singer's
+        range (reference preprocess uses per-voice-type ranges,
+        conf/f0.yaml); applies to the inline reference too."""
         from serenade_tpu.features import validate_waveform
+
+        f0_range = check_f0_range(f0_range)
 
         # validate HERE so a malformed request faults alone at submit time
         # (extraction is batched across the whole pending window — one bad
@@ -273,7 +296,8 @@ class BatchingConverter:
                 "sources)")
         if isinstance(ref, str):
             self._require_style(ref)
-            req = _Request(src=None, ref=ref, raw_src=(src_wav, sr))
+            req = _Request(src=None, ref=ref, raw_src=(src_wav, sr),
+                           f0_range=f0_range)
         else:
             ref_wav, ref_sr = ref
             ref_wav = validate_waveform(ref_wav, "ref_wav")
@@ -283,7 +307,7 @@ class BatchingConverter:
                     "server's per-request cap "
                     f"of {self.max_request_seconds:.0f}s")
             req = _Request(src=None, ref=None, raw_src=(src_wav, sr),
-                           raw_ref=(ref_wav, ref_sr))
+                           raw_ref=(ref_wav, ref_sr), f0_range=f0_range)
         self._queue.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("conversion timed out")
@@ -396,17 +420,20 @@ class BatchingConverter:
         raws = [r for r in pending if r.raw_src is not None]
         if not raws:
             return pending
-        wavs, srs, owners = [], [], []
+        wavs, srs, owners, ranges = [], [], [], []
         for r in raws:
             wavs.append(r.raw_src[0])
             srs.append(r.raw_src[1])
             owners.append((r, "src"))
+            ranges.append(r.f0_range)
             if r.raw_ref is not None:
                 wavs.append(r.raw_ref[0])
                 srs.append(r.raw_ref[1])
                 owners.append((r, "ref"))
+                ranges.append(r.f0_range)
         try:
-            feats = self._conv.extract_from_wav_batch(wavs, srs)
+            feats = self._conv.extract_from_wav_batch(wavs, srs,
+                                                      f0_ranges=ranges)
         except Exception as e:  # noqa: BLE001 — fault the raw subset
             logger.exception("raw-audio extraction failed for %d requests",
                              len(raws))
@@ -613,11 +640,11 @@ def _parse_npz(body: bytes):
         return _feats_from_npz(z)
 
 
-def _extract_or_raise(conv, wavs, srs):
+def _extract_or_raise(conv, wavs, srs, f0_ranges=None):
     """Batched on-device extraction (the int16-wire fast path shared with
     /convert_wav: PCM16 upload + in-program 24→16 kHz resample); a failed
     utterance raises instead of silently streaming nothing."""
-    feats = conv.extract_from_wav_batch(wavs, srs)
+    feats = conv.extract_from_wav_batch(wavs, srs, f0_ranges=f0_ranges)
     for f in feats:
         if f is None:
             raise ValueError("feature extraction failed for stream audio")
@@ -636,7 +663,7 @@ class _RawSource:
         self.sr = int(sr)
 
 
-def _parse_stream_body(body: bytes, query, batching):
+def _parse_stream_body(body: bytes, query, batching, f0_table=None):
     """/convert_stream input: pre-extracted features (npz ``src_*``
     [+``ref_*``]), RAW AUDIO (RIFF bytes + ``?style=``, or npz with
     ``src_wav``/``sr`` and ``ref_name`` | ``ref_wav``/``ref_sr``), or raw
@@ -679,7 +706,9 @@ def _parse_stream_body(body: bytes, query, batching):
         elif "ref_wav" in z.files:
             ref = _extract_or_raise(
                 conv, [capped(z["ref_wav"], int(z["ref_sr"]), "ref_wav")],
-                [int(z["ref_sr"])])[0]
+                [int(z["ref_sr"])],
+                f0_ranges=[_f0_range_from(query, files=z,
+                                          f0_table=f0_table)])[0]
         else:  # raw source, pre-extracted reference features
             ref = _ref_from_npz(z)
     return _RawSource(capped(src_wav, sr, "src_wav"), sr), ref
@@ -726,11 +755,13 @@ def decode_response(body: bytes):
     return mel, wav, sr
 
 
-def encode_wav_request(src_wav, sr: int, ref) -> bytes:
+def encode_wav_request(src_wav, sr: int, ref, f0_range=None) -> bytes:
     """Client-side helper: npz body for POST /convert_wav.  ``ref`` is a
     registered style name or a (ref_wav, ref_sr) tuple.  (Plain RIFF wav
     bytes + ``?style=<name>`` work too — this helper is for the ad-hoc
-    reference case or when the query string is inconvenient.)"""
+    reference case or when the query string is inconvenient.)
+    ``f0_range=(minf0, maxf0)`` narrows the extraction F0 search to the
+    singer's range (the ``?f0_min=&f0_max=`` query params do the same)."""
     arrays = {"src_wav": np.asarray(src_wav, np.float32),
               "sr": np.int64(sr)}
     if isinstance(ref, str):
@@ -739,9 +770,38 @@ def encode_wav_request(src_wav, sr: int, ref) -> bytes:
         ref_wav, ref_sr = ref
         arrays["ref_wav"] = np.asarray(ref_wav, np.float32)
         arrays["ref_sr"] = np.int64(ref_sr)
+    if f0_range is not None:
+        arrays["f0_min"] = np.float64(f0_range[0])
+        arrays["f0_max"] = np.float64(f0_range[1])
     buf = io.BytesIO()
     np.savez(buf, **arrays)
     return buf.getvalue()
+
+
+def _f0_range_from(query, files=None, f0_table=None) -> Optional[tuple]:
+    """(minf0, maxf0) from ``?f0_min=&f0_max=`` query params or npz keys
+    (npz wins when both present in ``files``), else from
+    ``?voice_type=<key>`` resolved through the server's ``--f0-table``
+    (the reference's conf/f0.yaml voice-type ranges); None when
+    unspecified."""
+    if files is not None and "f0_min" in files.files:
+        return check_f0_range((float(files["f0_min"]),
+                               float(files["f0_max"])))
+    lo = query.get("f0_min", [None])[0]
+    hi = query.get("f0_max", [None])[0]
+    if lo is None and hi is None:
+        vt = query.get("voice_type", [None])[0]
+        if vt is None:
+            return None
+        if not f0_table or vt not in f0_table:
+            raise ValueError(
+                f"unknown voice_type {vt!r}; the server's --f0-table "
+                f"knows: {sorted(f0_table or {})}")
+        row = f0_table[vt]
+        return check_f0_range((float(row["minf0"]), float(row["maxf0"])))
+    if lo is None or hi is None:
+        raise ValueError("f0_min and f0_max must be given together")
+    return check_f0_range((float(lo), float(hi)))
 
 
 def warmup_server(batching, shapes, raw_audio: bool = False,
@@ -870,7 +930,8 @@ def iter_stream_blocks(read, strict: bool = True):
 
 
 def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
-                port: int = 8571, max_body_bytes: int = 256 << 20):
+                port: int = 8571, max_body_bytes: int = 256 << 20,
+                f0_table=None):
     """Build (not start) a ThreadingHTTPServer around a BatchingConverter.
 
     ``max_body_bytes`` caps every POST body (413 beyond it) — feature
@@ -970,13 +1031,15 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             (``_parse_stream_body``)."""
             try:
                 src, ref = _parse_stream_body(
-                    self._read_body(), query, batching)
+                    self._read_body(), query, batching,
+                    f0_table=f0_table)
                 conv = batching.converter
                 chunk_frames = int(query.get("chunk_frames", ["2048"])[0])
                 overlap_frames = int(
                     query.get("overlap_frames", ["256"])[0])
                 windowed = query.get("windowed", ["1"])[0] not in ("0",
                                                                    "false")
+                f0_range = _f0_range_from(query, f0_table=f0_table)
                 if isinstance(src, _RawSource) and windowed:
                     gen = conv.convert_wav_stream(
                         src.wav, src.sr, ref,
@@ -986,11 +1049,13 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                             query.get("first_chunk_frames", ["512"])[0]),
                         extract_ctx_frames=int(
                             query.get("extract_ctx_frames", ["256"])[0]),
+                        f0_range=f0_range,
                     )
                 else:
                     if isinstance(src, _RawSource):
                         src = _extract_or_raise(
-                            conv, [src.wav], [src.sr])[0]
+                            conv, [src.wav], [src.sr],
+                            f0_ranges=[f0_range])[0]
                     gen = conv.convert_features_stream(
                         src, ref, chunk_frames=chunk_frames,
                         overlap_frames=overlap_frames,
@@ -1130,6 +1195,7 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                         query.get("overlap_frames", ["64"])[0]),
                     extract_ctx_frames=int(
                         query.get("extract_ctx_frames", ["256"])[0]),
+                    f0_range=_f0_range_from(query, f0_table=f0_table),
                 )
                 out_sr = conv.output_sample_rate
                 first = next(gen, None)
@@ -1158,6 +1224,7 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                         raise ValueError(
                             "RIFF body needs ?style=<registered name>")
                     ref = style
+                    f0_range = _f0_range_from(query, f0_table=f0_table)
                 else:
                     with np.load(io.BytesIO(body)) as z:
                         src_wav = z["src_wav"]
@@ -1166,7 +1233,10 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                             ref = str(z["ref_name"])
                         else:
                             ref = (z["ref_wav"], int(z["ref_sr"]))
-                mel, wav, out_sr = batching.convert_wav(src_wav, sr, ref)
+                        f0_range = _f0_range_from(query, files=z,
+                                              f0_table=f0_table)
+                mel, wav, out_sr = batching.convert_wav(src_wav, sr, ref,
+                                                        f0_range=f0_range)
                 if wav is not None:
                     from serenade_tpu.utils.audio import write_wav
 

@@ -273,6 +273,45 @@ def test_batched_extraction_matches_per_utt():
             )
 
 
+def test_f0_range_override_bounds_search():
+    """Explicit f0_range (the serving-side stand-in for the reference's
+    per-voice-type conf/f0.yaml ranges) bounds the F0 search, and the
+    batched path honors per-item ranges identically to the solo path."""
+    from serenade_tpu.features import extract_features_batch
+
+    fc = FeatureConfig(num_mels=16)
+    sr = fc.sampling_rate
+    t = np.arange(int(0.7 * sr)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+
+    f_in = extract_features("u", wav, sr, fc, content_fn=fake_content_fn,
+                            f0_range=(300.0, 600.0))
+    voiced = f_in["f0"][f_in["vuv"].astype(bool).reshape(-1)]
+    assert len(voiced) > 0
+    assert abs(np.median(voiced) - 440.0) < 10.0
+
+    # a range EXCLUDING the true pitch still respects its bounds: the
+    # estimator either reports in-range candidates only (e.g. the
+    # octave) or finds nothing voiced, in which case extraction skips
+    # the utterance (None — the reference's no-voiced-frames semantics)
+    f_hi = extract_features("u", wav, sr, fc, content_fn=fake_content_fn,
+                            f0_range=(500.0, 1100.0))
+    if f_hi is not None:
+        voiced_hi = f_hi["f0"][f_hi["vuv"].astype(bool).reshape(-1)]
+        if len(voiced_hi):
+            assert voiced_hi.min() >= 500.0 * 0.95
+
+    # batched per-item ranges == solo with the same range
+    items = [("a", wav, sr, None), ("b", wav, sr, None)]
+    got = extract_features_batch(
+        items, fc, content_fn=fake_content_fn,
+        f0_ranges=[(300.0, 600.0), None])
+    np.testing.assert_array_equal(got["a"]["f0"], f_in["f0"])
+    default = extract_features("b", wav, sr, fc,
+                               content_fn=fake_content_fn)
+    np.testing.assert_array_equal(got["b"]["f0"], default["f0"])
+
+
 def test_int16_wire_routes_batch24_and_matches_f32():
     """wire_dtype="int16" (the serving opt-in) must (a) hand the RAW
     24 kHz audio to content_fn.batch24 — no host resample — and (b)

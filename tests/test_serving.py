@@ -821,7 +821,9 @@ def test_convert_wav_endpoint(tiny_experiment, tmp_path):
     old_content = conv._content_fn
     conv._content_fn = fake_content_fn
     b = BatchingConverter(conv, max_batch=2, max_wait_ms=5.0)
-    server = make_server(b, host="127.0.0.1", port=0)
+    server = make_server(b, host="127.0.0.1", port=0,
+                         f0_table={"Tenor": {"minf0": 130,
+                                             "maxf0": 440}})
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
@@ -852,6 +854,38 @@ def test_convert_wav_endpoint(tiny_experiment, tmp_path):
         resp = c.getresponse()
         assert resp.status == 400
         resp.read()
+
+        # per-request F0 search range (the reference's per-voice-type
+        # ranges, conf/f0.yaml): query params on a RIFF body...
+        c.request("POST", "/convert_wav?style=Breathy&f0_min=150&f0_max=600",
+                  body=src_path.read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        resp.read()
+        # ...npz keys via the client helper...
+        c.request("POST", "/convert_wav",
+                  body=encode_wav_request(src_wav, sr, (ref_wav, sr),
+                                          f0_range=(150.0, 600.0)))
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        resp.read()
+        # ...voice_type resolved through the server's --f0-table...
+        c.request("POST", "/convert_wav?style=Breathy&voice_type=Tenor",
+                  body=src_path.read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 200, resp.read()
+        resp.read()
+        c.request("POST", "/convert_wav?style=Breathy&voice_type=Whale",
+                  body=src_path.read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 400
+        assert b"voice_type" in resp.read()
+        # ...and a nonsensical range is a clean 400
+        c.request("POST", "/convert_wav?style=Breathy&f0_min=500&f0_max=100",
+                  body=src_path.read_bytes())
+        resp = c.getresponse()
+        assert resp.status == 400
+        assert b"f0_range" in resp.read()
     finally:
         server.shutdown()
         b.close()
@@ -923,9 +957,9 @@ def test_raw_requests_batch_extraction(tiny_experiment, tmp_path):
     calls = []
     orig_batch = conv.extract_from_wav_batch
 
-    def counting_batch(wavs, srs):
+    def counting_batch(wavs, srs, f0_ranges=None):
         calls.append(len(wavs))
-        return orig_batch(wavs, srs)
+        return orig_batch(wavs, srs, f0_ranges=f0_ranges)
 
     conv.extract_from_wav_batch = counting_batch
     b = BatchingConverter(conv, max_batch=8, max_wait_ms=300.0)
