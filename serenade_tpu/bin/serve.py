@@ -118,6 +118,10 @@ def build_app(args):
         bad = [k for k, v in baked.items() if v is not None]
         if args.data_axis != 1:
             bad.append("--data-axis")
+        if args.f0_table:
+            # F0 ranges steer raw-audio extraction, which the artifact
+            # server does not do — rejecting beats silently ignoring
+            bad.append("--f0-table")
         if bad:
             raise SystemExit(
                 f"{', '.join(bad)} cannot apply to an exported artifact "
@@ -125,7 +129,8 @@ def build_app(args):
                 "with the desired settings or serve with --expdir")
         from serenade_tpu.deploy import ArtifactService
 
-        batching = ArtifactService(args.artifact)
+        batching = ArtifactService(
+            args.artifact, max_request_seconds=args.max_request_seconds)
         variant_new = bool(batching.manifest["variant_new"])
     elif not (args.expdir and args.stats):
         raise SystemExit("need --expdir and --stats (or --artifact)")

@@ -13,6 +13,12 @@ Config: a plain YAML with the reference's hydra key surface
 (bin/sifigan_config/ssc_postprocessing.yaml — sample_rate, frame_period,
 mcep_dim, aux_feats, dense_factors, sine params, generator params).
 argparse replaces hydra; `--config` + `key=value` overrides.
+
+``--anasyn [--f0-factors 0.5,1.0,2.0]`` runs the vendored
+analysis-synthesis flow instead (reference
+bin/sifigan_config/anasyn.yaml + decode.yaml ``f0_factors``): condition
+on each wav's OWN analyzed F0, pitch-scaled per factor — SiFiGAN's F0
+control without the SSC decode step.
 """
 
 from __future__ import annotations
@@ -134,8 +140,20 @@ def main():
                         "confined to the generator's receptive field at the "
                         "utterance tail (quantified in "
                         "tests/test_postprocessing.py)")
+    p.add_argument("--anasyn", action="store_true",
+                   help="analysis-synthesis mode (the vendored "
+                        "sifigan_config/anasyn.yaml flow): condition on "
+                        "each wav's OWN analyzed F0 instead of a decode-"
+                        "written lf0 h5, optionally pitch-scaled by "
+                        "--f0-factors; outputs *_anasyn[_fX.XX].wav")
+    p.add_argument("--f0-factors", default=None,
+                   help="comma list of F0 scaling factors for --anasyn "
+                        "(anasyn.yaml f0_factors; default '1.0')")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
+    if args.f0_factors and not args.anasyn:
+        p.error("--f0-factors only applies with --anasyn (the SSC flow's "
+                "target F0 comes from the decode-written lf0 h5)")
     if args.analysis_backend == "native" and args.ap_backend != "bandap":
         p.error("--analysis-backend native supports --ap-backend bandap "
                 "only (there is no native D4C)")
@@ -227,12 +245,19 @@ def main():
         seed=config["seed"],
     )
 
+    # filter on the FILE name only: a parent directory containing one of
+    # these markers (e.g. an experiment dir named *_gt*) must not skip
+    # every wav under it
     wav_paths = [
         w for w in glob.glob(os.path.join(args.in_dir, "**", "*.wav"),
                              recursive=True)
-        if "_reference" not in w and "_gt" not in w and "_sifigan" not in w
+        if not any(m in os.path.basename(w) for m in
+                   ("_reference", "_gt", "_sifigan", "_anasyn"))
     ]
     logger.info("processing %d wavs from %s", len(wav_paths), args.in_dir)
+    f0_factors = [float(s) for s in
+                  (args.f0_factors or "1.0").split(",")] if args.anasyn \
+        else [1.0]
 
     # Phase 1: per-utterance analysis (each step one bucket-padded jitted
     # dispatch).  Synthesis inputs are collected so phase 2 can batch
@@ -248,12 +273,14 @@ def main():
         if in_sr != sr:
             x = resample(x, in_sr, sr)
 
-        h5_path = wav_file.replace(".wav", ".h5")
-        lf0 = read_hdf5(h5_path, "lf0")
-        if lf0 is None:
-            logger.warning("no lf0 h5 beside %s; skipping", wav_file)
-            continue
-        lf0 = np.asarray(lf0).reshape(-1)
+        lf0 = None
+        if not args.anasyn:
+            h5_path = wav_file.replace(".wav", ".h5")
+            lf0 = read_hdf5(h5_path, "lf0")
+            if lf0 is None:
+                logger.warning("no lf0 h5 beside %s; skipping", wav_file)
+                continue
+            lf0 = np.asarray(lf0).reshape(-1)
 
         # re-analysis F0 (bucket-padded so the jitted estimators compile
         # once per length bucket, not once per utterance)
@@ -278,7 +305,10 @@ def main():
                                f0_ceil=float(f0_ceil), frame_period_ms=fp)
         f0_cvt = np.asarray(smooth_f0_median(jnp.asarray(f0_cvt)))[:n_frames]
         T = len(f0_cvt)
-        if len(lf0) != T:
+        if args.anasyn:
+            # analysis-synthesis: the utterance's own F0 is the target
+            lf0 = np.asarray(f0_cvt, np.float64)
+        elif len(lf0) != T:
             grid = np.linspace(0, len(lf0) - 1, T)
             lf0 = np.maximum(np.interp(grid, np.arange(len(lf0)), lf0), 0.0)
 
@@ -314,10 +344,21 @@ def main():
 
         df_f0 = cf0 if config["df_f0_type"] == "cf0" else lf0
         sine_f0 = cf0 if config["sine_f0_type"] == "cf0" else lf0
-        pending.append(dict(wav_file=wav_file, c=c,
-                            df_f0=np.asarray(df_f0, np.float64),
-                            sine_f0=np.asarray(sine_f0, np.float64),
-                            n_frames=len(lf0)))
+        for fac in f0_factors:
+            # F0 scaling (anasyn.yaml f0_factors): aux spectral features
+            # stay, the excitation F0 streams scale — SiFiGAN's pitch
+            # control.  fac == 1.0 in the standard SSC flow.
+            if args.anasyn:
+                suffix = ("_anasyn.wav" if fac == 1.0
+                          else f"_anasyn_f{fac:.2f}.wav")
+            else:
+                suffix = "_sifigan.wav"
+            pending.append(dict(
+                wav_file=wav_file, c=c,
+                out_path=wav_file.replace(".wav", suffix),
+                df_f0=np.asarray(df_f0, np.float64) * fac,
+                sine_f0=np.asarray(sine_f0, np.float64) * fac,
+                n_frames=len(lf0)))
 
     # Phase 2: bucket-padded, pow2-batched synthesis.
     from serenade_tpu.collaters.ssc import pad_pow2
@@ -370,9 +411,8 @@ def main():
             y = np.asarray(jax.device_get(
                 infer(params, sine_j, c_j, dfs_j)))
             for row, it in zip(y, real):
-                out_path = it["wav_file"].replace(".wav", "_sifigan.wav")
-                write_wav(out_path, row[: it["n_frames"] * hop, 0], sr)
-                logger.info("wrote %s", out_path)
+                write_wav(it["out_path"], row[: it["n_frames"] * hop, 0], sr)
+                logger.info("wrote %s", it["out_path"])
 
 
 if __name__ == "__main__":

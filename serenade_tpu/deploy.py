@@ -367,11 +367,19 @@ class ArtifactService:
     """
 
     def __init__(self, art_dir: str, seed: int = 0,
-                 max_references: int = 64):
+                 max_references: int = 64,
+                 max_request_seconds: float = 600.0):
         import threading
 
         self._exp = ExportedConverter(art_dir, seed=seed)
         self._max_references = max_references
+        # per-request duration cap, like BatchingConverter's: frames/sec
+        # from the manifest's frame shift (None in pre-frame_shift_s
+        # manifests → the exported buckets are the only bound)
+        self.max_request_seconds = float(max_request_seconds)
+        shift = self.manifest.get("frame_shift_s")
+        self._max_frames = (int(self.max_request_seconds / float(shift))
+                            if shift else None)
         self._lock = threading.Lock()
         self._raw_refs: Dict[str, Dict[str, np.ndarray]] = {}
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
@@ -426,7 +434,8 @@ class ArtifactService:
             feats, what, with_mel,
             content_dim=int(self.manifest["content_dim"]),
             num_mels=int(self.manifest["num_mels"]),
-            variant_new=bool(self.manifest["variant_new"]))
+            variant_new=bool(self.manifest["variant_new"]),
+            max_frames=self._max_frames)
 
     # -- request paths ---------------------------------------------------
 
@@ -457,7 +466,8 @@ class ArtifactService:
             self.stats["audio_sec"] += mel.shape[0] * shift
         return mel, wav, sr
 
-    def convert_wav(self, src_wav, sr, ref, timeout: float = 300.0):
+    def convert_wav(self, src_wav, sr, ref, timeout: float = 300.0,
+                    f0_range=None):
         raise ValueError(
             "/convert_wav needs on-device feature extraction; the "
             "exported artifact serves pre-extracted features only — "

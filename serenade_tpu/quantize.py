@@ -78,10 +78,12 @@ def _is_qtensor(x) -> bool:
 def _eligible(leaf) -> bool:
     if isinstance(leaf, QTensor):
         return False  # already quantized
-    a = jnp.asarray(leaf) if isinstance(leaf, np.ndarray) else leaf
-    if not hasattr(a, "dtype") or not jnp.issubdtype(a.dtype, jnp.floating):
+    # numpy arrays expose dtype/ndim/size directly — converting to a
+    # device array just to inspect them would upload the whole leaf
+    if not hasattr(leaf, "dtype") or not jnp.issubdtype(leaf.dtype,
+                                                        jnp.floating):
         return False
-    return a.ndim >= 2 and a.size >= MIN_QUANT_SIZE
+    return leaf.ndim >= 2 and leaf.size >= MIN_QUANT_SIZE
 
 
 def quantize_leaf(w) -> QTensor:

@@ -219,11 +219,14 @@ class BatchingConverter:
         self._require_style(name)
         return self._refs[name]
 
-    def _validate_feats(self, feats, what: str, with_mel: bool) -> None:
+    def _validate_feats(self, feats, what: str, with_mel: bool,
+                        cap_duration: bool = True) -> None:
         """Reject malformed feature dicts AT SUBMIT time: conversion is
         batched across the pending window, so a bad payload that only
         failed inside the dispatch would collateral-fault every
-        co-batched request ('fails alone' durability contract)."""
+        co-batched request ('fails alone' durability contract).
+        ``cap_duration=False`` skips the max_request_seconds frame cap
+        (streaming sources convert in bounded windows off the queue)."""
         validate_feature_dict(
             feats, what, with_mel,
             content_dim=np.asarray(
@@ -231,8 +234,9 @@ class BatchingConverter:
             num_mels=np.asarray(
                 self.converter.scaler["logmel"].mean_).shape[0],
             variant_new=self.converter.variant_new,
-            max_frames=int(self.max_request_seconds
-                           * self._frames_per_sec))
+            max_frames=(int(self.max_request_seconds
+                            * self._frames_per_sec)
+                        if cap_duration else None))
 
     def _check_open(self) -> None:
         if self._stop.is_set():
@@ -670,13 +674,27 @@ def _parse_stream_body(body: bytes, query, batching, f0_table=None):
     source with a feature reference (``src_wav`` + ``ref_*`` arrays).
     Raw sources return a :class:`_RawSource` (extraction is deferred to
     the windowed streaming path); raw references extract up front (they
-    are short).  Requires a ContentVec checkpoint for any raw audio."""
+    are short).  Requires a ContentVec checkpoint for any raw audio.
+
+    Returns ``(src, ref, f0_range)`` — the F0 range resolved from the
+    body's npz keys (when present) or the query, so raw SOURCE
+    extraction honors an npz-embedded range too, not just the ref.
+
+    The source is deliberately NOT capped by ``max_request_seconds``:
+    streaming converts in bounded windows outside the batching queue, so
+    the giant-co-batched-bucket rationale for the cap does not apply —
+    long-form sources are exactly what this endpoint is for.  The
+    (short) ad-hoc reference extraction, which IS a one-shot device
+    dispatch, keeps the cap."""
     conv = batching.converter
 
-    def capped(wav, sr, what):
+    def checked(wav, what):
         from serenade_tpu.features import validate_waveform
 
-        wav = validate_waveform(wav, what)
+        return validate_waveform(wav, what)
+
+    def ref_capped(wav, sr, what):
+        wav = checked(wav, what)
         cap = getattr(batching, "max_request_seconds", None)
         if cap is not None and len(wav) > cap * sr:
             raise ValueError(
@@ -691,27 +709,31 @@ def _parse_stream_body(body: bytes, query, batching, f0_table=None):
         style = query.get("style", [""])[0]
         if not style:
             raise ValueError("RIFF body needs ?style=<registered name>")
-        return (_RawSource(capped(src_wav, sr, "src_wav"), sr),
-                batching.packed_reference(style))
+        return (_RawSource(checked(src_wav, "src_wav"), sr),
+                batching.packed_reference(style),
+                _f0_range_from(query, f0_table=f0_table))
     with np.load(io.BytesIO(body)) as z:
+        f0_range = _f0_range_from(query, files=z, f0_table=f0_table)
         if "src_wav" not in z.files:
             src, ref = _feats_from_npz(z)
-            batching._validate_feats(src, "src", with_mel=False)
+            # dims must be right, but streaming has no co-batched
+            # neighbors to protect — no duration cap here
+            batching._validate_feats(src, "src", with_mel=False,
+                                     cap_duration=False)
             if isinstance(ref, str):
                 ref = batching.packed_reference(ref)
-            return src, ref
+            return src, ref, f0_range
         src_wav, sr = z["src_wav"], int(z["sr"])
         if "ref_name" in z.files:
             ref = batching.packed_reference(str(z["ref_name"]))
         elif "ref_wav" in z.files:
             ref = _extract_or_raise(
-                conv, [capped(z["ref_wav"], int(z["ref_sr"]), "ref_wav")],
-                [int(z["ref_sr"])],
-                f0_ranges=[_f0_range_from(query, files=z,
-                                          f0_table=f0_table)])[0]
+                conv,
+                [ref_capped(z["ref_wav"], int(z["ref_sr"]), "ref_wav")],
+                [int(z["ref_sr"])], f0_ranges=[f0_range])[0]
         else:  # raw source, pre-extracted reference features
             ref = _ref_from_npz(z)
-    return _RawSource(capped(src_wav, sr, "src_wav"), sr), ref
+    return _RawSource(checked(src_wav, "src_wav"), sr), ref, f0_range
 
 
 def _parse_ref_npz(body: bytes):
@@ -784,7 +806,10 @@ def _f0_range_from(query, files=None, f0_table=None) -> Optional[tuple]:
     ``?voice_type=<key>`` resolved through the server's ``--f0-table``
     (the reference's conf/f0.yaml voice-type ranges); None when
     unspecified."""
-    if files is not None and "f0_min" in files.files:
+    if files is not None and ("f0_min" in files.files
+                              or "f0_max" in files.files):
+        if not ("f0_min" in files.files and "f0_max" in files.files):
+            raise ValueError("f0_min and f0_max must be given together")
         return check_f0_range((float(files["f0_min"]),
                                float(files["f0_max"])))
     lo = query.get("f0_min", [None])[0]
@@ -818,11 +843,19 @@ def warmup_server(batching, shapes, raw_audio: bool = False,
     ``raw_audio=True`` warms the /convert_wav extraction chain instead
     (requires the Converter's contentvec).  Failures raise: a warmup
     that cannot convert means serving could not either.
+
+    The stats counters are restored to their pre-warmup values on
+    success: warmup batches include first-compile time against seconds
+    of synthetic audio, which would otherwise wreck the /healthz and
+    /metrics ``rtf`` right when operators check a fresh deploy.  Call
+    BEFORE taking traffic (the serve CLI does) — the restore is not
+    safe against concurrent real requests.
     """
     import threading
     import time as _time
 
     conv = batching.converter
+    stats_before = dict(batching.stats)
     rng = np.random.default_rng(seed)
     content_dim = np.asarray(conv.scaler["hubert"].mean_).shape[0]
     n_mels = np.asarray(conv.scaler["logmel"].mean_).shape[0]
@@ -871,6 +904,8 @@ def warmup_server(batching, shapes, raw_audio: bool = False,
         logger.info("warmup %s (%d, %d) x%d: %.1fs",
                     "raw" if raw_audio else "features", ts, tr, b,
                     _time.monotonic() - t0)
+    with batching._lock:
+        batching.stats.update(stats_before)
 
 
 def _frame_block(arrays: dict) -> bytes:
@@ -1030,7 +1065,10 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             feature npz, RIFF + ?style=, or raw-audio npz bodies
             (``_parse_stream_body``)."""
             try:
-                src, ref = _parse_stream_body(
+                # f0_range comes from the BODY's npz keys when present,
+                # else the query — so a range shipped with the audio
+                # applies to the source extraction, not just the ref
+                src, ref, f0_range = _parse_stream_body(
                     self._read_body(), query, batching,
                     f0_table=f0_table)
                 conv = batching.converter
@@ -1039,7 +1077,6 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                     query.get("overlap_frames", ["256"])[0])
                 windowed = query.get("windowed", ["1"])[0] not in ("0",
                                                                    "false")
-                f0_range = _f0_range_from(query, f0_table=f0_table)
                 if isinstance(src, _RawSource) and windowed:
                     gen = conv.convert_wav_stream(
                         src.wav, src.sr, ref,

@@ -60,6 +60,57 @@ def test_postprocessing_cli(tmp_path):
         assert np.isfinite(y).all()
 
 
+def test_anasyn_mode(tmp_path):
+    """--anasyn (the vendored sifigan_config/anasyn.yaml flow): no lf0
+    h5 needed — F0 comes from the wav's own analysis, optionally scaled
+    by --f0-factors, one output per factor."""
+    from serenade_tpu.bin.ssc_postprocessing import main
+
+    t = np.arange(int(0.4 * SR)) / SR
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    write_wav(str(tmp_path / "utt_Tenor_Breathy.wav"), wav, SR)
+
+    cfg = tmp_path / "post.yml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(dict(
+            sample_rate=SR,
+            generator=dict(
+                in_channels=43, channels=32,
+                upsample_scales=[5, 4, 3, 2],
+                upsample_kernel_sizes=[10, 8, 6, 4],
+            ),
+        ), f)
+
+    old = sys.argv
+    sys.argv = ["prog", "--in-dir", str(tmp_path), "--config", str(cfg),
+                "--anasyn", "--f0-factors", "1.0,1.5"]
+    try:
+        main()
+    finally:
+        sys.argv = old
+
+    for suffix in ("_anasyn.wav", "_anasyn_f1.50.wav"):
+        out = str(tmp_path / f"utt_Tenor_Breathy{suffix}")
+        assert os.path.exists(out), out
+        y, sr = read_wav(out)
+        assert sr == SR and np.isfinite(y).all() and len(y) > 0
+
+    # no lf0 h5 was present — the SSC flow would have skipped everything
+    assert not os.path.exists(
+        str(tmp_path / "utt_Tenor_Breathy_sifigan.wav"))
+
+    # --f0-factors without --anasyn is a usage error
+    import pytest
+
+    sys.argv = ["prog", "--in-dir", str(tmp_path), "--config", str(cfg),
+                "--f0-factors", "2.0"]
+    try:
+        with pytest.raises(SystemExit):
+            main()
+    finally:
+        sys.argv = old
+
+
 def test_synthesis_bucketing_tail_bound(tmp_path):
     """Bucket-padded synthesis (--synth-frame-bucket, the default) matches
     exact-length synthesis everywhere except the generator's receptive
