@@ -405,6 +405,87 @@ def bench_flash_vs_xla():
     return out
 
 
+def bench_loader():
+    """Steady-state input-pipeline throughput in batches/sec, measured on
+    synthetic FULL-SIZE dumps through the real FeatsDataset + SSCCollater
+    + ShardedBatchLoader path the train CLI builds (scaler normalization
+    included).  Must comfortably exceed train steps/sec (~31 at b=16) or
+    the HOST, not the chip, paces training — the number the train-step
+    MFU measurement (synthetic device batches) cannot see."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import numpy as np
+
+    from serenade_tpu.collaters.ssc import SSCCollater
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset
+    from serenade_tpu.datasets.loader import ShardedBatchLoader
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    d = tempfile.mkdtemp(prefix="loaderbench")
+    try:
+        rng = np.random.default_rng(0)
+        for i in range(48):
+            t = int(rng.integers(600, 1200))
+            path = f"{d}/utt{i}.h5"
+            write_hdf5(path, "wave",
+                       rng.standard_normal(t * 240).astype(np.float32))
+            write_hdf5(path, "hubert",
+                       rng.standard_normal((t, 768)).astype(np.float32))
+            write_hdf5(path, "logmel",
+                       rng.standard_normal((t, 80)).astype(np.float32))
+            for k in ("loud", "est_lf0_score", "midi", "f0", "vuv"):
+                write_hdf5(path, k,
+                           rng.standard_normal((t, 1)).astype(np.float32))
+
+        class _Z:  # sklearn StandardScaler attribute surface
+            mean_ = None
+            scale_ = None
+
+        class _M:  # MinMaxScaler surface
+            data_min_ = None
+            data_max_ = None
+
+        def z(dim):
+            s = _Z()
+            s.mean_ = np.zeros(dim, np.float32)
+            s.scale_ = np.ones(dim, np.float32)
+            return s
+
+        def mm():
+            s = _M()
+            s.data_min_ = np.zeros(1, np.float32)
+            s.data_max_ = np.ones(1, np.float32)
+            return s
+
+        scaler = {"hubert": z(768), "logmel": z(80),
+                  "score": mm(), "loud": mm()}
+        train_keys = tuple(sorted(set(SSCCollater.FEATURE_KEYS.values())))
+
+        def run(allow_cache, epochs):
+            ds = FeatsDataset(d, scaler=scaler, allow_cache=allow_cache,
+                              load_keys=train_keys)
+            loader = ShardedBatchLoader(ds, SSCCollater(), batch_size=16,
+                                        shuffle=True, process_index=0,
+                                        process_count=1)
+            if allow_cache:
+                for _batch in loader:  # epoch 0 fills the cache
+                    pass
+            n, t0 = 0, None
+            for _ in range(epochs):  # 3 batches/epoch
+                for _batch in loader:
+                    if t0 is None:
+                        t0 = _time.perf_counter()  # first batch = warmup
+                    else:
+                        n += 1
+            return n / (_time.perf_counter() - t0)
+
+        return run(False, 12), run(True, 24)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main():
     from serenade_tpu.models import Serenade
     from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
@@ -448,6 +529,13 @@ def main():
             details["train_step_tflops"] = round(flops / 1e12, 3)
     except Exception as e:
         errors["train"] = f"{type(e).__name__}: {e}"
+
+    try:
+        cold, cached = bench_loader()
+        details["loader_batches_per_sec"] = round(cold, 1)
+        details["loader_batches_per_sec_cached"] = round(cached, 1)
+    except Exception as e:
+        errors["loader"] = f"{type(e).__name__}: {e}"
 
     try:
         details["vocoder_samples_per_sec"] = round(

@@ -101,11 +101,16 @@ def main(dataset_name: str = DEFAULT_DATASET):
     trainer_cls = resolve("trainer", config.get("trainer_type", "SSCTrainer"))
     model_cls = resolve("model", config.get("model_type", "Serenade"))
 
+    # the train collater consumes only these streams — skipping the rest
+    # (wave is ~1 MB/item) measurably raises loader throughput
+    # (bench.py::bench_loader); the collater declares its needs
+    train_keys = tuple(sorted(set(collater_cls.FEATURE_KEYS.values())))
     train_dataset = dataset_cls(
         args.train_dumpdir, scaler=scaler,
         score_type=config.get("score_type", "est_lf0_score"),
         logmel_type=config.get("logmel_type", "logmel"),
         allow_cache=config.get("allow_cache", False),
+        load_keys=train_keys,
     )
     dev_dataset = dataset_cls(
         args.dev_dumpdir, scaler=scaler,

@@ -74,9 +74,17 @@ class SSCCollater:
 
         out = {"lens": lens}
         for out_key, src_key in self.FEATURE_KEYS.items():
-            out[out_key] = np.stack(
-                [pad_to(np.asarray(b[src_key], np.float32), T) for b in items]
-            )
+            # preallocate + row writes: one copy per feature instead of
+            # np.pad + np.stack's two (the collater is on the input hot
+            # path — bench.py::bench_loader)
+            first = np.asarray(items[0][src_key], np.float32)
+            arr = np.empty((len(items), T) + first.shape[1:], np.float32)
+            for j, b in enumerate(items):
+                x = np.asarray(b[src_key], np.float32)
+                n = min(x.shape[0], T)
+                arr[j, :n] = x[:T]
+                arr[j, n:] = 0.0  # zero only the pad tail, not the buffer
+            out[out_key] = arr
         # pad the batch axis too when a fixed batch size is requested
         # (keeps the program count at one per bucket on multi-chip meshes)
         if self.pad_batch_to and len(items) < self.pad_batch_to:

@@ -19,7 +19,7 @@ from typing import Dict
 import numpy as np
 
 from serenade_tpu.config import register
-from serenade_tpu.utils.h5 import find_files, hdf5_has, read_hdf5
+from serenade_tpu.utils.h5 import find_files, read_hdf5, read_hdf5_many
 
 logger = logging.getLogger(__name__)
 
@@ -43,7 +43,13 @@ class FeatsDataset:
         query: str = "*.h5",
         allow_cache: bool = False,
         logmel_fallback: bool = False,
+        load_keys=None,
     ):
+        """``load_keys``: restrict item keys (and their h5 READS) to this
+        subset of (wave, hubert, logmel, score, midi, loud, lf0) — the
+        training collater only consumes hubert/logmel/score/loud, so the
+        train loader skips ~1 MB of dead-weight reads per item (wave is
+        the second-largest stream).  None = all keys (decode/eval)."""
         self.files = sorted(find_files(root_dir, query))
         if not self.files:
             raise ValueError(f"no {query} files under {root_dir}")
@@ -55,52 +61,81 @@ class FeatsDataset:
         self.logmel_type = logmel_type
         self.return_utt_id = return_utt_id
         self.logmel_fallback = logmel_fallback
+        self.load_keys = tuple(load_keys) if load_keys else None
         self._cache: Dict[int, dict] = {} if allow_cache else None
 
     def __len__(self):
         return len(self.files)
 
+    # item key -> h5 dataset name (score/logmel/lf0 are remapped)
+    _H5_NAMES = {"wave": "wave", "hubert": "hubert", "midi": "midi",
+                 "loud": "loud", "lf0": "f0"}
+
     def _load(self, path: str) -> dict:
-        if (self.logmel_type != "logmel" and self.logmel_fallback
-                and not hdf5_has(path, self.logmel_type)):
-            # cyclic fine-tuning (logmel_type=cyclic_logmel) evaluates on
-            # the ORIGINAL dev dumps, which have no injected cyclic key —
-            # their cyclic target is their own mel (identity conversion).
-            # The reference recipe ships this combination too
-            # (run.sh:244-267 passes dump/dev with serenade_cyclic.yaml)
-            # but its lazy loader only crashes at the first eval.  The
-            # fallback is opt-in (dev/eval datasets only): on a TRAIN dump
-            # a missing cyclic key means stage-6 injection failed, and
-            # silently training on identity targets would hide it.
-            mel = read_hdf5(path, "logmel")
-        else:
-            mel = read_hdf5(path, self.logmel_type)
-        if mel is None:
+        wanted = self.load_keys or ("wave", "hubert", "logmel", "score",
+                                    "midi", "loud", "lf0")
+        names = {self._H5_NAMES.get(k, k) for k in wanted
+                 if k not in ("logmel", "score")}
+        if "logmel" in wanted:
+            names.add(self.logmel_type)
+        if "score" in wanted:
+            names.add(self.score_type)
+        # ONE file open for all keys (read_hdf5_many): per-key opens are
+        # a measurable slice of loader throughput (bench.py::bench_loader)
+        raw = read_hdf5_many(path, tuple(names))
+        mel = raw.get(self.logmel_type)
+        if mel is None and "logmel" in wanted and self.logmel_type != "logmel":
+            if self.logmel_fallback:
+                # cyclic fine-tuning (logmel_type=cyclic_logmel) evaluates
+                # on the ORIGINAL dev dumps, which have no injected cyclic
+                # key — their cyclic target is their own mel (identity
+                # conversion).  The reference recipe ships this
+                # combination too (run.sh:244-267 passes dump/dev with
+                # serenade_cyclic.yaml) but its lazy loader only crashes
+                # at the first eval.  The fallback is opt-in (dev/eval
+                # datasets only): on a TRAIN dump a missing cyclic key
+                # means stage-6 injection failed, and silently training
+                # on identity targets would hide it.
+                mel = read_hdf5(path, "logmel")
+        if mel is None and "logmel" in wanted:
             raise KeyError(
                 f"{path} has no {self.logmel_type!r} dataset"
                 + (" (stage-6 cyclic_logmel injection missing?)"
                    if self.logmel_type != "logmel" else "")
             )
-        item = {
-            "wave": np.asarray(read_hdf5(path, "wave")),
-            "hubert": _as_2d(read_hdf5(path, "hubert")),
-            "logmel": _as_2d(mel),
-            "score": _as_2d(read_hdf5(path, self.score_type)),
-            "midi": _as_2d(read_hdf5(path, "midi")),
-            "loud": _as_2d(read_hdf5(path, "loud")),
-            "lf0": _as_2d(read_hdf5(path, "f0")),
-        }
+        item = {}
+        if "wave" in wanted:
+            item["wave"] = np.asarray(raw["wave"])
+        if "hubert" in wanted:
+            item["hubert"] = _as_2d(raw["hubert"])
+        if "logmel" in wanted:
+            item["logmel"] = _as_2d(mel)
+        if "score" in wanted:
+            item["score"] = _as_2d(raw[self.score_type])
+        if "midi" in wanted:
+            item["midi"] = _as_2d(raw["midi"])
+        if "loud" in wanted:
+            item["loud"] = _as_2d(raw["loud"])
+        if "lf0" in wanted:
+            item["lf0"] = _as_2d(raw["f0"])
         if self.scaler is not None:
             s = self.scaler
-            item["logmel"] = (item["logmel"] - s["logmel"].mean_) / s["logmel"].scale_
-            item["hubert"] = (item["hubert"] - s["hubert"].mean_) / s["hubert"].scale_
-            item["score"] = (item["score"] - s["score"].data_min_) / (
-                s["score"].data_max_ - s["score"].data_min_
-            )
-            item["loud"] = (item["loud"] - s["loud"].data_min_) / (
-                s["loud"].data_max_ - s["loud"].data_min_
-            )
-            if np.isnan(item["logmel"]).any():
+            # in-place float32 normalization (the arrays are fresh h5
+            # reads owned by this call): no 2x-item-size temporaries on
+            # the input hot path
+            for k in ("logmel", "hubert"):
+                if k in item:
+                    v = np.asarray(item[k], np.float32)
+                    v -= s[k].mean_
+                    v /= s[k].scale_
+                    item[k] = v
+            for k in ("score", "loud"):
+                if k in item:
+                    v = np.asarray(item[k], np.float32)
+                    v -= s[k].data_min_
+                    v /= (s[k].data_max_ - s[k].data_min_)
+                    item[k] = v
+            if "logmel" in item and np.isnan(item["logmel"]).any():
                 logger.info("contains nan: %s", path)
         return item
 
@@ -122,5 +157,6 @@ class FeatsDatasetNew(FeatsDataset):
 
     def _load(self, path: str) -> dict:
         item = super()._load(path)
-        item["f0_fluc"] = _as_2d(read_hdf5(path, "f0_fluc"))
+        if self.load_keys is None or "f0_fluc" in self.load_keys:
+            item["f0_fluc"] = _as_2d(read_hdf5(path, "f0_fluc"))
         return item

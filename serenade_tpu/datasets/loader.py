@@ -30,6 +30,7 @@ class ShardedBatchLoader:
         process_count: Optional[int] = None,
         length_key: str = "hubert",
         sort_window: int = 0,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.collater = collater
@@ -48,6 +49,14 @@ class ShardedBatchLoader:
         self.length_key = length_key
         self.epoch = 0
         self.prefetch = 2  # background-thread batch prefetch depth (0 = off)
+        # optional thread pool for item fetches.  MEASURED (2026-08-19,
+        # bench.py::bench_loader conditions: page-cached local h5): the
+        # pool is SLOWER than sequential — the numpy normalization and
+        # h5py decode hold the GIL, so threads only add overhead.  Kept
+        # (default off) for genuinely IO-bound stores (cold NFS/object
+        # mounts) where reads dominate and do release the GIL.
+        self.num_workers = num_workers
+        self._pool = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -126,11 +135,26 @@ class ShardedBatchLoader:
                 order = np.argsort(lengths[s:s + w])
                 chunks.append(window[order])
             idx = np.concatenate(chunks) if chunks else idx
+        fetch = self._fetch_items
         for s in range(0, len(idx), self.batch_size):
             chunk = idx[s:s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            items = [self.dataset[int(i)] for i in chunk]
-            items = [it[1] if isinstance(it, tuple) else it for it in items]
+            items = [it[1] if isinstance(it, tuple) else it
+                     for it in fetch(chunk)]
             yield self.collater(items)
         self.epoch += 1
+
+    def _fetch_items(self, chunk):
+        if self.num_workers <= 1 or len(chunk) <= 1:
+            return [self.dataset[int(i)] for i in chunk]
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="ssc-loader")
+        # map preserves order; dataset __getitem__ is read-only per item
+        # (the optional cache dict write is a benign same-value race)
+        return list(self._pool.map(
+            lambda i: self.dataset[int(i)], [int(i) for i in chunk]))

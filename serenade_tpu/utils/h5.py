@@ -45,6 +45,24 @@ def read_hdf5(path: str, dataset: str):
         return f[dataset][()]
 
 
+def read_hdf5_many(path: str, datasets) -> Dict[str, np.ndarray]:
+    """Read several datasets in ONE file open — the hot loader path.
+
+    ``read_hdf5`` per key opens/closes the file once per dataset; at 7+
+    keys per training item the open/close overhead is a measurable slice
+    of input-pipeline throughput (see bench.py::bench_loader).  Missing
+    keys map to None (same contract as read_hdf5, without the error log
+    — callers decide what is required)."""
+    if not os.path.exists(path):
+        logger.error("no such hdf5 file: %s", path)
+        return {name: None for name in datasets}
+    out = {}
+    with h5py.File(path, "r") as f:
+        for name in datasets:
+            out[name] = f[name][()] if name in f else None
+    return out
+
+
 def hdf5_has(path: str, dataset: str) -> bool:
     """True iff ``path`` exists and contains ``dataset`` (no error logging)."""
     if not os.path.exists(path):

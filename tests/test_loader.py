@@ -67,3 +67,43 @@ def test_prefetch_propagates_errors():
     )
     with pytest.raises(ValueError):
         list(ld)
+
+
+def test_load_keys_trims_reads_and_workers_match(tmp_path):
+    """FeatsDataset(load_keys=...) returns exactly the requested streams
+    (the train path skips wave/midi/lf0 reads entirely), and the pooled
+    item fetch returns the same batches as sequential."""
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        t = 100 + 10 * i
+        p = str(tmp_path / f"u{i}.h5")
+        write_hdf5(p, "wave", rng.standard_normal(t * 240).astype(np.float32))
+        write_hdf5(p, "hubert", rng.standard_normal((t, 8)).astype(np.float32))
+        write_hdf5(p, "logmel", rng.standard_normal((t, 4)).astype(np.float32))
+        for k in ("loud", "est_lf0_score", "midi", "f0"):
+            write_hdf5(p, k, rng.standard_normal((t, 1)).astype(np.float32))
+
+    keys = tuple(sorted(set(SSCCollater.FEATURE_KEYS.values())))
+    ds = FeatsDataset(str(tmp_path), scaler=None, load_keys=keys)
+    item = ds[0]
+    assert set(item) == set(keys)
+
+    full = FeatsDataset(str(tmp_path), scaler=None)[0]
+    assert {"wave", "midi", "lf0"} <= set(full)
+    for k in keys:
+        np.testing.assert_array_equal(item[k], full[k])
+
+    co = SSCCollater()
+    seq = ShardedBatchLoader(ds, co, batch_size=4, shuffle=False,
+                             process_index=0, process_count=1,
+                             num_workers=0)
+    pooled = ShardedBatchLoader(ds, co, batch_size=4, shuffle=False,
+                                process_index=0, process_count=1,
+                                num_workers=4)
+    b0 = next(iter(seq))
+    b1 = next(iter(pooled))
+    for k in b0:
+        np.testing.assert_array_equal(b0[k], b1[k])
