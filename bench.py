@@ -439,22 +439,18 @@ def bench_loader():
                 write_hdf5(path, k,
                            rng.standard_normal((t, 1)).astype(np.float32))
 
-        class _Z:  # sklearn StandardScaler attribute surface
-            mean_ = None
-            scale_ = None
-
-        class _M:  # MinMaxScaler surface
-            data_min_ = None
-            data_max_ = None
+        # module-level scaler classes (utils.scalers) so the dataset
+        # pickles into spawn workers for the process-pool measurement
+        from serenade_tpu.utils.scalers import MinMaxScaler, StandardScaler
 
         def z(dim):
-            s = _Z()
+            s = StandardScaler()
             s.mean_ = np.zeros(dim, np.float32)
             s.scale_ = np.ones(dim, np.float32)
             return s
 
         def mm():
-            s = _M()
+            s = MinMaxScaler()
             s.data_min_ = np.zeros(1, np.float32)
             s.data_max_ = np.ones(1, np.float32)
             return s
@@ -463,12 +459,16 @@ def bench_loader():
                   "score": mm(), "loud": mm()}
         train_keys = tuple(sorted(set(SSCCollater.FEATURE_KEYS.values())))
 
-        def run(allow_cache, epochs):
+        def run(allow_cache, epochs, num_workers=0, worker_type="thread",
+                host_dtype=None):
             ds = FeatsDataset(d, scaler=scaler, allow_cache=allow_cache,
                               load_keys=train_keys)
-            loader = ShardedBatchLoader(ds, SSCCollater(), batch_size=16,
+            loader = ShardedBatchLoader(ds, SSCCollater(host_dtype=host_dtype),
+                                        batch_size=16,
                                         shuffle=True, process_index=0,
-                                        process_count=1)
+                                        process_count=1,
+                                        num_workers=num_workers,
+                                        worker_type=worker_type)
             if allow_cache:
                 for _batch in loader:  # epoch 0 fills the cache
                     pass
@@ -479,9 +479,23 @@ def bench_loader():
                         t0 = _time.perf_counter()  # first batch = warmup
                     else:
                         n += 1
-            return n / (_time.perf_counter() - t0)
+            rate = n / (_time.perf_counter() - t0)
+            loader.shutdown()
+            return rate
 
-        return run(False, 12), run(True, 24)
+        # the spawn-process pool only makes sense with real cores: on a
+        # 1-2 core host the IPC + scheduling overhead measures ~6x SLOWER
+        # (measured 2026-08-19 on the 1-core dev box: 0.6 vs 3.8 batches/s)
+        ncpu = os.cpu_count() or 1
+        if ncpu >= 4:
+            nw = min(6, ncpu - 1)
+            proc = run(False, 12, num_workers=nw, worker_type="process")
+            proc_bf16 = run(False, 12, num_workers=nw,
+                            worker_type="process", host_dtype="bfloat16")
+        else:
+            proc = proc_bf16 = None
+        return (run(False, 12), run(True, 24), proc, proc_bf16,
+                run(False, 12, host_dtype="bfloat16"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -531,9 +545,13 @@ def main():
         errors["train"] = f"{type(e).__name__}: {e}"
 
     try:
-        cold, cached = bench_loader()
+        cold, cached, proc, proc_bf16, cold_bf16 = bench_loader()
         details["loader_batches_per_sec"] = round(cold, 1)
         details["loader_batches_per_sec_cached"] = round(cached, 1)
+        details["loader_batches_per_sec_bf16"] = round(cold_bf16, 1)
+        if proc is not None:  # multi-core hosts only (>=4 cpus)
+            details["loader_batches_per_sec_proc"] = round(proc, 1)
+            details["loader_batches_per_sec_proc_bf16"] = round(proc_bf16, 1)
     except Exception as e:
         errors["loader"] = f"{type(e).__name__}: {e}"
 

@@ -118,16 +118,27 @@ def main(dataset_name: str = DEFAULT_DATASET):
         logmel_type=config.get("logmel_type", "logmel"),
         logmel_fallback=True,  # original dev dumps carry no cyclic key
     )
-    collater = collater_cls()
+    # host_batch_dtype: "bfloat16" halves collate + host->device bytes on
+    # the training batches (model matmuls run bf16 anyway); dev/eval keeps
+    # the f32 default so eval reconstructions are full precision
+    if config.get("host_batch_dtype"):
+        collater = collater_cls(host_dtype=config["host_batch_dtype"])
+    else:
+        collater = collater_cls()
     batch_size = int(config.get("batch_size", 4))
     mesh = make_mesh(data=args.data_axis, model=args.model_axis)
     global_batch = batch_size * mesh.shape["data"]
     train_loader = ShardedBatchLoader(
         train_dataset, collater, batch_size=global_batch // jax.process_count(),
         shuffle=True, seed=args.seed,
+        # reference conf/serenade.yaml:54 num_workers; here a spawn-process
+        # pool is the GIL-free option (loader_worker_type: process)
+        num_workers=int(config.get("num_workers", 0)),
+        worker_type=config.get("loader_worker_type", "thread"),
     )
     dev_loader = ShardedBatchLoader(
-        dev_dataset, collater, batch_size=min(global_batch, len(dev_dataset)),
+        dev_dataset, collater_cls(),  # dev/eval stays f32 regardless
+        batch_size=min(global_batch, len(dev_dataset)),
         shuffle=False, drop_last=False, process_index=0, process_count=1,
     )
     logging.info("dataset: %d train / %d dev; global batch %d; mesh %s",

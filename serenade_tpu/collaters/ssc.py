@@ -56,10 +56,25 @@ class SSCCollater:
                     "scores": "score"}
 
     def __init__(self, max_frames: int = 3000, bucket_multiple: int = 64,
-                 pad_batch_to: int | None = None):
+                 pad_batch_to: int | None = None,
+                 host_dtype: str | None = None):
+        """``host_dtype``: numpy dtype for the feature arrays the collater
+        emits (default float32).  "bfloat16" halves collation + host→device
+        transfer bytes; it is numerically free for training because the
+        model's matmuls already run in bf16 (the inputs would be rounded at
+        the first Dense anyway) — only the f32 normalization upstream keeps
+        full precision."""
         self.max_frames = max_frames
         self.bucket_multiple = bucket_multiple
         self.pad_batch_to = pad_batch_to
+        if host_dtype is None or host_dtype == "float32":
+            self.host_dtype = np.float32
+        elif str(host_dtype) == "bfloat16":
+            import ml_dtypes
+
+            self.host_dtype = ml_dtypes.bfloat16
+        else:
+            self.host_dtype = np.dtype(host_dtype).type
 
     def _filter_sort(self, batch: Sequence[dict]) -> List[dict]:
         kept = [b for b in batch if b["hubert"].shape[0] < self.max_frames]
@@ -77,12 +92,12 @@ class SSCCollater:
             # preallocate + row writes: one copy per feature instead of
             # np.pad + np.stack's two (the collater is on the input hot
             # path — bench.py::bench_loader)
-            first = np.asarray(items[0][src_key], np.float32)
-            arr = np.empty((len(items), T) + first.shape[1:], np.float32)
+            first = np.asarray(items[0][src_key])
+            arr = np.empty((len(items), T) + first.shape[1:], self.host_dtype)
             for j, b in enumerate(items):
-                x = np.asarray(b[src_key], np.float32)
+                x = np.asarray(b[src_key])
                 n = min(x.shape[0], T)
-                arr[j, :n] = x[:T]
+                arr[j, :n] = x[:T]  # row write casts to host_dtype in place
                 arr[j, n:] = 0.0  # zero only the pad tail, not the buffer
             out[out_key] = arr
         # pad the batch axis too when a fixed batch size is requested
@@ -91,7 +106,7 @@ class SSCCollater:
             nb = self.pad_batch_to - len(items)
             out["lens"] = np.concatenate([lens, np.zeros(nb, np.int32)])
             for k in self.FEATURE_KEYS:
-                pad_block = np.zeros((nb,) + out[k].shape[1:], np.float32)
+                pad_block = np.zeros((nb,) + out[k].shape[1:], self.host_dtype)
                 out[k] = np.concatenate([out[k], pad_block])
         return out
 

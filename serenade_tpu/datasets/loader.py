@@ -16,6 +16,26 @@ from typing import Callable, Iterator, Optional
 
 import numpy as np
 
+# --- process-worker plumbing (module level so spawn can pickle them) ------
+_WORKER_DATASET = None
+
+
+def _proc_worker_init(dataset):
+    """Runs once in each spawned worker: keep the (cache-stripped) dataset.
+
+    The dataset is pickled ONCE per worker at pool creation, not per item.
+    Workers never import jax (FeatsDataset's import chain is numpy+h5py
+    only), so they cannot grab the TPU or trip the platform freeze."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _proc_worker_get(i: int):
+    item = _WORKER_DATASET[int(i)]
+    # strip utt_id tuples: the batch path discards them anyway and the
+    # parent-side cache stores bare items (mirrors FeatsDataset._cache)
+    return item[1] if isinstance(item, tuple) else item
+
 
 class ShardedBatchLoader:
     def __init__(
@@ -31,6 +51,7 @@ class ShardedBatchLoader:
         length_key: str = "hubert",
         sort_window: int = 0,
         num_workers: int = 0,
+        worker_type: str = "thread",
     ):
         self.dataset = dataset
         self.collater = collater
@@ -49,13 +70,21 @@ class ShardedBatchLoader:
         self.length_key = length_key
         self.epoch = 0
         self.prefetch = 2  # background-thread batch prefetch depth (0 = off)
-        # optional thread pool for item fetches.  MEASURED (2026-08-19,
-        # bench.py::bench_loader conditions: page-cached local h5): the
-        # pool is SLOWER than sequential — the numpy normalization and
-        # h5py decode hold the GIL, so threads only add overhead.  Kept
-        # (default off) for genuinely IO-bound stores (cold NFS/object
-        # mounts) where reads dominate and do release the GIL.
+        # optional worker pool for item fetches.
+        #   worker_type="thread": MEASURED (2026-08-19, bench_loader
+        #     conditions: page-cached local h5) SLOWER than sequential —
+        #     numpy normalization and h5py decode hold the GIL.  Kept for
+        #     genuinely IO-bound stores (cold NFS/object mounts).
+        #   worker_type="process": spawn-context ProcessPoolExecutor (fork
+        #     is unsafe after JAX init); sidesteps the GIL for the decode+
+        #     normalize work at the cost of one pickle round-trip per item.
+        #     The dataset ships to workers ONCE (pool initializer); the
+        #     parent keeps serving/filling the allow_cache dict, so cached
+        #     epochs never touch the pool.
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be thread|process, got {worker_type!r}")
         self.num_workers = num_workers
+        self.worker_type = worker_type
         self._pool = None
 
     def set_epoch(self, epoch: int):
@@ -146,6 +175,9 @@ class ShardedBatchLoader:
         self.epoch += 1
 
     def _fetch_items(self, chunk):
+        if self.worker_type == "process" and self.num_workers >= 1 \
+                and len(chunk) > 1:
+            return self._fetch_items_proc([int(i) for i in chunk])
         if self.num_workers <= 1 or len(chunk) <= 1:
             return [self.dataset[int(i)] for i in chunk]
         if self._pool is None:
@@ -158,3 +190,43 @@ class ShardedBatchLoader:
         # (the optional cache dict write is a benign same-value race)
         return list(self._pool.map(
             lambda i: self.dataset[int(i)], [int(i) for i in chunk]))
+
+    def _ensure_proc_pool(self):
+        if self._pool is None:
+            import copy
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            ds = copy.copy(self.dataset)
+            if getattr(ds, "_cache", None) is not None:
+                ds._cache = None  # workers must not duplicate the parent cache
+            ctx = multiprocessing.get_context("spawn")
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx,
+                initializer=_proc_worker_init, initargs=(ds,))
+        return self._pool
+
+    def _fetch_items_proc(self, ids):
+        pool = self._ensure_proc_pool()
+        cache = getattr(self.dataset, "_cache", None)
+        missing = (ids if cache is None
+                   else [i for i in ids if i not in cache])
+        fetched = (dict(zip(missing, pool.map(_proc_worker_get, missing)))
+                   if missing else {})
+        out = []
+        for i in ids:
+            if cache is not None and i in cache:
+                out.append(cache[i])
+            else:
+                item = fetched[i]
+                if cache is not None:
+                    cache[i] = item
+                out.append(item)
+        return out
+
+    def shutdown(self):
+        """Tear down the worker pool (idempotent; the loader keeps working
+        afterwards, just synchronously until a pool is needed again)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None

@@ -55,6 +55,11 @@ TINY_CONFIG = dict(
     eval_interval_steps=1000,
     log_interval_steps=1,
     num_save_intermediate_results=1,
+    # exercise the input-pipeline knobs through the real CLI: spawn-process
+    # item fetch (GIL-free decode+normalize) and bf16 host batches
+    num_workers=2,
+    loader_worker_type="process",
+    host_batch_dtype="bfloat16",
 )
 
 

@@ -107,3 +107,80 @@ def test_load_keys_trims_reads_and_workers_match(tmp_path):
     b1 = next(iter(pooled))
     for k in b0:
         np.testing.assert_array_equal(b0[k], b1[k])
+
+def test_process_workers_match_sync_and_fill_cache(tmp_path):
+    """worker_type="process" (spawn pool, GIL-free decode+normalize) yields
+    byte-identical batches to the sequential path, fills the parent-side
+    allow_cache dict, and serves cached epochs without touching the pool."""
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset
+    from serenade_tpu.utils.h5 import write_hdf5
+    from serenade_tpu.utils.scalers import MinMaxScaler, StandardScaler
+
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        t = 80 + 10 * i
+        p = str(tmp_path / f"u{i}.h5")
+        write_hdf5(p, "hubert", rng.standard_normal((t, 8)).astype(np.float32))
+        write_hdf5(p, "logmel", rng.standard_normal((t, 4)).astype(np.float32))
+        for k in ("loud", "est_lf0_score"):
+            write_hdf5(p, k, rng.standard_normal((t, 1)).astype(np.float32))
+
+    def z(dim):
+        s = StandardScaler()
+        s.mean_ = np.full(dim, 0.5, np.float32)
+        s.scale_ = np.full(dim, 2.0, np.float32)
+        return s
+
+    def mm():
+        s = MinMaxScaler()
+        s.data_min_ = np.zeros(1, np.float32)
+        s.data_max_ = np.ones(1, np.float32)
+        return s
+
+    scaler = {"hubert": z(8), "logmel": z(4), "score": mm(), "loud": mm()}
+    keys = tuple(sorted(set(SSCCollater.FEATURE_KEYS.values())))
+    co = SSCCollater()
+
+    ds_sync = FeatsDataset(str(tmp_path), scaler=scaler, load_keys=keys)
+    sync = ShardedBatchLoader(ds_sync, co, batch_size=3, shuffle=True, seed=7,
+                              process_index=0, process_count=1)
+    sync.prefetch = 0
+
+    ds_proc = FeatsDataset(str(tmp_path), scaler=scaler, load_keys=keys,
+                           allow_cache=True)
+    proc = ShardedBatchLoader(ds_proc, co, batch_size=3, shuffle=True, seed=7,
+                              process_index=0, process_count=1,
+                              num_workers=2, worker_type="process")
+    proc.prefetch = 0
+    try:
+        for a, b in zip(sync, proc):
+            for k in a:
+                assert a[k].dtype == b[k].dtype
+                np.testing.assert_array_equal(a[k], b[k])
+        assert len(ds_proc._cache) == 6  # parent cache filled by the pool path
+        # cached epoch: served from the parent dict, still identical
+        sync.set_epoch(1)
+        proc.set_epoch(1)
+        proc.shutdown()  # prove cached epochs don't need the pool
+        for a, b in zip(sync, proc):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+    finally:
+        proc.shutdown()
+
+
+def test_collater_bf16_host_batches():
+    """host_dtype="bfloat16" halves the feature bytes; values round to
+    bf16 of the f32 collation (lens stays int32)."""
+    import ml_dtypes
+
+    ds = _FakeDataset(n=4)
+    items = [ds[i] for i in range(4)]
+    f32 = SSCCollater()(items)
+    bf16 = SSCCollater(host_dtype="bfloat16")(items)
+    assert bf16["lens"].dtype == np.int32
+    for k in SSCCollater.FEATURE_KEYS:
+        assert bf16[k].dtype == ml_dtypes.bfloat16
+        assert bf16[k].nbytes * 2 == f32[k].nbytes
+        np.testing.assert_array_equal(
+            bf16[k], f32[k].astype(ml_dtypes.bfloat16))
