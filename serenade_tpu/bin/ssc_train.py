@@ -135,6 +135,10 @@ def main(dataset_name: str = DEFAULT_DATASET):
         # pool is the GIL-free option (loader_worker_type: process)
         num_workers=int(config.get("num_workers", 0)),
         worker_type=config.get("loader_worker_type", "thread"),
+        # sort_window: length-sort inside windows of N batches so same-batch
+        # items have similar lengths — cuts bucket-padding FLOP (items are
+        # still globally shuffled across windows each epoch)
+        sort_window=int(config.get("sort_window", 0)),
     )
     dev_loader = ShardedBatchLoader(
         dev_dataset, collater_cls(),  # dev/eval stays f32 regardless

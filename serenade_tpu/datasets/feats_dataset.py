@@ -67,6 +67,20 @@ class FeatsDataset:
     def __len__(self):
         return len(self.files)
 
+    def lengths(self):
+        """Frame count per utterance from h5 SHAPE metadata only (no data
+        read) — feeds the loader's sort_window batching without paying a
+        full item load per index.  Cached after the first call."""
+        if getattr(self, "_lengths", None) is None:
+            import h5py
+
+            out = np.empty(len(self.files), np.int64)
+            for i, f in enumerate(self.files):
+                with h5py.File(f, "r") as h:
+                    out[i] = h["hubert"].shape[0]
+            self._lengths = out
+        return self._lengths
+
     # item key -> h5 dataset name (score/logmel/lf0 are remapped)
     _H5_NAMES = {"wave": "wave", "hubert": "hubert", "midi": "midi",
                  "loud": "loud", "lf0": "f0"}

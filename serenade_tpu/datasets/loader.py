@@ -8,6 +8,12 @@ semantics, trainers/base.py:162-164), batches through the collater, and can
 optionally sort-by-length within a shuffle window to minimize bucket
 padding waste (a TPU-side improvement: fewer compiled programs, less
 padding FLOP).
+
+Note on ``worker_type="process"``: workers use the spawn start method
+(fork is unsafe once JAX has initialized), so the launching script must be
+importable — code that builds the loader at module top level without an
+``if __name__ == "__main__"`` guard will raise the standard multiprocessing
+bootstrap error.  Console scripts and pytest are already guarded.
 """
 
 from __future__ import annotations
@@ -151,12 +157,19 @@ class ShardedBatchLoader:
             )
         idx = self._epoch_indices()
         if self.sort_window > 1:
-            # approximate length-sort inside windows to tighten buckets
-            lengths = np.array([
-                self.dataset[i][self.length_key].shape[0]
-                if isinstance(self.dataset[i], dict) else 0
-                for i in idx
-            ])
+            # approximate length-sort inside windows to tighten buckets:
+            # items of similar length land in the same batch, so the
+            # bucket pad (to the batch max) wastes far less FLOP.  Cheap
+            # when the dataset exposes lengths() (h5 shape metadata);
+            # falls back to loading items otherwise.
+            if hasattr(self.dataset, "lengths"):
+                lengths = np.asarray(self.dataset.lengths())[idx]
+            else:
+                lengths = np.array([
+                    self.dataset[i][self.length_key].shape[0]
+                    if isinstance(self.dataset[i], dict) else 0
+                    for i in idx
+                ])
             chunks = []
             w = self.sort_window * self.batch_size
             for s in range(0, len(idx), w):

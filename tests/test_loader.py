@@ -184,3 +184,39 @@ def test_collater_bf16_host_batches():
         assert bf16[k].nbytes * 2 == f32[k].nbytes
         np.testing.assert_array_equal(
             bf16[k], f32[k].astype(ml_dtypes.bfloat16))
+
+
+def test_sort_window_uses_shape_metadata_and_tightens_buckets(tmp_path):
+    """FeatsDataset.lengths() reads h5 shape metadata only; sort_window
+    groups similar lengths per batch (tighter buckets, same item multiset
+    per epoch)."""
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    rng = np.random.default_rng(3)
+    true_lens = [64, 200, 70, 190, 66, 210, 72, 195]
+    for i, t in enumerate(true_lens):
+        p = str(tmp_path / f"u{i}.h5")
+        write_hdf5(p, "hubert", rng.standard_normal((t, 8)).astype(np.float32))
+        write_hdf5(p, "logmel", rng.standard_normal((t, 4)).astype(np.float32))
+        for k in ("loud", "est_lf0_score"):
+            write_hdf5(p, k, rng.standard_normal((t, 1)).astype(np.float32))
+
+    ds = FeatsDataset(str(tmp_path), scaler=None,
+                      load_keys=tuple(sorted(set(
+                          SSCCollater.FEATURE_KEYS.values()))))
+    # lengths() sees every utterance without loading feature data
+    np.testing.assert_array_equal(np.sort(ds.lengths()),
+                                  np.sort(true_lens))
+
+    co = SSCCollater(bucket_multiple=64)
+    sorted_ld = ShardedBatchLoader(ds, co, batch_size=4, shuffle=True,
+                                   seed=11, process_index=0, process_count=1,
+                                   sort_window=2)
+    batches = list(sorted_ld)
+    # window = 2 batches = all 8 items -> short 4 and long 4 separate:
+    # one batch buckets at 128 (max 72), the other at 256 (max 210)
+    buckets = sorted(b["xs"].shape[1] for b in batches)
+    assert buckets == [128, 256]
+    seen = sorted(l for b in batches for l in b["lens"].tolist())
+    assert seen == sorted(true_lens)
