@@ -231,7 +231,13 @@ def main(dataset_name: str = DEFAULT_DATASET):
     )
     if args.resume:
         trainer.resume(args.resume if args.resume != "latest" else None)
-    trainer.run()
+    try:
+        trainer.run()
+    finally:
+        # release spawned loader workers promptly instead of holding their
+        # RAM through the post-training save/eval tail until atexit
+        train_loader.shutdown()
+        dev_loader.shutdown()
 
 
 def _batch_adapter(config):

@@ -60,10 +60,13 @@ class SSCCollater:
                  host_dtype: str | None = None):
         """``host_dtype``: numpy dtype for the feature arrays the collater
         emits (default float32).  "bfloat16" halves collation + host→device
-        transfer bytes; it is numerically free for training because the
-        model's matmuls already run in bf16 (the inputs would be rounded at
-        the first Dense anyway) — only the f32 normalization upstream keeps
-        full precision."""
+        transfer bytes.  Conditioning inputs lose nothing (the model's
+        matmuls round them to bf16 at the first Dense anyway), but the cast
+        also quantizes the regression TARGET ``ys``/logmel and the
+        loss-weighting inputs, so the CFM loss regresses onto bf16 targets —
+        a real (if tiny, ~3e-3 relative) precision change beyond
+        matmul-input rounding.  Keep the default f32 if exact targets
+        matter more than host bandwidth."""
         self.max_frames = max_frames
         self.bucket_multiple = bucket_multiple
         self.pad_batch_to = pad_batch_to

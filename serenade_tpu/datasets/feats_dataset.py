@@ -67,19 +67,30 @@ class FeatsDataset:
     def __len__(self):
         return len(self.files)
 
-    def lengths(self):
+    def lengths(self, key: str = "hubert"):
         """Frame count per utterance from h5 SHAPE metadata only (no data
         read) — feeds the loader's sort_window batching without paying a
-        full item load per index.  Cached after the first call."""
-        if getattr(self, "_lengths", None) is None:
+        full item load per index.  ``key`` names the item key whose length
+        to report (remapped to its h5 dataset; all streams are
+        frame-aligned by preprocessing, so any key gives the same order).
+        Cached per key after the first call."""
+        h5_name = self._H5_NAMES.get(key, key)
+        if key == "logmel":
+            h5_name = self.logmel_type
+        elif key == "score":
+            h5_name = self.score_type
+        cache = getattr(self, "_lengths", None)
+        if cache is None:
+            cache = self._lengths = {}
+        if h5_name not in cache:
             import h5py
 
             out = np.empty(len(self.files), np.int64)
             for i, f in enumerate(self.files):
                 with h5py.File(f, "r") as h:
-                    out[i] = h["hubert"].shape[0]
-            self._lengths = out
-        return self._lengths
+                    out[i] = h[h5_name].shape[0]
+            cache[h5_name] = out
+        return cache[h5_name]
 
     # item key -> h5 dataset name (score/logmel/lf0 are remapped)
     _H5_NAMES = {"wave": "wave", "hubert": "hubert", "midi": "midi",

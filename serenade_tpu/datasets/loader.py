@@ -163,7 +163,8 @@ class ShardedBatchLoader:
             # when the dataset exposes lengths() (h5 shape metadata);
             # falls back to loading items otherwise.
             if hasattr(self.dataset, "lengths"):
-                lengths = np.asarray(self.dataset.lengths())[idx]
+                lengths = np.asarray(
+                    self.dataset.lengths(self.length_key))[idx]
             else:
                 lengths = np.array([
                     self.dataset[i][self.length_key].shape[0]
@@ -182,17 +183,22 @@ class ShardedBatchLoader:
             chunk = idx[s:s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            items = [it[1] if isinstance(it, tuple) else it
-                     for it in fetch(chunk)]
-            yield self.collater(items)
+            yield self.collater(fetch(chunk))
         self.epoch += 1
+
+    @staticmethod
+    def _strip(items):
+        # normalize (utt_id, item) tuples (return_utt_id datasets) to bare
+        # items so every fetch path — sequential, thread, process — returns
+        # the same shape to consumers
+        return [it[1] if isinstance(it, tuple) else it for it in items]
 
     def _fetch_items(self, chunk):
         if self.worker_type == "process" and self.num_workers >= 1 \
                 and len(chunk) > 1:
             return self._fetch_items_proc([int(i) for i in chunk])
         if self.num_workers <= 1 or len(chunk) <= 1:
-            return [self.dataset[int(i)] for i in chunk]
+            return self._strip([self.dataset[int(i)] for i in chunk])
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -201,7 +207,7 @@ class ShardedBatchLoader:
                 thread_name_prefix="ssc-loader")
         # map preserves order; dataset __getitem__ is read-only per item
         # (the optional cache dict write is a benign same-value race)
-        return list(self._pool.map(
+        return self._strip(self._pool.map(
             lambda i: self.dataset[int(i)], [int(i) for i in chunk]))
 
     def _ensure_proc_pool(self):

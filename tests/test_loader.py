@@ -220,3 +220,51 @@ def test_sort_window_uses_shape_metadata_and_tightens_buckets(tmp_path):
     assert buckets == [128, 256]
     seen = sorted(l for b in batches for l in b["lens"].tolist())
     assert seen == sorted(true_lens)
+
+
+def test_lengths_respects_length_key(tmp_path):
+    """ADVICE r3: a loader configured with a non-default length_key must
+    sort by THAT stream's lengths, not silently by hubert's (the fast
+    hasattr(dataset, 'lengths') path takes precedence over the item-load
+    fallback)."""
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    rng = np.random.default_rng(5)
+    hub_lens = [64, 200, 70, 190]
+    mel_lens = [200, 64, 190, 70]  # deliberately misaligned streams
+    for i, (th, tm) in enumerate(zip(hub_lens, mel_lens)):
+        p = str(tmp_path / f"u{i}.h5")
+        write_hdf5(p, "hubert", rng.standard_normal((th, 8)).astype(np.float32))
+        write_hdf5(p, "logmel", rng.standard_normal((tm, 4)).astype(np.float32))
+
+    ds = FeatsDataset(str(tmp_path), scaler=None,
+                      load_keys=("hubert", "logmel"))
+    np.testing.assert_array_equal(ds.lengths(), hub_lens)
+    np.testing.assert_array_equal(ds.lengths("logmel"), mel_lens)
+    # per-key caching: second call hits the cache, same values
+    np.testing.assert_array_equal(ds.lengths("logmel"), mel_lens)
+
+
+def test_fetch_paths_strip_utt_id_tuples(tmp_path):
+    """ADVICE r3: every fetch path (sequential/thread) returns bare item
+    dicts even when the dataset yields (utt_id, item) tuples."""
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset
+    from serenade_tpu.utils.h5 import write_hdf5
+
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        p = str(tmp_path / f"u{i}.h5")
+        write_hdf5(p, "hubert",
+                   rng.standard_normal((64, 8)).astype(np.float32))
+        write_hdf5(p, "logmel",
+                   rng.standard_normal((64, 4)).astype(np.float32))
+
+    ds = FeatsDataset(str(tmp_path), scaler=None, return_utt_id=True,
+                      load_keys=("hubert", "logmel"))
+    for workers in (0, 2):
+        ld = ShardedBatchLoader(ds, lambda items: items, batch_size=4,
+                                shuffle=False, process_index=0,
+                                process_count=1, num_workers=workers)
+        items = ld._fetch_items(np.arange(4))
+        assert all(isinstance(it, dict) for it in items)
