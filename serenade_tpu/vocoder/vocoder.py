@@ -34,6 +34,25 @@ def load_vocoder(checkpoint: str, config: dict):
         load_torch_vocoder_checkpoint,
     )
 
+    if str(config.get("generator_type", "")).lower() in (
+            "griffinlim", "griffin_lim"):
+        # checkpoint-free deterministic inversion (framework-validation
+        # runs without a trained HiFiGAN); see vocoder/griffin_lim.py
+        from serenade_tpu.vocoder.griffin_lim import GriffinLimSynth
+
+        gp = dict(config.get("generator_params", {}))
+        return GriffinLimSynth(
+            sampling_rate=int(config.get("sampling_rate", 24000)),
+            fft_size=int(gp.get("fft_size", 512)),
+            hop_size=int(gp.get("hop_size", 240)),
+            win_length=int(gp.get("win_length", 480)),
+            num_mels=int(gp.get("num_mels", gp.get("in_channels", 80))),
+            fmin=float(gp.get("fmin", 63.0)),
+            fmax=float(gp.get("fmax", 12000.0)),
+            n_iter=int(gp.get("n_iter", 32)),
+            log_base=float(gp.get("log_base", 10.0)),
+        ), {}
+
     gp = dict(config.get("generator_params", {}))
     if "upsample_kernal_sizes" in gp:
         gp["upsample_kernel_sizes"] = gp.pop("upsample_kernal_sizes")
