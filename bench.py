@@ -60,21 +60,95 @@ def _barrier(out):
     return float(jnp.sum(leaf[(0,) * leaf.ndim]).astype(jnp.float32))
 
 
-def _timeit(fn, n=10, warmup_rounds=2):
+def _timeit(fn, n=10, warmup_rounds=2, i0=0):
     """Time fn(i) over n iterations (steady state).
 
     ``fn`` MUST vary its dispatched arguments with ``i``: the axon stack
     dedupes executions whose program and operands are identical, which
-    makes repeated identical calls measure ~0.
+    makes repeated identical calls measure ~0.  ``i0`` offsets the
+    iteration indices so repeated measurements dispatch fresh operands.
     """
     for r in range(warmup_rounds):
-        _barrier(fn(1000 * (r + 1)))
+        _barrier(fn(1000 * (r + 1) + i0))
     t0 = time.perf_counter()
     out = None
-    for i in range(n):
+    for i in range(i0, i0 + n):
         out = fn(i)
     _barrier(out)
     return (time.perf_counter() - t0) / n
+
+
+def _timeit_rep(fn, n=10, repeats=3):
+    """Repeat ``_timeit`` with disjoint operand indices; returns
+    (mean_elapsed, rel_std) — the measured tunnel noise for this metric
+    (ROADMAP measurement notes: ±30-50% for sub-10 ms kernels), recorded
+    so round-over-round diffs can tell regression from jitter."""
+    times = [
+        _timeit(fn, n=n, warmup_rounds=2 if r == 0 else 0,
+                i0=10_000 + 1_000 * r)
+        for r in range(repeats)
+    ]
+    arr = np.asarray(times)
+    return float(arr.mean()), float(arr.std() / arr.mean())
+
+
+# direction of improvement per metric-name suffix/stem, for vs_prev
+_LOWER_IS_BETTER = ("_rtf", "rtf_")
+
+
+def _metric_better_when_lower(key: str) -> bool:
+    return any(tok in key for tok in _LOWER_IS_BETTER)
+
+
+def _diff_vs_prev(details: dict, variance: dict, headline_key: str,
+                  headline_value: float, prev_path: str = None):
+    """Compare this run's numeric metrics against the latest BENCH_r*.json
+    (VERDICT r3 item 3).  A metric REGRESSES when it moves in the worse
+    direction by more than its noise band: 2x the rel_std measured THIS
+    run (floored at 10%), else a 30% default for unmeasured short
+    kernels."""
+    import glob
+    import re
+
+    if prev_path is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+        files = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                       key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
+        if not files:
+            return None
+        prev_path = files[-1]
+    with open(prev_path) as fh:
+        prev = json.load(fh)
+    # the driver's BENCH_r*.json wraps the bench line under "parsed"
+    prev = prev.get("parsed", prev)
+    prev_flat = {prev.get("metric", "headline"): prev.get("value")}
+    for k, v in (prev.get("details") or {}).items():
+        if isinstance(v, (int, float)):
+            prev_flat[k] = float(v)
+
+    cur_flat = {headline_key: headline_value}
+    cur_flat.update({k: float(v) for k, v in details.items()
+                     if isinstance(v, (int, float))})
+
+    deltas, regressions = {}, {}
+    for k, new in cur_flat.items():
+        old = prev_flat.get(k)
+        if old is None or old == 0:
+            continue
+        rel = (new - old) / abs(old)
+        deltas[k] = round(rel, 4)
+        worse = -rel if _metric_better_when_lower(k) else rel
+        noise = max(2.0 * variance.get(k, 0.15), 0.10)
+        if worse < -noise:
+            regressions[k] = {
+                "prev": old, "now": new, "rel_change": round(rel, 4),
+                "noise_band": round(noise, 4),
+            }
+    return {
+        "prev_file": os.path.basename(prev_path),
+        "deltas": deltas,
+        "regressions": regressions,
+    }
 
 
 def bench_conversion(model, vocoder, params, voc_params):
@@ -151,7 +225,7 @@ def bench_conversion(model, vocoder, params, voc_params):
     params_q = jax.jit(quantize_tree)(params)
     vocode = jax.jit(lambda vp, mel: vocoder.apply(vp, mel))
 
-    elapsed = _timeit(
+    elapsed, rel_std = _timeit_rep(
         lambda i: vocode(voc_params,
                          convert(params, src, ref,
                                  jax.random.fold_in(ks[8], i))), n=10)
@@ -171,7 +245,8 @@ def bench_conversion(model, vocoder, params, voc_params):
                                       jax.random.fold_in(ks[8], i + 777))),
         n=10)
     return (elapsed / audio_seconds, elapsed_fast / audio_seconds,
-            elapsed_distilled / audio_seconds, elapsed_int8 / audio_seconds)
+            elapsed_distilled / audio_seconds, elapsed_int8 / audio_seconds,
+            rel_std)
 
 
 def bench_train(model_f32, opt_params=None):
@@ -221,10 +296,10 @@ def bench_train(model_f32, opt_params=None):
     except Exception:
         flops = None
 
-    elapsed = _timeit(
+    elapsed, rel_std = _timeit_rep(
         lambda i: step_fn(state, batch, jax.random.fold_in(jax.random.key(5), i)),
-        n=30)  # ~1 s of steady state: ±5% tunnel jitter at n=10 moved the
-    # headline MFU more than any real change between rounds
+        n=30)  # ~1 s of steady state per repeat: ±5% tunnel jitter at n=10
+    # moved the headline MFU more than any real change between rounds
     steps_per_sec = 1.0 / elapsed
     mfu = None
     if flops:
@@ -232,7 +307,7 @@ def bench_train(model_f32, opt_params=None):
         peak = _PEAK_BF16.get(kind)
         if peak:
             mfu = flops * steps_per_sec / peak
-    return steps_per_sec, mfu, flops
+    return steps_per_sec, mfu, flops, rel_std
 
 
 def bench_vocoder(vocoder, voc_params):
@@ -241,10 +316,13 @@ def bench_vocoder(vocoder, voc_params):
     through ops/longform chunking)."""
     mel = jax.random.normal(jax.random.key(6), (1, SRC_FRAMES, 80))
     vocode = jax.jit(lambda vp, m: vocoder.apply(vp, m))
-    # i-dependent perturbation keeps every dispatch distinct (see _timeit)
-    elapsed = _timeit(
-        lambda i: vocode(voc_params, mel + jnp.float32(i) * 1e-6), n=10)
-    return SRC_FRAMES * HOP / elapsed
+    # i-dependent perturbation keeps every dispatch distinct (see _timeit);
+    # 5x10 iterations: this short kernel was the round-3 false-regression
+    # suspect, so it gets the widest variance measurement
+    elapsed, rel_std = _timeit_rep(
+        lambda i: vocode(voc_params, mel + jnp.float32(i) * 1e-6),
+        n=10, repeats=5)
+    return SRC_FRAMES * HOP / elapsed, rel_std
 
 
 def _feature_fn():
@@ -298,8 +376,9 @@ def bench_harvest():
                       jnp.float32)
     fn = jax.jit(lambda w: harvest_f0(w, SR, f0_floor=80.0, f0_ceil=800.0,
                                       frame_period_ms=FRAME_MS)[0])
-    elapsed = _timeit(lambda i: fn(wav + jnp.float32(i) * 1e-9), n=5)
-    return (n // HOP) / elapsed
+    elapsed, rel_std = _timeit_rep(
+        lambda i: fn(wav + jnp.float32(i) * 1e-9), n=5, repeats=5)
+    return (n // HOP) / elapsed, rel_std
 
 
 def bench_batched_decode(model, params):
@@ -528,17 +607,22 @@ def main():
         lambda: vocoder.init(jax.random.key(7), jnp.zeros((1, 64, 80)))
     )()
 
-    rtf, rtf_fast, rtf_distilled, rtf_int8 = bench_conversion(
+    variance = {}
+
+    rtf, rtf_fast, rtf_distilled, rtf_int8, rtf_std = bench_conversion(
         model, vocoder, params, voc_params)
     details["conversion_rtf_ab2_7step"] = round(rtf_fast, 5)
     details["conversion_rtf_distilled_euler2"] = round(rtf_distilled, 5)
     details["conversion_rtf_int8_weights"] = round(rtf_int8, 5)
+    variance["ssc_conversion_rtf_1chip"] = round(rtf_std, 4)
 
     try:
-        sps, mfu, flops = bench_train(Serenade(dtype=jnp.bfloat16))
+        sps, mfu, flops, sps_std = bench_train(Serenade(dtype=jnp.bfloat16))
         details["train_steps_per_sec_b16_T512"] = round(sps, 3)
+        variance["train_steps_per_sec_b16_T512"] = round(sps_std, 4)
         if mfu is not None:
             details["train_mfu"] = round(mfu, 4)
+            variance["train_mfu"] = round(sps_std, 4)
         if flops is not None:
             details["train_step_tflops"] = round(flops / 1e12, 3)
     except Exception as e:
@@ -556,8 +640,9 @@ def main():
         errors["loader"] = f"{type(e).__name__}: {e}"
 
     try:
-        details["vocoder_samples_per_sec"] = round(
-            bench_vocoder(vocoder, voc_params))
+        voc_rate, voc_std = bench_vocoder(vocoder, voc_params)
+        details["vocoder_samples_per_sec"] = round(voc_rate)
+        variance["vocoder_samples_per_sec"] = round(voc_std, 4)
     except Exception as e:
         errors["vocoder"] = f"{type(e).__name__}: {e}"
 
@@ -569,7 +654,9 @@ def main():
         errors["features"] = f"{type(e).__name__}: {e}"
 
     try:
-        details["harvest_frames_per_sec"] = round(bench_harvest())
+        hv_rate, hv_std = bench_harvest()
+        details["harvest_frames_per_sec"] = round(hv_rate)
+        variance["harvest_frames_per_sec"] = round(hv_std, 4)
     except Exception as e:
         errors["harvest"] = f"{type(e).__name__}: {e}"
 
@@ -592,6 +679,15 @@ def main():
 
     if errors:
         details["errors"] = errors
+
+    details["variance"] = variance
+    try:
+        vs_prev = _diff_vs_prev(details, variance,
+                                "ssc_conversion_rtf_1chip", round(rtf, 5))
+        if vs_prev is not None:
+            details["vs_prev"] = vs_prev
+    except Exception as e:  # diffing must never sink the bench itself
+        details["vs_prev"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps({
         "metric": "ssc_conversion_rtf_1chip",

@@ -101,17 +101,20 @@ class Converter:
 
         self.vocoder = None
         voc = self.config.get("vocoder") or {}
-        if voc.get("checkpoint") and not os.path.exists(voc["checkpoint"]):
+        from serenade_tpu.vocoder.vocoder import vocoder_available
+
+        voc_ok = vocoder_available(voc)
+        if voc.get("checkpoint") and not voc_ok:
             # a typo'd path silently degrading the server to mel-only
             # output breaks clients downstream with nothing in the logs
             logger.warning(
                 "configured vocoder checkpoint %s does not exist; "
                 "conversions will return mel only", voc["checkpoint"])
-        if voc.get("checkpoint") and os.path.exists(voc["checkpoint"]):
+        if voc_ok:
             from serenade_tpu.vocoder import Vocoder
 
             self.vocoder = Vocoder(
-                voc["checkpoint"], voc["config"], voc["stats"],
+                voc.get("checkpoint") or "", voc["config"], voc["stats"],
                 trg_stats={"mean": self.scaler["logmel"].mean_,
                            "scale": self.scaler["logmel"].scale_},
             )

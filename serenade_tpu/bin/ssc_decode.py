@@ -169,8 +169,10 @@ def run(variant_new: bool):
     trg_stats = {"mean": scaler["logmel"].mean_, "scale": scaler["logmel"].scale_}
     vocoder = None
     voc_cfg = config.get("vocoder") or {}
-    if voc_cfg.get("checkpoint") and os.path.exists(voc_cfg["checkpoint"]):
-        vocoder = Vocoder(voc_cfg["checkpoint"], voc_cfg["config"],
+    from serenade_tpu.vocoder.vocoder import vocoder_available
+
+    if vocoder_available(voc_cfg):
+        vocoder = Vocoder(voc_cfg.get("checkpoint") or "", voc_cfg["config"],
                           voc_cfg["stats"], trg_stats=trg_stats)
     else:
         logging.warning("no vocoder available; writing mel h5 instead of wavs")

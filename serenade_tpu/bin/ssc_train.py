@@ -254,10 +254,12 @@ def _batch_adapter(config):
 
 def _maybe_vocoder(config, scaler):
     voc_cfg = config.get("vocoder") or {}
-    ckpt = voc_cfg.get("checkpoint")
-    if not ckpt or not os.path.exists(ckpt):
+    from serenade_tpu.vocoder.vocoder import vocoder_available
+
+    if not vocoder_available(voc_cfg):
         logging.info("no vocoder checkpoint; eval samples will be mel-only")
         return None
+    ckpt = voc_cfg.get("checkpoint") or ""
     from serenade_tpu.vocoder import Vocoder
 
     trg_stats = {

@@ -23,6 +23,30 @@ from serenade_tpu.vocoder.hifigan import HiFiGANGenerator
 logger = logging.getLogger(__name__)
 
 
+_CHECKPOINT_FREE_GENERATORS = ("griffinlim", "griffin_lim")
+
+
+def vocoder_available(voc_cfg: dict) -> bool:
+    """Whether a `vocoder:` config section can actually synthesize.
+
+    True when the checkpoint exists on disk, or when the vocoder config
+    yaml declares a checkpoint-free generator (GriffinLim) — the gate the
+    CLIs/serving use before constructing :class:`Vocoder`."""
+    import os
+
+    voc_cfg = voc_cfg or {}
+    ckpt = voc_cfg.get("checkpoint")
+    if ckpt and os.path.exists(str(ckpt)):
+        return True
+    cfg_path = voc_cfg.get("config")
+    if cfg_path and os.path.exists(str(cfg_path)):
+        with open(cfg_path) as f:
+            cfg = yaml.safe_load(f) or {}
+        gtype = str(cfg.get("generator_type", "")).lower()
+        return gtype in _CHECKPOINT_FREE_GENERATORS
+    return False
+
+
 def load_vocoder(checkpoint: str, config: dict):
     """Build the generator + converted params from a torch checkpoint.
 

@@ -40,6 +40,31 @@ def test_mel_roundtrip_correlation():
     assert corr > 0.95, corr
 
 
+def test_vocoder_available_gate(tmp_path):
+    """CLIs construct a vocoder iff the checkpoint exists OR the config
+    declares a checkpoint-free generator (GriffinLim)."""
+    from serenade_tpu.vocoder.vocoder import vocoder_available
+
+    gl_yml = tmp_path / "gl.yml"
+    with open(gl_yml, "w") as f:
+        yaml.safe_dump(dict(generator_type="GriffinLim"), f)
+    hifi_yml = tmp_path / "hifi.yml"
+    with open(hifi_yml, "w") as f:
+        yaml.safe_dump(dict(generator_params=dict(channels=32)), f)
+
+    assert vocoder_available(dict(checkpoint="none", config=str(gl_yml)))
+    assert vocoder_available(dict(config=str(gl_yml)))
+    assert not vocoder_available(dict(checkpoint="/no/such.pkl",
+                                      config=str(hifi_yml)))
+    assert not vocoder_available(dict(checkpoint="/no/such.pkl",
+                                      config=str(tmp_path / "missing.yml")))
+    assert not vocoder_available({})
+    assert not vocoder_available(None)
+    ckpt = tmp_path / "real.pkl"
+    ckpt.write_bytes(b"x")
+    assert vocoder_available(dict(checkpoint=str(ckpt)))
+
+
 def test_vocoder_facade_griffin_lim(tmp_path):
     from serenade_tpu.utils.h5 import write_hdf5
     from serenade_tpu.vocoder.vocoder import Vocoder
