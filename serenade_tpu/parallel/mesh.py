@@ -118,6 +118,47 @@ def make_mesh(
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
+def composed_mesh(
+    data: int = 1,
+    model: int = 1,
+    pipe: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """3-axis ``('pipe', 'data', 'model')`` mesh composing dp × tp × pp
+    in ONE program (VERDICT r3 item 8).
+
+    Axis placement follows collective frequency: ``model`` innermost —
+    its per-layer psum is the latency-critical collective and rides the
+    shortest ICI hops; ``data`` middle (one gradient all-reduce per
+    step); ``pipe`` outermost (one ppermute per pipeline tick).
+    """
+    explicit = devices is not None
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    need = data * model * pipe
+    if need > n:
+        raise ValueError(
+            f"mesh pipe={pipe} x data={data} x model={model} needs "
+            f"{need} devices but only {n} are available")
+    if need != n:
+        logger.warning(
+            "mesh pipe=%d x data=%d x model=%d uses %d of %d devices; "
+            "%d stay idle", pipe, data, model, need, n, n - need)
+        devices = devices[:need]
+    elif not explicit:
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(
+                (pipe, data, model), devices=devices)
+            return Mesh(dev_array, axis_names=("pipe", "data", "model"))
+        except Exception:  # pragma: no cover — odd shapes/backends
+            logger.info("create_device_mesh failed; using enumeration "
+                        "order", exc_info=True)
+    dev_array = np.asarray(devices).reshape(pipe, data, model)
+    return Mesh(dev_array, axis_names=("pipe", "data", "model"))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for arrays with a leading batch axis."""
     return NamedSharding(mesh, P("data"))

@@ -59,6 +59,7 @@ def gpipe(
     mesh: Mesh,
     axis: str = "pipe",
     data_axis: str | None = None,
+    param_specs=None,
 ):
     """Run ``stage_fn`` S times (one stage per device on ``axis``) over the
     microbatched input ``x`` of shape (M, mb, ...); returns the same shape.
@@ -66,6 +67,13 @@ def gpipe(
     ``data_axis`` composes dp×pp: the microbatch dim shards over it (each
     pipeline instance processes its batch slice; stage weights replicate
     across 'data' and shard across 'pipe').
+
+    ``param_specs`` (a PartitionSpec pytree matching ``stacked_params``,
+    default ``P(axis)`` everywhere) composes tp×pp: stage weights may
+    additionally shard inner dims over a 'model' axis — ``stage_fn`` then
+    receives LOCAL tp shards and must close its row-parallel contractions
+    with an explicit ``lax.psum`` over that axis (everything inside
+    shard_map is manual; see ``parallel/composed.py``).
 
     Differentiable: take `jax.grad` of a loss on the output with respect
     to ``stacked_params`` and/or ``x`` as usual.
@@ -118,7 +126,10 @@ def gpipe(
         outbuf = jnp.where(idx == s - 1, outbuf, jnp.zeros_like(outbuf))
         return lax.psum(outbuf, axis)
 
-    p_specs = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    if param_specs is None:
+        p_specs = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    else:
+        p_specs = param_specs
     x_spec = P(None, data_axis) if data_axis else P()
     run = jax.shard_map(
         _local, mesh=mesh,
