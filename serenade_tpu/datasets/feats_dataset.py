@@ -83,12 +83,17 @@ class FeatsDataset:
         if cache is None:
             cache = self._lengths = {}
         if h5_name not in cache:
-            import h5py
+            from serenade_tpu.utils.h5 import dataset_shape
 
             out = np.empty(len(self.files), np.int64)
             for i, f in enumerate(self.files):
-                with h5py.File(f, "r") as h:
-                    out[i] = h[h5_name].shape[0]
+                # shared metadata cache: this pass also records dataset
+                # file offsets, so the first epoch's raw-read fast path
+                # (read_hdf5_many) is primed for free
+                shape = dataset_shape(f, h5_name)
+                if shape is None:
+                    raise KeyError(f"{f} has no {h5_name!r} dataset")
+                out[i] = shape[0]
             cache[h5_name] = out
         return cache[h5_name]
 

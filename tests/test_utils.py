@@ -127,3 +127,63 @@ def test_feats_dataset_cyclic_fallback_is_gated(tmp_path):
     write_hdf5(path, "cyclic_logmel", 2.0 * np.ones((t, 4), np.float32))
     np.testing.assert_array_equal(strict[0]["logmel"], 2.0 * np.ones((t, 4)))
     np.testing.assert_array_equal(dev[0]["logmel"], 2.0 * np.ones((t, 4)))
+
+
+def test_read_hdf5_many_raw_fast_path(tmp_path):
+    """The raw-offset fast path must (a) byte-match h5py, (b) return
+    WRITABLE arrays (the dataset normalizes in place), (c) invalidate its
+    offset cache when the file is rewritten, and (d) fall back to h5py
+    for chunked/compressed datasets."""
+    import h5py
+
+    from serenade_tpu.utils.h5 import (
+        _RAW_META_CACHE, read_hdf5_many, write_hdf5,
+    )
+
+    p = str(tmp_path / "utt.h5")
+    a = np.arange(24, dtype=np.float32).reshape(6, 4)
+    write_hdf5(p, "hubert", a)
+    write_hdf5(p, "f0", np.ones(6, np.float32))
+    with h5py.File(p, "a") as f:  # a chunked dataset the raw path must skip
+        f.create_dataset("chunky", data=np.full((8, 3), 7.0),
+                         chunks=(4, 3), compression="gzip")
+
+    out = read_hdf5_many(p, ("hubert", "f0", "chunky", "missing"))
+    np.testing.assert_array_equal(out["hubert"], a)
+    np.testing.assert_array_equal(out["chunky"], np.full((8, 3), 7.0))
+    assert out["missing"] is None
+    out["hubert"] -= 1.0  # writable
+    raw = _RAW_META_CACHE[p][2]
+    assert "hubert" in raw and "chunky" not in raw
+
+    # rewrite: offsets may move; the (mtime, size) check must re-scan
+    b = np.arange(40, dtype=np.float32).reshape(10, 4) * 3
+    import os as _os
+    import time as _time
+
+    _time.sleep(0.01)
+    _os.remove(p)
+    write_hdf5(p, "hubert", b)
+    out2 = read_hdf5_many(p, ("hubert",))
+    np.testing.assert_array_equal(out2["hubert"], b)
+
+
+def test_feats_dataset_lengths_primes_raw_cache(tmp_path):
+    """lengths() shares the raw metadata cache with read_hdf5_many."""
+    from serenade_tpu.datasets.feats_dataset import FeatsDataset
+    from serenade_tpu.utils.h5 import _RAW_META_CACHE, write_hdf5
+
+    for i, t in enumerate((32, 48)):
+        p = str(tmp_path / f"u{i}.h5")
+        write_hdf5(p, "hubert", np.zeros((t, 8), np.float32))
+        write_hdf5(p, "logmel", np.zeros((t, 4), np.float32))
+        for k in ("midi", "loud", "est_lf0_score", "f0"):
+            write_hdf5(p, k, np.zeros((t, 1), np.float32))
+        write_hdf5(p, "wave", np.zeros(t * 240, np.float32))
+
+    ds = FeatsDataset(str(tmp_path), scaler=None, allow_cache=False)
+    np.testing.assert_array_equal(ds.lengths(), [32, 48])
+    assert all(str(tmp_path / f"u{i}.h5") in _RAW_META_CACHE
+               for i in range(2))
+    item = ds[0]
+    assert item["hubert"].shape == (32, 8)
