@@ -222,7 +222,34 @@ def bench_conversion(model, vocoder, params, voc_params):
             n_timesteps=N_TIMESTEPS, method="inference",
         )
 
+    from serenade_tpu.quantize import quantize_dense_tree
+
+    @jax.jit
+    def convert_int8_compute(params_qc, src, ref, key):
+        # int8 COMPUTE mode: the estimator's 2-D matmuls run int8*int8 on
+        # the MXU via QDense (weights stay int8 in HBM inside the scan —
+        # nothing hoists, unlike the weight-only mode).  Quality bound:
+        # tests/test_quantize.py::test_converter_int8_compute_quality
+        return model.apply(
+            params_qc, src["x"], src["lengths"],
+            src["midi"], src["loud"], ref["ref_x"], ref["ref_lengths"],
+            ref["ref_logmel"], ref["ref_midi"], ref["ref_loud"], rng=key,
+            n_timesteps=N_TIMESTEPS, method="inference",
+        )
+
+    @jax.jit
+    def convert_int8_compute_e2(params_qc, src, ref, key):
+        # int8 compute under the distilled 2-step sampler: the two levers
+        # compose — this is the candidate new RTF floor
+        return model.apply(
+            params_qc, src["x"], src["lengths"],
+            src["midi"], src["loud"], ref["ref_x"], ref["ref_lengths"],
+            ref["ref_logmel"], ref["ref_midi"], ref["ref_loud"], rng=key,
+            n_timesteps=2, solver="euler", method="inference",
+        )
+
     params_q = jax.jit(quantize_tree)(params)
+    params_qc = jax.jit(quantize_dense_tree)(params)
     vocode = jax.jit(lambda vp, mel: vocoder.apply(vp, mel))
 
     elapsed, rel_std = _timeit_rep(
@@ -244,8 +271,21 @@ def bench_conversion(model, vocoder, params, voc_params):
                          convert_int8(params_q, src, ref,
                                       jax.random.fold_in(ks[8], i + 777))),
         n=10)
+    elapsed_int8c = _timeit(
+        lambda i: vocode(voc_params,
+                         convert_int8_compute(
+                             params_qc, src, ref,
+                             jax.random.fold_in(ks[8], i + 1555))),
+        n=10)
+    elapsed_int8c_e2 = _timeit(
+        lambda i: vocode(voc_params,
+                         convert_int8_compute_e2(
+                             params_qc, src, ref,
+                             jax.random.fold_in(ks[8], i + 2333))),
+        n=10)
     return (elapsed / audio_seconds, elapsed_fast / audio_seconds,
             elapsed_distilled / audio_seconds, elapsed_int8 / audio_seconds,
+            elapsed_int8c / audio_seconds, elapsed_int8c_e2 / audio_seconds,
             rel_std)
 
 
@@ -609,11 +649,14 @@ def main():
 
     variance = {}
 
-    rtf, rtf_fast, rtf_distilled, rtf_int8, rtf_std = bench_conversion(
+    (rtf, rtf_fast, rtf_distilled, rtf_int8, rtf_int8c,
+     rtf_int8c_e2, rtf_std) = bench_conversion(
         model, vocoder, params, voc_params)
     details["conversion_rtf_ab2_7step"] = round(rtf_fast, 5)
     details["conversion_rtf_distilled_euler2"] = round(rtf_distilled, 5)
     details["conversion_rtf_int8_weights"] = round(rtf_int8, 5)
+    details["conversion_rtf_int8_compute"] = round(rtf_int8c, 5)
+    details["conversion_rtf_int8_compute_euler2"] = round(rtf_int8c_e2, 5)
     variance["ssc_conversion_rtf_1chip"] = round(rtf_std, 4)
 
     try:

@@ -54,7 +54,14 @@ class Converter:
         (serenade_tpu.quantize): ~4x smaller device-resident params and
         exported artifacts, RTF-neutral at conversion shapes (the
         dequant hoists out of the ODE scan); quality bound quantified in
-        tests/test_quantize.py."""
+        tests/test_quantize.py.
+
+        ``quantize="int8_compute"`` additionally RUNS the estimator's 2-D
+        matmuls in int8: activations quantize dynamically per row and the
+        MXU contracts int8×int8 (quantize.int8_dot via QDense) — the
+        weights stay int8 in HBM inside the CFM scan, halving the weight
+        traffic that dominates batch-1 decode (nothing to hoist, unlike
+        the weight-only mode).  Convs/norms/GST stay float."""
         import jax
         import joblib
 
@@ -77,12 +84,17 @@ class Converter:
         self.variant_new = bool(getattr(model_cls, "uses_f0_fluc", False))
         self.params = restore_params_only(ckpt)
         if quantize is not None:
-            if quantize != "int8":
-                raise ValueError(f"unknown quantize mode {quantize!r} "
-                                 "(supported: 'int8')")
-            from serenade_tpu.quantize import quantize_tree
+            if quantize == "int8":
+                from serenade_tpu.quantize import quantize_tree
 
-            self.params = jax.jit(quantize_tree)(self.params)
+                self.params = jax.jit(quantize_tree)(self.params)
+            elif quantize == "int8_compute":
+                from serenade_tpu.quantize import quantize_dense_tree
+
+                self.params = jax.jit(quantize_dense_tree)(self.params)
+            else:
+                raise ValueError(f"unknown quantize mode {quantize!r} "
+                                 "(supported: 'int8', 'int8_compute')")
         self.quantize = quantize
         self.scaler = joblib.load(stats)
         if n_timesteps is None:
@@ -153,8 +165,11 @@ class Converter:
         from serenade_tpu.quantize import dequantize_tree
 
         # identity on unquantized trees; with quantize="int8" the weights
-        # cross HBM as int8 and the scale multiply fuses into consumers
-        params = dequantize_tree(params)
+        # cross HBM as int8 and the scale multiply fuses into consumers.
+        # int8_compute keeps its QTensor kernels IN the tree: QDense
+        # consumes them directly as int8 matmul operands
+        if self.quantize != "int8_compute":
+            params = dequantize_tree(params)
         args = [src["x"], src["lengths"], src["midi"], src["loud"]]
         if self.variant_new:
             args.append(src["f0_fluc"])

@@ -89,11 +89,13 @@ def build_argparser():
                    help="same, for the raw-audio (/convert_wav) "
                         "extraction+conversion chain; needs "
                         "--contentvec-ckpt")
-    p.add_argument("--quantize", default=None, choices=("int8",),
-                   help="weight-only int8 model weights (~4x smaller "
-                        "device-resident params; RTF-neutral at "
-                        "conversion shapes; quality bound in "
-                        "tests/test_quantize.py)")
+    p.add_argument("--quantize", default=None,
+                   choices=("int8", "int8_compute"),
+                   help="int8: weight-only int8 model weights (~4x "
+                        "smaller device-resident params; RTF-neutral at "
+                        "conversion shapes); int8_compute: additionally "
+                        "run the estimator matmuls int8*int8 on the MXU "
+                        "(quality bounds in tests/test_quantize.py)")
     p.add_argument("--verbose", type=int, default=1)
     return p
 

