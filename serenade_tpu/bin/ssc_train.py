@@ -120,11 +120,15 @@ def main(dataset_name: str = DEFAULT_DATASET):
     )
     # host_batch_dtype: "bfloat16" halves collate + host->device bytes on
     # the training batches (model matmuls run bf16 anyway); dev/eval keeps
-    # the f32 default so eval reconstructions are full precision
+    # the f32 default so eval reconstructions are full precision.
+    # collater_params passes through (e.g. pad_batch_to: 1280 pins EVERY
+    # batch to one length -> ONE compiled train program instead of one
+    # per 64-frame bucket; decisive on slow-compile tunneled links where
+    # each big-program compile costs minutes)
+    collater_kwargs = dict(config.get("collater_params") or {})
     if config.get("host_batch_dtype"):
-        collater = collater_cls(host_dtype=config["host_batch_dtype"])
-    else:
-        collater = collater_cls()
+        collater_kwargs["host_dtype"] = config["host_batch_dtype"]
+    collater = collater_cls(**collater_kwargs)
     batch_size = int(config.get("batch_size", 4))
     mesh = make_mesh(data=args.data_axis, model=args.model_axis)
     global_batch = batch_size * mesh.shape["data"]

@@ -57,6 +57,7 @@ class SSCCollater:
 
     def __init__(self, max_frames: int = 3000, bucket_multiple: int = 64,
                  pad_batch_to: int | None = None,
+                 pad_frames_to: int | None = None,
                  host_dtype: str | None = None):
         """``host_dtype``: numpy dtype for the feature arrays the collater
         emits (default float32).  "bfloat16" halves collation + host→device
@@ -70,6 +71,11 @@ class SSCCollater:
         self.max_frames = max_frames
         self.bucket_multiple = bucket_multiple
         self.pad_batch_to = pad_batch_to
+        # pad_frames_to pins EVERY batch's time axis to one fixed length
+        # (longer items truncate): ONE compiled train program instead of
+        # one per occupied 64-frame bucket — decisive on slow-compile
+        # tunneled links where each big-program compile costs minutes
+        self.pad_frames_to = pad_frames_to
         if host_dtype is None or host_dtype == "float32":
             self.host_dtype = np.float32
         elif str(host_dtype) == "bfloat16":
@@ -88,7 +94,11 @@ class SSCCollater:
         if not items:
             raise ValueError("collater received an empty batch after filtering")
         lens = np.array([b["hubert"].shape[0] for b in items], np.int32)
-        T = bucket_length(int(lens.max()), self.bucket_multiple)
+        if self.pad_frames_to:
+            T = int(self.pad_frames_to)
+            lens = np.minimum(lens, T)
+        else:
+            T = bucket_length(int(lens.max()), self.bucket_multiple)
 
         out = {"lens": lens}
         for out_key, src_key in self.FEATURE_KEYS.items():

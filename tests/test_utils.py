@@ -187,3 +187,22 @@ def test_feats_dataset_lengths_primes_raw_cache(tmp_path):
                for i in range(2))
     item = ds[0]
     assert item["hubert"].shape == (32, 8)
+
+
+def test_collater_pad_frames_to_pins_one_bucket():
+    """pad_frames_to pins the time axis (one compiled program): shorter
+    items pad, longer items truncate with their lens clamped."""
+    from serenade_tpu.collaters.ssc import SSCCollater
+
+    def item(t):
+        return {"hubert": np.ones((t, 4), np.float32),
+                "logmel": np.ones((t, 3), np.float32),
+                "loud": np.ones((t, 1), np.float32),
+                "score": np.ones((t, 1), np.float32)}
+
+    c = SSCCollater(pad_frames_to=128)
+    out = c([item(100), item(150)])
+    assert out["xs"].shape == (2, 128, 4)
+    np.testing.assert_array_equal(sorted(out["lens"]), [100, 128])
+    # padding is zero beyond each item's true length
+    assert out["xs"][np.argsort(out["lens"])[0], 100:].sum() == 0
