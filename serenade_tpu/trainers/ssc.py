@@ -70,6 +70,15 @@ class SSCTrainer:
         self.finish_train = False
         self.total_train_loss = defaultdict(float)
         self._pending = []
+        self._n_acc = 0  # metrics accumulated since the last log boundary
+        # backpressure depth: how many steps the host may run ahead of
+        # the device before fetching the OLDEST pending metrics.  Without
+        # a bound the step loop free-runs to the log interval, queueing
+        # every dispatched batch in host RAM — on the tunneled backend
+        # (async dispatch, ~70 MB/batch at b=16 real lengths) that grew
+        # tens of GB before the first log line and OOM'd long runs.
+        # 32 keeps the device pipeline deep while bounding host memory.
+        self._dispatch_window = int(config.get("dispatch_window", 32))
         self._writer = writer
         self._last_log_time = time.time()
         # jax.profiler trace capture (SURVEY §5.1: strict superset of the
@@ -155,10 +164,16 @@ class SSCTrainer:
                 return
 
     def _accumulate(self, metrics):
-        # hold unfetched device scalars; materialize only at the log
-        # boundary so no step blocks on the previous step's metrics and the
-        # device dispatch queue stays full between intervals
+        # hold unfetched device scalars so no step blocks on its own
+        # metrics, but fetch the OLDEST once the window fills: the fetch
+        # is the only real barrier on tunneled links (block_until_ready
+        # can return early there), and it bounds how far the host runs
+        # ahead of the device (see _dispatch_window above)
         self._pending.append(metrics)
+        self._n_acc += 1
+        while len(self._pending) >= self._dispatch_window:
+            for k, v in jax.device_get(self._pending.pop(0)).items():
+                self.total_train_loss[k] += float(v)
 
     # ------------------------------------------------------------------
     # intervals
@@ -171,11 +186,12 @@ class SSCTrainer:
         # divide by the count actually accumulated: after resuming from a
         # mid-interval checkpoint the first window is shorter than
         # `interval`, and total/interval would under-report every loss
-        n_acc = len(self._pending)
+        n_acc = self._n_acc
         for m in jax.device_get(self._pending):
             for k, v in m.items():
                 self.total_train_loss[k] += float(v)
         self._pending = []
+        self._n_acc = 0
         elapsed = time.time() - self._last_log_time
         self._last_log_time = time.time()
         if not _is_main_process():
