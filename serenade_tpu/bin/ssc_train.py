@@ -214,6 +214,29 @@ def main(dataset_name: str = DEFAULT_DATASET):
         opt_state_shardings=opt_shardings,
     )
 
+    # device_resident_data: stack the whole train corpus into HBM once
+    # and gather batches on device by index — removes the per-step
+    # host->device batch upload (the bottleneck on tunneled/WAN-attached
+    # chips; see datasets/device_cache.py).  Requires the fixed-length
+    # collater contract (collater_params.pad_frames_to).
+    train_iter = train_loader
+    if config.get("device_resident_data"):
+        from serenade_tpu.datasets.device_cache import DeviceResidentData
+
+        pft = int((config.get("collater_params") or {}).get(
+            "pad_frames_to") or 0)
+        if not pft:
+            raise ValueError("device_resident_data requires "
+                             "collater_params.pad_frames_to")
+        dr = DeviceResidentData(train_dataset, pad_frames_to=pft,
+                                batch_size=global_batch, seed=args.seed,
+                                mesh=mesh)
+        train_iter = dr
+        step_fn = dr.wrap_step(step_fn)
+        train_loader.shutdown()
+        logging.info("device-resident training data: per-step upload is "
+                     "an index vector")
+
     vocoder = _maybe_vocoder(config, scaler)
     eval_fn = make_eval_fn(
         model, first_batch, outdir=args.outdir,
@@ -226,7 +249,7 @@ def main(dataset_name: str = DEFAULT_DATASET):
         config=config,
         train_step=step_fn,
         state=state,
-        train_iter=train_loader,
+        train_iter=train_iter,
         dev_iter=dev_loader,
         mesh=mesh,
         outdir=args.outdir,

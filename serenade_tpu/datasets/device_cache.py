@@ -1,0 +1,137 @@
+"""Device-resident training data: the whole padded corpus lives in HBM.
+
+A GTSinger-scale dump (~2 h of features) stacks to <2 GB with bf16
+content features — it fits on one chip next to the 84 M-param model and
+its optimizer state.  Uploading it ONCE and gathering each step's batch
+on device by an index vector replaces the per-step host→device batch
+transfer (~70 MB at b=16 real lengths) with a ~100-byte index upload.
+On tunneled/WAN-attached TPUs the per-step upload WAS the training
+bottleneck (<1 step/s measured vs ~6-7 compute-bound); on PCIe hosts it
+still frees the host input path entirely after the one-time build.
+
+The reference streams every batch through a torch DataLoader
+(/root/reference/serenade/bin/ssc_train.py:274-309) — no analogue.
+
+Contract: static shapes — every item pads (or truncates, lens clamped)
+to ``pad_frames_to`` frames, so the train step compiles exactly once.
+Single-host only (the stacked arrays are built host-side; multi-host
+would need per-process shards).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class DeviceResidentData:
+    """Stack a FeatsDataset into device-resident arrays and drive the
+    train loop with on-device index gathers.
+
+    ``feature_map``: model-arg name -> (item key, numpy dtype).  The
+    default covers the Serenade batch contract; content features store
+    bf16 (the model's first matmul rounds them to bf16 anyway) while the
+    regression target ``logmel`` stays f32 (exact CFM targets).
+    """
+
+    DEFAULT_FEATURES = {
+        "x": ("hubert", "bfloat16"),
+        "logmel": ("logmel", "float32"),
+        "midi": ("score", "float32"),
+        "loud": ("loud", "float32"),
+    }
+
+    def __init__(self, dataset, pad_frames_to: int, batch_size: int,
+                 seed: int = 0, feature_map: Dict = None, mesh=None,
+                 drop_last: bool = True):
+        import ml_dtypes
+
+        if jax.process_count() != 1:
+            raise ValueError("device_resident_data is single-host only")
+        t = int(pad_frames_to)
+        fmap = dict(feature_map or self.DEFAULT_FEATURES)
+        n = len(dataset)
+        first = dataset[0]
+        if isinstance(first, tuple):  # return_utt_id datasets
+            first = first[1]
+        if "f0_fluc" in first and "f0_fluc" not in fmap:
+            fmap["f0_fluc"] = ("f0_fluc", "float32")
+
+        def np_dtype(name):
+            return ml_dtypes.bfloat16 if name == "bfloat16" else np.dtype(
+                name).type
+
+        host = {
+            arg: np.zeros((n, t) + np.asarray(first[key]).shape[1:],
+                          np_dtype(dt))
+            for arg, (key, dt) in fmap.items()
+        }
+        lens = np.zeros(n, np.int32)
+        for i in range(n):
+            item = dataset[i]
+            if isinstance(item, tuple):
+                item = item[1]
+            ln = min(int(item[fmap["x"][0]].shape[0]), t)
+            lens[i] = ln
+            for arg, (key, _) in fmap.items():
+                host[arg][i, :ln] = np.asarray(item[key])[:ln]
+        gb = sum(a.nbytes for a in host.values()) / 1e9
+        logger.info("device-resident corpus: %d items x %d frames, "
+                    "%.2f GB uploaded once", n, t, gb)
+        if getattr(dataset, "_cache", None):
+            dataset._cache.clear()  # the host RAM copy is now redundant
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.arrays = {k: jax.device_put(jnp.asarray(v), rep)
+                           for k, v in host.items()}
+            self.lens = jax.device_put(jnp.asarray(lens), rep)
+        else:
+            self.arrays = {k: jnp.asarray(v) for k, v in host.items()}
+            self.lens = jnp.asarray(lens)
+        self.n = n
+        self.batch_size = int(batch_size)
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        q, r = divmod(self.n, self.batch_size)
+        return q if self.drop_last else q + bool(r)
+
+    def __iter__(self):
+        """One epoch of ``{"indices": (B,) int32}`` batches (new shuffle
+        per epoch, like the host loader)."""
+        rng = np.random.default_rng((self.seed, self._epoch))
+        self._epoch += 1
+        order = rng.permutation(self.n)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(idx) < self.batch_size:  # drop_last=False tail: wrap
+                idx = np.concatenate(
+                    [idx, order[: self.batch_size - len(idx)]])
+            yield {"indices": idx.astype(np.int32)}
+
+    def wrap_step(self, step_fn: Callable) -> Callable:
+        """(state, {"indices"}, rng) -> step_fn(state, gathered batch, rng)
+        with the gather fused into the jitted program."""
+        arrays, lens = self.arrays, self.lens
+
+        @jax.jit
+        def step(state, batch, rng):
+            idx = batch["indices"]
+            gathered = {k: jnp.take(v, idx, axis=0)
+                        for k, v in arrays.items()}
+            gathered["lengths"] = jnp.take(lens, idx, axis=0)
+            return step_fn(state, gathered, rng)
+
+        return step
