@@ -40,8 +40,13 @@ class DeviceResidentData:
     regression target ``logmel`` stays f32 (exact CFM targets).
     """
 
+    # f32 content features by default — NOT bf16: the gathered batch must
+    # match the dtype the step program was compiled for with host batches
+    # (f32 collater default), so the big program cache-hits across the
+    # loader modes.  Pass a bf16 feature_map for corpora that need the
+    # halved HBM (at the cost of one fresh step compile).
     DEFAULT_FEATURES = {
-        "x": ("hubert", "bfloat16"),
+        "x": ("hubert", "float32"),
         "logmel": ("logmel", "float32"),
         "midi": ("score", "float32"),
         "loud": ("loud", "float32"),

@@ -32,7 +32,7 @@ def test_build_iterate_and_gather(tmp_path):
     dr = DeviceResidentData(ds, pad_frames_to=32, batch_size=2, seed=3)
 
     assert dr.arrays["x"].shape == (5, 32, 8)
-    assert dr.arrays["x"].dtype == jnp.bfloat16
+    assert dr.arrays["x"].dtype == jnp.float32  # cache-key parity with host batches
     assert dr.arrays["logmel"].dtype == jnp.float32  # exact CFM targets
     np.testing.assert_array_equal(np.asarray(dr.lens),
                                   np.minimum(lens, 32))
