@@ -155,6 +155,13 @@ class SSCTrainer:
                 self.state, self._prep_batch(batch), step_key
             )
             self.steps += 1
+            if self.steps == 1:
+                # hard liveness marker: the fetch is the only real
+                # barrier on tunneled links — separates "compiling" from
+                # "executing" when diagnosing a silent first interval
+                loss0 = float(jax.device_get(metrics["train/loss"]))
+                logger.info("first step executed: train/loss = %.4f",
+                            loss0)
             self._accumulate(metrics)
             self._check_log_interval()
             self._check_eval_interval()
