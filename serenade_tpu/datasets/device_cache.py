@@ -137,15 +137,19 @@ class DeviceResidentData:
         multi-minute compile of the big program on slow-compile links,
         while this decomposition cache-hits the already-compiled step.
         """
-        arrays, lens = self.arrays, self.lens
-
+        # the corpus arrays are jit ARGUMENTS, never closure captures: a
+        # closed-over concrete array is embedded into the program as a
+        # CONSTANT, so the compile request would carry the whole 3 GB
+        # corpus (observed: minutes-long "compiling jit(gather)" through
+        # the tunneled compile service, unbounded host RAM)
         @jax.jit
-        def gather(idx):
+        def gather(arrays, lens, idx):
             out = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
             out["lengths"] = jnp.take(lens, idx, axis=0)
             return out
 
         def step(state, batch, rng):
-            return step_fn(state, gather(batch["indices"]), rng)
+            batch_dev = gather(self.arrays, self.lens, batch["indices"])
+            return step_fn(state, batch_dev, rng)
 
         return step
