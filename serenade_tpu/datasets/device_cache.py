@@ -21,6 +21,7 @@ would need per-process shards).
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Callable, Dict
 
 import jax
@@ -106,6 +107,7 @@ class DeviceResidentData:
         self.batch_size = int(batch_size)
         self.seed = seed
         self.drop_last = drop_last
+        self.mesh = mesh
         self._epoch = 0
 
     def __len__(self):
@@ -141,8 +143,18 @@ class DeviceResidentData:
         # closed-over concrete array is embedded into the program as a
         # CONSTANT, so the compile request would carry the whole 3 GB
         # corpus (observed: minutes-long "compiling jit(gather)" through
-        # the tunneled compile service, unbounded host RAM)
-        @jax.jit
+        # the tunneled compile service, unbounded host RAM).
+        # out_shardings matches shard_batch's placement (P('data') over
+        # the training mesh): the step program's cache key includes its
+        # input shardings, so the gathered batch must look EXACTLY like a
+        # host batch or the big program recompiles from scratch.
+        kwargs = {}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kwargs["out_shardings"] = NamedSharding(self.mesh, P("data"))
+
+        @partial(jax.jit, **kwargs)
         def gather(arrays, lens, idx):
             out = {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
             out["lengths"] = jnp.take(lens, idx, axis=0)
