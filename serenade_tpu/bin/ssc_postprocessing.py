@@ -173,7 +173,9 @@ def main():
 
     from serenade_tpu.ops.f0 import smooth_f0_median, yin_f0
     from serenade_tpu.ops.sptk import ALPHA, sp2mc
-    from serenade_tpu.sifigan import SiFiGANGenerator, SignalGenerator
+    from serenade_tpu.sifigan import (
+        SiFiGANDirectGenerator, SiFiGANGenerator, SignalGenerator,
+    )
     from serenade_tpu.sifigan.features import (
         dense_factors_per_level, world_mcep_bap,
     )
@@ -183,10 +185,19 @@ def main():
     hop = int(sr * fp / 1000.0)
 
     gen_cfg = dict(config["generator"])
-    gen_cfg.pop("_target_", None)
+    target = str(gen_cfg.pop("_target_", ""))
     sn_cfg = dict(gen_cfg.get("source_network_params", {}))
     fn_cfg = dict(gen_cfg.get("filter_network_params", {}))
-    model = SiFiGANGenerator(
+    # the vendored config's hydra _target_ selects the generator variant
+    # (sifigan.direct.yaml → SiFiGANDirectGenerator, which has no
+    # share_downsamples — the filter downsamples embed the excitation)
+    direct = target.endswith("SiFiGANDirectGenerator")
+    gen_cls = SiFiGANDirectGenerator if direct else SiFiGANGenerator
+    share_down = ({} if direct else
+                  {"share_downsamples": gen_cfg.get("share_downsamples",
+                                                    False)})
+    model = gen_cls(
+        **share_down,
         in_channels=gen_cfg.get("in_channels", 43),
         out_channels=gen_cfg.get("out_channels", 1),
         channels=gen_cfg.get("channels", 512),
@@ -208,7 +219,6 @@ def main():
                 "resblock_dilations", ((1, 3, 5),) * 3)),
         filter_use_additional_convs=fn_cfg.get("use_additional_convs", False),
         share_upsamples=gen_cfg.get("share_upsamples", False),
-        share_downsamples=gen_cfg.get("share_downsamples", False),
     )
     params = None
     if args.checkpoint_path and os.path.exists(args.checkpoint_path):

@@ -72,13 +72,21 @@ def _deconv(sd, prefix):
 
 def convert_sifigan_generator(state_dict: Dict, model) -> Dict:
     """Map a torch SiFiGAN generator state dict onto flax params for
-    ``model`` (a ``SiFiGANGenerator`` instance)."""
+    ``model`` (a ``SiFiGANGenerator`` or ``SiFiGANDirectGenerator``).
+
+    The Direct variant is recognized by the model class: it adds the
+    ``fn.emb`` excitation-embedding conv and always has its own filter
+    downsamples (sifigan.direct.yaml has no ``share_downsamples``)."""
     sd = _TrackingDict({k: v for k, v in state_dict.items()})
     n_up = len(model.upsample_scales)
     n_blocks = len(model.filter_resblock_kernel_sizes)
+    # Direct has no share_downsamples field (and adds fn_emb)
+    direct = not hasattr(model, "share_downsamples")
 
     params: Dict = {"input_conv": _conv(sd, "input_conv")}
     params["sn_emb"] = _conv(sd, "sn.emb")
+    if direct:
+        params["fn_emb"] = _conv(sd, "fn.emb")
     params["sn_output_conv"] = _conv(sd, "sn.output_conv")
     params["fn_output_conv"] = _conv(sd, "fn.output_conv")
 
@@ -109,7 +117,7 @@ def convert_sifigan_generator(state_dict: Dict, model) -> Dict:
 
     for i in range(n_up - 1):
         params[f"sn_down{i}"] = _conv(sd, f"sn.downsamples.{i}")
-        if not model.share_downsamples:
+        if direct or not model.share_downsamples:
             params[f"fn_down{i}"] = _conv(sd, f"fn.downsamples.{i}")
 
     leftovers = [k for k in sd if k not in sd.used

@@ -245,3 +245,142 @@ class SiFiGANGenerator(nn.Module):
         x = Conv1d(self.out_channels, kernel_size=self.kernel_size,
                    name="fn_output_conv", **common)(x)
         return jnp.tanh(x), excitation
+
+
+class SiFiGANDirectGenerator(nn.Module):
+    """SiFi-GAN *Direct*: the filter network is conditioned on the source
+    network's OUTPUT EXCITATION SIGNAL (waveform rate, re-embedded by
+    ``fn_emb`` and downsampled to every resolution) instead of its
+    intermediate hidden features — the paper's ablation where the filter
+    sees the excitation "directly" (Yoneyama et al., ICASSP 2023, §3.3).
+
+    The reference vendors only this variant's hydra config
+    (/root/reference/serenade/bin/sifigan_config/generator/
+    sifigan.direct.yaml — note it has no ``share_downsamples`` key: the
+    filter's downsample stack embeds the excitation, it cannot be shared
+    with the sine-embedding downsamples) and never selects it from any
+    recipe path; the architecture here is reconstructed from the published
+    paper + the config's parameter surface, with module naming parallel to
+    :class:`SiFiGANGenerator` so the checkpoint converter maps released
+    state dicts the same way.  Golden validation against a released
+    checkpoint remains environment-gated (scripts/golden_parity.py).
+    """
+
+    in_channels: int = 43
+    out_channels: int = 1
+    channels: int = 512
+    kernel_size: int = 7
+    upsample_scales: Tuple[int, ...] = (5, 4, 3, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (10, 8, 6, 4)
+    source_resblock_kernel_size: int = 3
+    source_resblock_dilations: Tuple[Tuple[int, ...], ...] = (
+        (1,), (1, 2), (1, 2, 4), (1, 2, 4, 8))
+    source_use_additional_convs: bool = True
+    filter_resblock_kernel_sizes: Tuple[int, ...] = (3, 5, 7)
+    filter_resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    filter_use_additional_convs: bool = False
+    share_upsamples: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sine, c, dfs):
+        """Same call contract as :class:`SiFiGANGenerator.__call__`."""
+        n_up = len(self.upsample_scales)
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        h = Conv1d(self.channels, kernel_size=self.kernel_size,
+                   name="input_conv", **common)(c.astype(self.dtype))
+
+        def up(i, tag):
+            return ConvTranspose1d(
+                self.channels // (2 ** (i + 1)),
+                kernel_size=self.upsample_kernel_sizes[i],
+                stride=self.upsample_scales[i],
+                padding=self.upsample_scales[i] // 2
+                + self.upsample_scales[i] % 2,
+                output_padding=self.upsample_scales[i] % 2,
+                name=f"{tag}_up{i}", **common,
+            )
+
+        def down(i, tag):
+            j = n_up - 1 - i
+            s = self.upsample_scales[j]
+            return Conv1d(
+                self.channels // (2 ** j),
+                kernel_size=self.upsample_kernel_sizes[j], stride=s,
+                padding=s // 2 + s % 2, name=f"{tag}_down{i}", **common,
+            )
+
+        sn_ups = [up(i, "sn") for i in range(n_up)]
+        fn_ups = sn_ups if self.share_upsamples else [
+            up(i, "fn") for i in range(n_up)]
+        sn_downs = [down(i, "sn") for i in range(n_up - 1)]
+        fn_downs = [down(i, "fn") for i in range(n_up - 1)]
+
+        # ----- sine embedding at every resolution -----
+        x = Conv1d(self.channels // (2 ** n_up),
+                   kernel_size=self.kernel_size, name="sn_emb",
+                   **common)(sine.astype(self.dtype))
+        embs = [x]
+        for i in range(n_up - 1):
+            x = leaky_relu_01(sn_downs[i](x))
+            embs.append(x)
+
+        # ----- source network (identical to SiFiGANGenerator) -----
+        e = h
+        for i in range(n_up):
+            e = leaky_relu_01(e)
+            e = sn_ups[i](e)
+            emb = embs[n_up - 1 - i]
+            t = min(e.shape[1], emb.shape[1])
+            e = e[:, :t, :] + emb[:, :t, :]
+            e = QPResidualBlock(
+                channels=self.channels // (2 ** (i + 1)),
+                dilations=tuple(self.source_resblock_dilations[i]),
+                kernel_size=self.source_resblock_kernel_size,
+                use_additional_convs=self.source_use_additional_convs,
+                name=f"sn_block{i}", **common,
+            )(e, dfs[i][:, : e.shape[1]])
+
+        excitation = Conv1d(
+            self.out_channels, kernel_size=self.kernel_size,
+            name="sn_output_conv", **common,
+        )(e)
+
+        # ----- filter network: re-embed the excitation SIGNAL and
+        # downsample it to every resolution (the "direct" difference) ----
+        fe = Conv1d(self.channels // (2 ** n_up),
+                    kernel_size=self.kernel_size, name="fn_emb",
+                    **common)(excitation)
+        fembs = [fe]
+        for i in range(n_up - 1):
+            fe = leaky_relu_01(fn_downs[i](fe))
+            fembs.append(fe)
+
+        x = h
+        for i in range(n_up):
+            x = leaky_relu_01(x)
+            x = fn_ups[i](x)
+            emb = fembs[n_up - 1 - i]
+            t = min(x.shape[1], emb.shape[1])
+            x = x[:, :t, :] + emb[:, :t, :]
+            acc = None
+            for j, (k_res, dils) in enumerate(
+                zip(self.filter_resblock_kernel_sizes,
+                    self.filter_resblock_dilations)
+            ):
+                hh = HiFiGANResidualBlock(
+                    kernel_size=k_res,
+                    channels=self.channels // (2 ** (i + 1)),
+                    dilations=tuple(dils),
+                    use_additional_convs=self.filter_use_additional_convs,
+                    name=f"fn_block{i}_{j}", **common,
+                )(x)
+                acc = hh if acc is None else acc + hh
+            x = acc / len(self.filter_resblock_kernel_sizes)
+
+        x = leaky_relu_01(x)
+        x = Conv1d(self.out_channels, kernel_size=self.kernel_size,
+                   name="fn_output_conv", **common)(x)
+        return jnp.tanh(x), excitation

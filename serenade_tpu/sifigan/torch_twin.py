@@ -271,3 +271,64 @@ class SiFiGANGeneratorTorch(nn.Module):
             c = cs / self.num_blocks
         c = self.fn["output_conv"](c)
         return c, e_out
+
+
+class SiFiGANDirectGeneratorTorch(SiFiGANGeneratorTorch):
+    """SiFi-GAN *Direct* twin: the filter network embeds the source
+    network's OUTPUT EXCITATION (``fn.emb``, waveform rate) and
+    downsamples that, instead of taking the source hidden features —
+    matching sifigan_config/generator/sifigan.direct.yaml's parameter
+    surface (no ``share_downsamples``)."""
+
+    def __init__(self, *args, out_channels=1, channels=512, kernel_size=7,
+                 upsample_scales=(5, 4, 3, 2), use_weight_norm=True,
+                 **kwargs):
+        # parent builds without weight norm so fn.emb can be added first
+        super().__init__(*args, out_channels=out_channels,
+                         channels=channels, kernel_size=kernel_size,
+                         upsample_scales=upsample_scales,
+                         share_downsamples=False,
+                         use_weight_norm=False, **kwargs)
+        self.fn["emb"] = nn.Conv1d(
+            out_channels, channels // (2 ** len(upsample_scales)),
+            kernel_size, bias=kwargs.get("bias", True),
+            padding=(kernel_size - 1) // 2)
+        if use_weight_norm:
+            self.apply_weight_norm()
+
+    def forward(self, x, c, d):
+        c = self.input_conv(c)
+        e = c
+
+        x = self.sn["emb"](x)
+        embs = [x]
+        for i in range(self.num_upsamples - 1):
+            x = self.sn["downsamples"][i](x)
+            embs += [x]
+        for i in range(self.num_upsamples):
+            e = self.sn["upsamples"][i](e)
+            emb = embs[self.num_upsamples - 1 - i]
+            t = min(e.size(2), emb.size(2))
+            e = e[:, :, :t] + emb[:, :, :t]
+            e = self.sn["blocks"][i](e, d[i][:, :, :e.size(2)])
+        e_out = self.sn["output_conv"](e)
+
+        fe = self.fn["emb"](e_out)
+        fembs = [fe]
+        for i in range(self.num_upsamples - 1):
+            fe = self.fn["downsamples"][i](fe)
+            fembs += [fe]
+        for i in range(self.num_upsamples):
+            if self.share_upsamples:
+                c = self.sn["upsamples"][i](c)
+            else:
+                c = self.fn["upsamples"][i](c)
+            emb = fembs[self.num_upsamples - 1 - i]
+            t = min(c.size(2), emb.size(2))
+            c = c[:, :, :t] + emb[:, :, :t]
+            cs = 0.0
+            for j in range(self.num_blocks):
+                cs = cs + self.fn["blocks"][i * self.num_blocks + j](c)
+            c = cs / self.num_blocks
+        c = self.fn["output_conv"](c)
+        return c, e_out

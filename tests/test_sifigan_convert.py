@@ -97,6 +97,44 @@ def test_twin_checkpoint_roundtrip_parity(tmp_path, share):
         np.asarray(e_j)[:, :, 0], e_t.numpy()[:, 0, :], atol=5e-4, rtol=0)
 
 
+@pytest.mark.parametrize("share_up", [False, True])
+def test_direct_twin_checkpoint_roundtrip_parity(tmp_path, share_up):
+    """SiFi-GAN Direct (sifigan.direct.yaml's _target_): the filter
+    network conditions on the re-embedded excitation SIGNAL (fn.emb +
+    its own downsamples) — converted checkpoints must reproduce the
+    torch twin ≤5e-4 like the main variant."""
+    from serenade_tpu.sifigan import SiFiGANDirectGenerator
+    from serenade_tpu.sifigan.torch_twin import SiFiGANDirectGeneratorTorch
+
+    torch.manual_seed(3)
+    twin = SiFiGANDirectGeneratorTorch(
+        **SMALL_TORCH, share_upsamples=share_up, use_weight_norm=True)
+    twin.eval()
+
+    path = tmp_path / "sifigan_direct.pkl"
+    torch.save({"model": {"generator": twin.state_dict()}}, path)
+
+    model = SiFiGANDirectGenerator(**SMALL, share_upsamples=share_up)
+    variables = load_sifigan_checkpoint(str(path), model)
+
+    sine, c, dfs = _example(seed=5)
+    with torch.no_grad():
+        y_t, e_t = twin(
+            torch.from_numpy(np.transpose(sine, (0, 2, 1))),
+            torch.from_numpy(np.transpose(c, (0, 2, 1))),
+            [torch.from_numpy(d[:, None, :]) for d in dfs],
+        )
+    y_j, e_j = jax.jit(model.apply)(
+        variables, jnp.asarray(sine), jnp.asarray(c),
+        [jnp.asarray(d) for d in dfs],
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(y_j)[:, :, 0], y_t.numpy()[:, 0, :], atol=5e-4, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(e_j)[:, :, 0], e_t.numpy()[:, 0, :], atol=5e-4, rtol=0)
+
+
 def test_converter_rejects_unknown_keys(tmp_path):
     torch.manual_seed(1)
     twin = SiFiGANGeneratorTorch(**SMALL_TORCH, use_weight_norm=False)
