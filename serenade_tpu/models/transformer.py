@@ -19,12 +19,40 @@ Faithful structural notes (verified against the reference defaults):
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from serenade_tpu.models.layers import LayerNorm, QDense
 from serenade_tpu.ops.attention import multi_head_attention
+
+
+def default_fuse_qkv() -> bool:
+    """Opt-in fused QKV projection (``SERENADE_FUSE_QKV=1``): the three
+    self-attention projections concatenate into ONE (C, 3·inner) matmul
+    at trace time — a single larger MXU call instead of three, with the
+    kernel concat hoisted out of the CFM scan as a loop invariant.  The
+    param tree is unchanged (same ``to_q/to_k/to_v`` kernels), so
+    checkpoints and converters are oblivious.  Default off until measured
+    faster at the training shape (the block1d precedent: a "fusion" can
+    lose to XLA's own scheduling)."""
+    return os.environ.get("SERENADE_FUSE_QKV", "0") == "1"
+
+
+class _Kernel(nn.Module):
+    """Declares exactly the param of ``QDense(use_bias=False)`` (path
+    ``<name>/kernel``, lecun-normal, (in, features)) and returns it —
+    used by the fused-QKV path so the tree stays checkpoint-identical."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_features, self.features), self.param_dtype)
 
 
 class SnakeBeta(nn.Module):
@@ -107,15 +135,35 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None, key_mask=None, deterministic: bool = True):
+        from serenade_tpu.quantize import QTensor
+
         inner = self.heads * self.head_dim
+        self_attn = context is None
         context = x if context is None else context
-        dense = lambda name: QDense(  # noqa: E731
-            inner, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            name=name,
-        )
-        q = dense("to_q")(x)
-        k = dense("to_k")(context)
-        v = dense("to_v")(context)
+        if self_attn and default_fuse_qkv():
+            ws = [_Kernel(inner, param_dtype=self.param_dtype,
+                          name=n)(x.shape[-1])
+                  for n in ("to_q", "to_k", "to_v")]
+            if any(isinstance(w, QTensor) for w in ws):
+                # int8 serving mode substitutes QTensor kernels: run the
+                # three int8 MXU dots unfused (QDense semantics)
+                from serenade_tpu.quantize import int8_dot
+
+                od = self.dtype or x.dtype
+                q, k, v = (int8_dot(x, w, dtype=od) for w in ws)
+            else:
+                xw, wq, wk, wv = nn.dtypes.promote_dtype(
+                    x, *ws, dtype=self.dtype)
+                qkv = xw @ jnp.concatenate([wq, wk, wv], axis=1)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            dense = lambda name: QDense(  # noqa: E731
+                inner, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=name,
+            )
+            q = dense("to_q")(x)
+            k = dense("to_k")(context)
+            v = dense("to_v")(context)
         out = multi_head_attention(q, k, v, num_heads=self.heads, key_mask=key_mask)
         out = QDense(self.query_dim, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="to_out")(out)

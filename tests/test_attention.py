@@ -1,6 +1,7 @@
 """Attention backend equivalence tests (CPU: xla vs scan-flash vs
 interpret-mode pallas-flash)."""
 
+import chex
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,3 +63,29 @@ def test_packed_interface_masks_padded_keys():
     v2 = v.at[1, 40:].set(-100.0)
     out2 = multi_head_attention(q, k2, v2, num_heads=h, key_mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_fused_qkv_matches_unfused(monkeypatch):
+    """SERENADE_FUSE_QKV=1 runs the self-attention projections as ONE
+    (C, 3*inner) matmul over the SAME to_q/to_k/to_v params — outputs
+    must match the unfused QDense path and the param trees must be
+    identical (checkpoint compatibility)."""
+    from serenade_tpu.models.transformer import BasicTransformerBlock
+
+    block = BasicTransformerBlock(dim=32, num_attention_heads=2,
+                                  attention_head_dim=16)
+    x = jax.random.normal(jax.random.key(0), (2, 24, 32))
+    mask = jnp.ones((2, 24), bool)
+
+    monkeypatch.delenv("SERENADE_FUSE_QKV", raising=False)
+    params = block.init(jax.random.key(1), x, key_mask=mask)
+    y_ref = block.apply(params, x, key_mask=mask)
+
+    monkeypatch.setenv("SERENADE_FUSE_QKV", "1")
+    params_f = block.init(jax.random.key(1), x, key_mask=mask)
+    chex.assert_trees_all_equal_structs(params, params_f)
+    # same rng path -> same init values
+    jax.tree_util.tree_map(np.testing.assert_array_equal, params, params_f)
+    y_fused = block.apply(params, x, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
