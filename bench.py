@@ -130,6 +130,7 @@ def _diff_vs_prev(details: dict, variance: dict, headline_key: str,
     cur_flat.update({k: float(v) for k, v in details.items()
                      if isinstance(v, (int, float))})
 
+    invalid = set(details.get("host_side_metrics_invalid") or [])
     deltas, regressions = {}, {}
     for k, new in cur_flat.items():
         old = prev_flat.get(k)
@@ -137,6 +138,8 @@ def _diff_vs_prev(details: dict, variance: dict, headline_key: str,
             continue
         rel = (new - old) / abs(old)
         deltas[k] = round(rel, 4)
+        if k in invalid:  # measured under host contention: delta only
+            continue
         worse = -rel if _metric_better_when_lower(k) else rel
         noise = max(2.0 * variance.get(k, 0.15), 0.10)
         if worse < -noise:
@@ -289,16 +292,24 @@ def bench_conversion(model, vocoder, params, voc_params):
             rel_std)
 
 
-def bench_train(model_f32, opt_params=None):
+def bench_train(model_f32, opt_params=None, t=512, gather=False,
+                flops_hint=None, n_iters=30):
     """Config 5: full train step (UNet+GST, grad+clip+AdamW) at the
     reference effective batch 16; returns (steps/sec, MFU).
 
-    ``opt_params`` overrides optimizer_params (e.g. mu_dtype probes)."""
+    ``opt_params`` overrides optimizer_params (e.g. mu_dtype probes).
+    ``t`` sets the bucket length: 512 is the historical bench shape,
+    1280 the real-length bucket top the full-budget run trains at
+    (VERDICT r4 item 5 — MFU at the shape training actually runs).
+    ``gather=True`` drives the step through the device-resident corpus
+    gather (datasets/device_cache.py), the exact two-dispatch path the
+    trainer uses, so the gather's cost is measured rather than assumed;
+    its MFU uses ``flops_hint`` (the plain step's XLA flop count)."""
     from serenade_tpu.trainers import (
         build_optimizer, build_train_step, create_train_state,
     )
 
-    b, t = 16, 512
+    b = 16
     ks = jax.random.split(jax.random.key(1), 5)
     batch = dict(
         x=jax.random.normal(ks[0], (b, t, 768)),
@@ -326,20 +337,48 @@ def bench_train(model_f32, opt_params=None):
     step_fn = build_train_step(model_f32, tx, donate=False)
 
     # XLA's own flop count for the whole step program
-    flops = None
-    try:
-        lowered = step_fn.lower(state, batch, jax.random.key(4))
-        cost = lowered.compile().cost_analysis()
-        if cost:
-            c = cost[0] if isinstance(cost, (list, tuple)) else cost
-            flops = float(c.get("flops", 0.0)) or None
-    except Exception:
-        flops = None
+    flops = flops_hint
+    if flops is None:
+        try:
+            lowered = step_fn.lower(state, batch, jax.random.key(4))
+            cost = lowered.compile().cost_analysis()
+            if cost:
+                c = cost[0] if isinstance(cost, (list, tuple)) else cost
+                flops = float(c.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
 
-    elapsed, rel_std = _timeit_rep(
-        lambda i: step_fn(state, batch, jax.random.fold_in(jax.random.key(5), i)),
-        n=30)  # ~1 s of steady state per repeat: ±5% tunnel jitter at n=10
-    # moved the headline MFU more than any real change between rounds
+    if gather:
+        from serenade_tpu.datasets.device_cache import DeviceResidentData
+
+        rng = np.random.default_rng(3)
+        corpus = [
+            {"hubert": rng.standard_normal(
+                 (int(rng.integers(int(0.7 * t), t)), 768)).astype(
+                     np.float32),
+             "logmel": None, "score": None, "loud": None}
+            for _ in range(48)
+        ]
+        for item in corpus:
+            ln = item["hubert"].shape[0]
+            item["logmel"] = rng.standard_normal((ln, 80)).astype(np.float32)
+            item["score"] = rng.random((ln, 1), np.float32)
+            item["loud"] = rng.random((ln, 1), np.float32)
+        data = DeviceResidentData(corpus, pad_frames_to=t, batch_size=b)
+        wrapped = data.wrap_step(step_fn)
+
+        def run(i):
+            idx = ((np.arange(b, dtype=np.int32) * 5 + i) % data.n)
+            return wrapped(state, {"indices": idx}, jax.random.fold_in(
+                jax.random.key(5), i))
+    else:
+        def run(i):
+            return step_fn(state, batch,
+                           jax.random.fold_in(jax.random.key(5), i))
+
+    # ~1 s of steady state per repeat: ±5% tunnel jitter at n=10 moved
+    # the headline MFU more than any real change between rounds
+    elapsed, rel_std = _timeit_rep(run, n=n_iters)
     steps_per_sec = 1.0 / elapsed
     mfu = None
     if flops:
@@ -626,6 +665,16 @@ def main():
     details = {}
     errors = {}
 
+    # Host-contention guard (VERDICT r4 item 2): the 1-min load average
+    # BEFORE this process does any work tells whether another job (e.g. a
+    # concurrent training run) held the host during the measurement
+    # window.  Host-side metrics (the loader bench) are meaningless on a
+    # shared 1-core box — BENCH_r04's 9.7->2.7 "regression" was exactly
+    # this — so they are recorded but excluded from regression checks.
+    load1 = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    host_contended = load1 > 0.5 * ncpu
+
     model = Serenade(dtype=jnp.bfloat16)
     vocoder = HiFiGANGenerator(dtype=jnp.bfloat16, resblock_backend="fused")
     init_batch_key = jax.random.split(jax.random.key(0), 10)
@@ -670,6 +719,26 @@ def main():
             details["train_step_tflops"] = round(flops / 1e12, 3)
     except Exception as e:
         errors["train"] = f"{type(e).__name__}: {e}"
+
+    # MFU at the shape training actually runs (VERDICT r4 item 5):
+    # T=1280 real-length bucket, with and without the device-resident
+    # corpus gather in the loop (the trainer's production path)
+    try:
+        sps2, mfu2, flops2, std2 = bench_train(
+            Serenade(dtype=jnp.bfloat16), t=1280, n_iters=15)
+        details["train_steps_per_sec_b16_T1280"] = round(sps2, 3)
+        variance["train_steps_per_sec_b16_T1280"] = round(std2, 4)
+        if mfu2 is not None:
+            details["train_mfu_T1280_b16"] = round(mfu2, 4)
+            variance["train_mfu_T1280_b16"] = round(std2, 4)
+        spsg, mfug, _, stdg = bench_train(
+            Serenade(dtype=jnp.bfloat16), t=1280, gather=True,
+            flops_hint=flops2, n_iters=15)
+        details["train_steps_per_sec_b16_T1280_gather"] = round(spsg, 3)
+        if mfug is not None:
+            details["train_mfu_T1280_b16_gather"] = round(mfug, 4)
+    except Exception as e:
+        errors["train_T1280"] = f"{type(e).__name__}: {e}"
 
     try:
         cold, cached, proc, proc_bf16, cold_bf16 = bench_loader()
@@ -722,6 +791,11 @@ def main():
 
     if errors:
         details["errors"] = errors
+
+    details["host_load_1min_at_start"] = round(load1, 2)
+    if host_contended:
+        details["host_side_metrics_invalid"] = sorted(
+            k for k in details if k.startswith("loader_"))
 
     details["variance"] = variance
     try:

@@ -4,7 +4,13 @@ FLASH_MIN_T=2048 was set from B=1 decode-shape device traces
 (docs/PROFILING.md).  At batch 16 the (B,H,T,T) f32 score tensor is 16x
 bigger (419 MB at T=1280) and XLA must materialize it in fwd AND bwd —
 the crossover plausibly sits far below 2048.  Chained-dispatch probe,
-operands varied, scalar-fetch barrier (tunnel methodology)."""
+operands varied, scalar-fetch barrier (tunnel methodology).
+
+Geometry matches the flagship UNet's BasicTransformerBlock exactly
+(models/unet.py:177-178): heads=4 x head_dim=512, packed q/k/v dim
+2048.  (An earlier revision probed Dh=128/packed 512 — 4x fewer QK/PV
+FLOPs than the real block — and its crossover did not transfer;
+ADVICE r4.)"""
 
 import json
 import os
@@ -22,7 +28,7 @@ import jax.numpy as jnp
 
 from serenade_tpu.ops.attention import multi_head_attention
 
-B, H, DH = 16, 4, 128
+B, H, DH = 16, 4, 512   # models/unet.py:177-178 (head_dim is PER HEAD)
 
 
 def probe(t, backend, iters=20):
@@ -53,7 +59,9 @@ def probe(t, backend, iters=20):
 
 if __name__ == "__main__":
     res = {}
-    for t in (512, 1280):
+    # 512/1280 = the bench + real-length bucket tops; 640 = the UNet
+    # mid-block resolution (T/2) inside a T=1280 step
+    for t in (512, 640, 1280):
         for backend in ("xla", "flash"):
             try:
                 ms = probe(t, backend)

@@ -27,49 +27,68 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from jax import lax
 
-CHAIN = 64          # matmuls per dispatch: amortizes the ~2.3 ms tunnel floor
+CHAIN = 64          # weight bank size (HBM-bounded); see `repeats` below
 
 
 def probe(rows, k, cols, iters=30):
-    """TFLOP/s sustained by `CHAIN` chained (rows,k)x(k,cols) bf16 matmuls."""
+    """TFLOP/s sustained by chained (rows,k)x(k,cols) bf16 matmuls.
+
+    Every chained matmul runs the SAME (rows,k)x(k,cols) geometry: for
+    non-square shapes the (rows,cols) output is folded back to (rows,k)
+    between steps by a chunk-sum over cols (every output column feeds
+    the carry, so the simplifier cannot narrow the dot; the fold fuses
+    into the dot epilogue) instead of multiplying by the transpose — so
+    the reported rate is the single geometry, not a blend with the
+    transposed one.  Requires max(k,cols) % min(k,cols) == 0.
+
+    Small shapes repeat the CHAIN-weight bank enough times that the
+    dispatch runs well past the ~2.3 ms tunnel floor (>=100 GFLOP per
+    dispatch), so the rate is a device rate, not a floor measurement.
+    """
     key = jax.random.key(0)
     x = jax.random.normal(key, (rows, k), jnp.bfloat16)
     # one weight per chain step so the chain cannot collapse; weights are
-    # scaled so the activations stay finite across 64 applications
+    # scaled so the activations stay finite across the applications
     ws = jax.random.normal(jax.random.key(1), (CHAIN, k, cols),
                            jnp.bfloat16) * (1.0 / jnp.sqrt(k))
+    flops_per_mm = 2.0 * rows * k * cols
+    repeats = max(1, int(-(-100e9 // (CHAIN * flops_per_mm))))
 
     @jax.jit
     def chain(x, ws, eps):
         x = x + eps  # operand varies per dispatch (tunnel dedupe)
 
         def body(h, w):
-            h = lax.dot(h, w, precision=lax.Precision.DEFAULT,
+            y = lax.dot(h, w, precision=lax.Precision.DEFAULT,
                         preferred_element_type=jnp.bfloat16)
+            if cols == k:
+                h = y
+            elif cols > k:
+                assert cols % k == 0, (rows, k, cols)
+                h = (y.reshape(rows, cols // k, k).sum(axis=1)
+                     * jnp.bfloat16(k / cols))
+            else:
+                assert k % cols == 0, (rows, k, cols)
+                h = jnp.tile(y, (1, k // cols))
             return h, ()
 
-        if k == cols:
-            h, _ = lax.scan(body, x, ws)
-        else:  # non-square: alternate (k->cols) and (cols->k) pairs
-            def body2(h, w2):
-                w, wt = w2
-                h = lax.dot(h, w, preferred_element_type=jnp.bfloat16)
-                h = lax.dot(h, wt, preferred_element_type=jnp.bfloat16)
-                return h, ()
-            wts = jnp.swapaxes(ws, 1, 2) * (jnp.sqrt(k) / jnp.sqrt(cols))
-            h, _ = lax.scan(body2, x, (ws, wts))
+        def rep(_, h):
+            h, _ = lax.scan(body, h, ws)
+            return h
+
+        h = lax.fori_loop(0, repeats, rep, x)
         return jnp.sum(h.astype(jnp.float32))
 
-    # warmup (compile + first run)
-    float(chain(x, ws, jnp.bfloat16(0.001)))
+    # warmup (compile + first run); eps outside the timed 1e-4*i range so
+    # the tunnel cannot serve a timed dispatch from the warmup (dedupe)
+    float(chain(x, ws, jnp.bfloat16(7.0)))
     t0 = time.perf_counter()
     out = None
     for i in range(iters):
         out = chain(x, ws, jnp.bfloat16(1e-4 * (i + 1)))
     float(out)  # scalar fetch barrier
     dt = (time.perf_counter() - t0) / iters
-    n_mm = CHAIN if k == cols else 2 * CHAIN
-    flops = n_mm * 2.0 * rows * k * cols
+    flops = repeats * CHAIN * flops_per_mm
     return flops / dt / 1e12, dt * 1e3
 
 
