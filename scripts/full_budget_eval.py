@@ -93,40 +93,76 @@ def main():
     trend = []
     for steps, ckpt in ckpts:
         dec_dir = os.path.join(args.outdir, f"decoded_{steps}")
-        if not glob.glob(os.path.join(dec_dir, "*.wav")):
-            cmd = [
-                sys.executable, "-m", "serenade_tpu.bin.ssc_decode",
-                "--dumpdir", os.path.join(args.dumpdir, args.split),
-                "--stats", os.path.join(args.dumpdir, "stats.joblib"),
-                "--ref-dict", args.ref_dict,
-                "--outdir", dec_dir,
-                "--checkpoint", ckpt,
-                "--batch-size", str(args.batch_size),
-            ]
-            print("  decode:", " ".join(cmd[-8:]))
-            subprocess.run(cmd, check=True)
-
-        tgt_dir = os.path.join(args.outdir, f"targets_{steps}")
-        n = build_target_dir(dec_dir, args.scp, tgt_dir)
-        print(f"  {n} (converted, parallel-target) pairs")
-
         res_json = os.path.join(args.outdir, f"metrics_{steps}.json")
-        if not os.path.exists(res_json):
-            subprocess.run([
-                sys.executable, "-m", "serenade_tpu.bin.evaluate",
-                "--converted-dir", dec_dir,
-                "--target-dir", tgt_dir,
-                "--strip-suffixes",   # none: targets are linked per stem
-                "--out", res_json,
-            ], check=True)
-        with open(res_json) as f:
-            res = json.load(f)
-        mean = res["summary"]
-        row = dict(steps=steps,
-                   mcd=mean.get("mcd_db"),
-                   f0_rmse_cents=mean.get("f0_rmse_cents"),
-                   vuv_error=mean.get("vuv_error"),
-                   n_pairs=n)
+        if os.path.exists(res_json):  # fully done on a previous run
+            with open(res_json) as f:
+                mean = json.load(f)["summary"]
+            row = dict(steps=steps, mcd=mean.get("mcd_db"),
+                       f0_rmse_cents=mean.get("f0_rmse_cents"),
+                       vuv_error=mean.get("vuv_error"),
+                       n_pairs=mean.get("n_utts"),
+                       n_wavs=len(glob.glob(
+                           os.path.join(dec_dir, "*.wav"))))
+            print("  ", row)
+            trend.append(row)
+            continue
+        done_marker = os.path.join(dec_dir, ".decode_done")
+        prior = glob.glob(os.path.join(dec_dir, "*.wav"))
+        expected = None
+        if trend and trend[-1].get("n_wavs"):
+            expected = trend[-1]["n_wavs"]
+        complete = os.path.exists(done_marker) or (
+            expected is not None and len(prior) >= expected)
+        if prior and not complete:
+            print(f"  decoded_{steps}: {len(prior)} wavs but no done "
+                  "marker - redecoding")
+            for w in prior:
+                os.remove(w)
+            prior = []
+        try:
+            if not prior:
+                cmd = [
+                    sys.executable, "-m", "serenade_tpu.bin.ssc_decode",
+                    "--dumpdir", os.path.join(args.dumpdir, args.split),
+                    "--stats", os.path.join(args.dumpdir, "stats.joblib"),
+                    "--ref-dict", args.ref_dict,
+                    "--outdir", dec_dir,
+                    "--checkpoint", ckpt,
+                    "--batch-size", str(args.batch_size),
+                ]
+                print("  decode:", " ".join(cmd[-8:]))
+                subprocess.run(cmd, check=True)
+                with open(done_marker, "w") as f:
+                    f.write("done\n")
+
+            tgt_dir = os.path.join(args.outdir, f"targets_{steps}")
+            n = build_target_dir(dec_dir, args.scp, tgt_dir)
+            print(f"  {n} (converted, parallel-target) pairs")
+            if n == 0:
+                raise RuntimeError(f"no eval pairs for step {steps}")
+
+            if not os.path.exists(res_json):
+                subprocess.run([
+                    sys.executable, "-m", "serenade_tpu.bin.evaluate",
+                    "--converted-dir", dec_dir,
+                    "--target-dir", tgt_dir,
+                    "--strip-suffixes",  # none: targets are linked per stem
+                    "--out", res_json,
+                ], check=True)
+            with open(res_json) as f:
+                res = json.load(f)
+            mean = res["summary"]
+            row = dict(steps=steps,
+                       mcd=mean.get("mcd_db"),
+                       f0_rmse_cents=mean.get("f0_rmse_cents"),
+                       vuv_error=mean.get("vuv_error"),
+                       n_pairs=n,
+                       n_wavs=len(glob.glob(
+                           os.path.join(dec_dir, "*.wav"))))
+        except Exception as e:  # one bad checkpoint must not sink the trend
+            print(f"  step {steps} FAILED: {e}", file=sys.stderr)
+            row = dict(steps=steps, mcd=None, f0_rmse_cents=None,
+                       vuv_error=None, n_pairs=0, error=str(e)[:200])
         print("  ", row)
         trend.append(row)
 
@@ -136,6 +172,9 @@ def main():
     md = ["| steps | MCD (dB) | F0 RMSE (cents) | V/UV err |",
           "|---|---|---|---|"]
     for r in trend:
+        if r["mcd"] is None:
+            md.append(f"| {r['steps']} | FAILED | | |")
+            continue
         f0s = ("n/a" if r["f0_rmse_cents"] is None
                else f"{r['f0_rmse_cents']:.1f}")
         md.append(f"| {r['steps']} | {r['mcd']:.3f} | "
