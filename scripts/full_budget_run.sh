@@ -34,17 +34,22 @@ fi
 
 if [ "${start}" -le 2 ] && [ "${stop}" -ge 0 ]; then
     echo "== recipe stages 0-1 =="
-    # ContentVec is bypassed: the axon tunnel wedges on its conv stack
-    # (ROADMAP round-4); deterministic pseudo-content is injected instead,
+    # FB_CONTENTVEC=<ckpt.pt>: run the REAL ContentVec extraction path
+    # (scripts/make_synth_contentvec.py builds a seeded checkpoint on
+    # zero-egress machines; see docs/CONTENTVEC_WEDGE.md).  Default: the
+    # round-4 pseudo-content bypass (deterministic random projection),
     # the same between-stages pattern the recipe e2e test uses.
+    cvec=${FB_CONTENTVEC:-/nonexistent}
     bash run.sh --stage "${start}" --stop_stage 1 \
         --db_root "${db}" --dumpdir "${dumpdir}" --conf "${conf}" \
         --tag "${tag}" --n_jobs 1 --skip_gtmidi true \
-        --contentvec_ckpt /nonexistent
+        --contentvec_ckpt "${cvec}"
 
-    echo "== pseudo-content injection =="
-    python ../../../scripts/inject_pseudo_content.py \
-        --dumpdir "${dumpdir}/train" "${dumpdir}/dev" "${dumpdir}/test"
+    if [ ! -f "${cvec}" ]; then
+        echo "== pseudo-content injection =="
+        python ../../../scripts/inject_pseudo_content.py \
+            --dumpdir "${dumpdir}/train" "${dumpdir}/dev" "${dumpdir}/test"
+    fi
 
     echo "== recipe stage 2 =="
     bash run.sh --stage 2 --stop_stage 2 \
