@@ -30,6 +30,16 @@ _NEG_INF = -1e30
 # kernels and once inverted this threshold's sign.
 FLASH_MIN_T = 2048
 
+# The B=1 threshold above under-dispatches flash at TRAINING batches: the
+# f32 score tensor XLA materializes (fwd AND bwd) scales as B·H·T², so at
+# B=16 the crossover sits far below T=2048 (docs/PROFILING.md "Attention
+# crossover is batch-dependent").  When set, 'auto' also dispatches flash
+# once B·H·Tq·Tk·4 bytes reach this bound (square self-attention only —
+# the flash kernel's tiling assumes Tq == Tk here).  None keeps the pure
+# T-gate until the real-geometry probe (scripts/tpu_attn_trainshape_
+# probe.py) lands a measured value.
+FLASH_MIN_SCORE_BYTES = None
+
 
 def _xla_attention(q, k, v, key_mask, scale):
     """q,k,v: (B, H, T, D); key_mask: (B, Tk) float 1=valid or None."""
@@ -80,8 +90,12 @@ def multi_head_attention(
 
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        big_t = tq >= FLASH_MIN_T
+        big_scores = (FLASH_MIN_SCORE_BYTES is not None
+                      and b * num_heads * tq * tk * 4
+                      >= FLASH_MIN_SCORE_BYTES)
         backend = "flash" if (
-            on_tpu and tq >= FLASH_MIN_T and tq == tk and d % 128 == 0
+            on_tpu and (big_t or big_scores) and tq == tk and d % 128 == 0
         ) else "xla"
 
     if backend == "flash":
