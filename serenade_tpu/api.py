@@ -389,8 +389,8 @@ class Converter:
     def convert_wav_stream_live(
         self, audio_chunks, sr: int,
         ref_feats: Dict[str, np.ndarray],
-        chunk_frames: int = 512, overlap_frames: int = 64,
-        extract_ctx_frames: int = 256, vocoder_context_frames: int = 32,
+        chunk_frames: int = 64, overlap_frames: int = 16,
+        extract_ctx_frames: int = 32, vocoder_context_frames: int = 32,
         f0_range: Optional[Tuple[float, float]] = None,
     ):
         """LIVE input-side streaming: consume an ITERATOR of waveform
@@ -403,8 +403,11 @@ class Converter:
         A span converts once ``chunk_frames + extract_ctx_frames`` of
         audio beyond its start has arrived, so the output trails the
         input by roughly ``(chunk + ctx + overlap) × 10 ms`` plus compute
-        (defaults: ~8 s; drop ``chunk_frames``/``extract_ctx_frames`` for
-        tighter live latency at slightly more boundary approximation).
+        (defaults 64/32/16: measured **+0.61 s** behind live on one v5e
+        chip; the lag/quality ladder in docs/SERVING.md shows every
+        rung's MCD-vs-offline below the CFM stochastic floor, so the
+        smallest-lag rung ships as the default — raise the knobs for
+        more extraction context per request).
         Feeding the whole waveform as one chunk reproduces
         :meth:`convert_wav_stream` with a uniform (non-ramped) schedule
         exactly.

@@ -1195,8 +1195,9 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
             live-microphone style conversion (the offline reference has
             no analogue).  Query: ``style`` (registered, required),
             ``sr`` (must equal the model rate), chunk_frames /
-            overlap_frames / extract_ctx_frames (live defaults favor
-            latency: 512/64/256 ≈ 8 s behind live).  A Content-Length
+            overlap_frames / extract_ctx_frames (defaults 64/16/32 —
+            the measured +0.61 s sub-second rung; docs/SERVING.md
+            ladder).  A Content-Length
             body is accepted as a single piece.  Response: the
             /convert_stream block wire."""
             try:
@@ -1224,14 +1225,17 @@ def make_server(batching: BatchingConverter, host: str = "127.0.0.1",
                         raise ValueError(
                             "odd trailing byte in PCM16 live body")
 
+                # defaults 64/32/16 = the measured +0.61 s sub-second
+                # rung (docs/SERVING.md lag/quality ladder: every rung's
+                # MCD-vs-offline is below the CFM stochastic floor)
                 gen = conv.convert_wav_stream_live(
                     audio_iter(), sr, ref,
                     chunk_frames=int(
-                        query.get("chunk_frames", ["512"])[0]),
+                        query.get("chunk_frames", ["64"])[0]),
                     overlap_frames=int(
-                        query.get("overlap_frames", ["64"])[0]),
+                        query.get("overlap_frames", ["16"])[0]),
                     extract_ctx_frames=int(
-                        query.get("extract_ctx_frames", ["256"])[0]),
+                        query.get("extract_ctx_frames", ["32"])[0]),
                     f0_range=_f0_range_from(query, f0_table=f0_table),
                 )
                 out_sr = conv.output_sample_rate

@@ -416,3 +416,35 @@ def test_convert_wav_stream_tracks_full_extraction(tiny_experiment):  # noqa: F8
         assert err < 0.15, f"windowed-vs-full mel RMSE {err:.4f}"
     finally:
         conv._content_fn = old_content
+
+
+def test_live_default_rung_is_sub_second():
+    """The shipped live-duplex default is the measured +0.61 s rung
+    (64/32/16 — docs/SERVING.md lag/quality ladder: every rung's MCD vs
+    offline sits below the CFM stochastic floor, so the smallest-lag
+    rung ships).  Pins the API signature AND the serving query defaults
+    so they cannot drift apart or silently revert to the +3.0 s rung."""
+    import inspect
+    import re
+
+    from serenade_tpu.api import Converter
+
+    sig = inspect.signature(Converter.convert_wav_stream_live)
+    assert sig.parameters["chunk_frames"].default == 64
+    assert sig.parameters["extract_ctx_frames"].default == 32
+    assert sig.parameters["overlap_frames"].default == 16
+
+    # the serving endpoint parses the same defaults from the query table
+    import serenade_tpu.serving as serving
+
+    src = inspect.getsource(serving)
+    # the live handler's query defaults (the block that feeds
+    # convert_wav_stream_live)
+    m = re.search(
+        r"convert_wav_stream_live\(\s*audio_iter\(\), sr, ref,"
+        r".*?chunk_frames=int\(\s*query\.get\(\"chunk_frames\", \[\"(\d+)\"\]\)"
+        r".*?overlap_frames=int\(\s*query\.get\(\"overlap_frames\", \[\"(\d+)\"\]\)"
+        r".*?extract_ctx_frames=int\(\s*query\.get\(\"extract_ctx_frames\", \[\"(\d+)\"\]\)",
+        src, re.S)
+    assert m, "live handler defaults not found"
+    assert (m.group(1), m.group(2), m.group(3)) == ("64", "16", "32")
