@@ -42,6 +42,10 @@ def main():
                         "recipe (univnet for sifigan — ref sifigan_config/"
                         "train.yaml:6 — msd_mpd for hifigan).  Config key "
                         "discriminator_type overrides the default too")
+    p.add_argument("--sifigan-feats-dir", default=None,
+                   help="precomputed SiFiGAN streams from "
+                        "serenade-sifigan-extract-features; skips the "
+                        "startup WORLD analysis of --train-dumpdir")
     p.add_argument("--resume", default="")
     p.add_argument("--verbose", type=int, default=1)
     args = p.parse_args()
@@ -131,18 +135,30 @@ def main():
     rng_np = np.random.default_rng(int(config.get("seed", 0)))
 
     if args.vocoder_type == "sifigan":
-        items = []
-        for i in range(len(dataset)):
-            prepared = prepare_sifigan_utterance(
-                dataset[i]["wave"], sr,
-                frame_period_ms=float(config.get("sifigan_shiftms", 5.0)),
-                mcep_dim=int(config.get("mcep_dim", 39)),
-                dense_factors=tuple(
-                    config.get("dense_factors", (0.5, 1, 4, 8))),
-                upsample_scales=generator.upsample_scales,
+        if args.sifigan_feats_dir:
+            from serenade_tpu.bin.sifigan_extract_features import (
+                load_precomputed,
             )
-            if prepared is not None and prepared["c"].shape[0] > seg_frames:
-                items.append(prepared)
+
+            items = [it for it in load_precomputed(args.sifigan_feats_dir)
+                     if it["c"].shape[0] > seg_frames]
+            logging.info("loaded %d precomputed sifigan utterances from %s",
+                         len(items), args.sifigan_feats_dir)
+        else:
+            items = []
+            for i in range(len(dataset)):
+                prepared = prepare_sifigan_utterance(
+                    dataset[i]["wave"], sr,
+                    frame_period_ms=float(
+                        config.get("sifigan_shiftms", 5.0)),
+                    mcep_dim=int(config.get("mcep_dim", 39)),
+                    dense_factors=tuple(
+                        config.get("dense_factors", (0.5, 1, 4, 8))),
+                    upsample_scales=generator.upsample_scales,
+                )
+                if (prepared is not None
+                        and prepared["c"].shape[0] > seg_frames):
+                    items.append(prepared)
         if not items:
             raise SystemExit("no usable (voiced, long enough) utterances")
 
