@@ -71,6 +71,13 @@ dumpdir, ref_json = sys.argv[1], sys.argv[2]
 # denorm in the Vocoder facade already recovers it)
 write_hdf5(f"{dumpdir}/voc_stats.h5", "mean", np.zeros(80, np.float32))
 write_hdf5(f"{dumpdir}/voc_stats.h5", "scale", np.ones(80, np.float32))
+# conf/serenade_fullbudget*.yaml hardcode vocoder.stats as
+# dump_fb/voc_stats.h5; when this run uses another FB_DUMPDIR the
+# trainer/decoder would read a missing file (np.asarray(None) -> NaN
+# stats -> NaN eval/decode audio).  Keep the hardcoded path valid too.
+if dumpdir != "dump_fb":
+    write_hdf5("dump_fb/voc_stats.h5", "mean", np.zeros(80, np.float32))
+    write_hdf5("dump_fb/voc_stats.h5", "scale", np.ones(80, np.float32))
 
 refs = {}
 for style in ("Breathy", "Falsetto", "Pharyngeal", "Mixed_Voice"):

@@ -135,9 +135,17 @@ class Vocoder:
         with open(config) as f:
             self.config = yaml.safe_load(f)
         self.model, self.params = load_vocoder(checkpoint, self.config)
+        mean, scale = read_hdf5(stats, "mean"), read_hdf5(stats, "scale")
+        if mean is None or scale is None:
+            # np.asarray(None, float32) is NaN, which would silently turn
+            # every decoded waveform into NaN downstream (caught live in
+            # the round-5 real-content run: conf hardcoded a stats path
+            # from a different dumpdir).  Fail loudly instead.
+            raise FileNotFoundError(
+                f"vocoder stats missing or incomplete: {stats}")
         self.stats = {
-            "mean": np.asarray(read_hdf5(stats, "mean"), np.float32),
-            "scale": np.asarray(read_hdf5(stats, "scale"), np.float32),
+            "mean": np.asarray(mean, np.float32),
+            "scale": np.asarray(scale, np.float32),
         }
         self.sampling_rate = int(self.config.get("sampling_rate", 24000))
         self._infer = jax.jit(

@@ -91,3 +91,27 @@ def test_vocoder_facade_griffin_lim(tmp_path):
     yb = voc.decode_batch(np.stack([mel, mel]))
     assert yb.shape == (2, mel.shape[0] * HOP)
     np.testing.assert_allclose(yb[0], yb[1])
+
+
+def test_vocoder_facade_missing_stats_fails_loudly(tmp_path):
+    """A missing stats file must raise, not bake NaN stats.
+
+    np.asarray(None, float32) is NaN; before the round-5 fix a bad
+    vocoder.stats path (e.g. a conf hardcoding another run's dumpdir)
+    produced silently-NaN eval/decode audio.
+    """
+    import pytest
+
+    from serenade_tpu.vocoder.vocoder import Vocoder
+
+    cfg = dict(sampling_rate=SR, generator_type="GriffinLim",
+               generator_params=dict(fft_size=FFT, hop_size=HOP,
+                                     win_length=WIN, num_mels=MELS,
+                                     fmin=63, fmax=12000, n_iter=8))
+    cfg_path = tmp_path / "gl.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    with pytest.raises(FileNotFoundError, match="vocoder stats"):
+        Vocoder("none", str(cfg_path), str(tmp_path / "nope.h5"),
+                trg_stats={"mean": np.zeros(MELS, np.float32),
+                           "scale": np.ones(MELS, np.float32)})
