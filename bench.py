@@ -131,6 +131,7 @@ def _diff_vs_prev(details: dict, variance: dict, headline_key: str,
                      if isinstance(v, (int, float))})
 
     invalid = set(details.get("host_side_metrics_invalid") or [])
+    degraded = bool(details.get("tunnel_degraded"))
     deltas, regressions = {}, {}
     for k, new in cur_flat.items():
         old = prev_flat.get(k)
@@ -140,6 +141,11 @@ def _diff_vs_prev(details: dict, variance: dict, headline_key: str,
         deltas[k] = round(rel, 4)
         if k in invalid:  # measured under host contention: delta only
             continue
+        if degraded:  # tunnel-degraded window: deltas only, no flags
+            continue
+        if k in ("tunnel_rtt_ms", "host_load_1min_at_start"):
+            continue  # diagnostics, not perf metrics
+
         worse = -rel if _metric_better_when_lower(k) else rel
         noise = max(2.0 * variance.get(k, 0.15), 0.10)
         if worse < -noise:
@@ -147,11 +153,16 @@ def _diff_vs_prev(details: dict, variance: dict, headline_key: str,
                 "prev": old, "now": new, "rel_change": round(rel, 4),
                 "noise_band": round(noise, 4),
             }
-    return {
+    out = {
         "prev_file": os.path.basename(prev_path),
         "deltas": deltas,
         "regressions": regressions,
     }
+    if degraded:
+        out["regressions_suppressed"] = (
+            "tunnel_degraded: rtt floor far above the dispatch floor; "
+            "see details.tunnel_rtt_ms")
+    return out
 
 
 def bench_conversion(model, vocoder, params, voc_params):
@@ -675,6 +686,24 @@ def main():
     ncpu = os.cpu_count() or 1
     host_contended = load1 > 0.5 * ncpu
 
+    # Tunnel-health guard (round 5): the axon tunnel intermittently
+    # degrades 10-100x machine-wide for minutes-to-hours
+    # (docs/CONTENTVEC_WEDGE.md — a warm 256x256 matmul round trip
+    # measured 129 s during one such window).  Device timings taken in a
+    # degraded window "regress" for reasons that are not code, so the
+    # minimum round trip of a few trivial varied dispatches is recorded
+    # with every bench, and when it sits far above the ~2.3 ms dispatch
+    # floor the regression flagging is suppressed (deltas still land).
+    xh = jnp.full((8, 128), 0.5, jnp.float32)
+    float((xh @ xh.T)[0, 0])  # warm the program + backend
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(((xh + jnp.float32(i + 1)) @ xh.T)[0, 0])
+        rtts.append(time.perf_counter() - t0)
+    tunnel_rtt_ms = round(min(rtts) * 1e3, 2)
+    tunnel_degraded = tunnel_rtt_ms > 25.0
+
     model = Serenade(dtype=jnp.bfloat16)
     vocoder = HiFiGANGenerator(dtype=jnp.bfloat16, resblock_backend="fused")
     init_batch_key = jax.random.split(jax.random.key(0), 10)
@@ -796,6 +825,9 @@ def main():
     if host_contended:
         details["host_side_metrics_invalid"] = sorted(
             k for k in details if k.startswith("loader_"))
+    details["tunnel_rtt_ms"] = tunnel_rtt_ms
+    if tunnel_degraded:
+        details["tunnel_degraded"] = True
 
     details["variance"] = variance
     try:

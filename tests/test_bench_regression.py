@@ -83,3 +83,28 @@ def test_diff_vs_prev_unwraps_driver_parsed_layout(tmp_path):
                               prev_path=str(prev_path))
     assert out["deltas"]["train_mfu"] > 0
     assert not out["regressions"]
+
+
+def test_diff_vs_prev_suppresses_flags_when_tunnel_degraded(tmp_path):
+    """A degraded-tunnel window records deltas but flags no regressions
+    (the slowdown is the shared tunnel, not code — docs/CONTENTVEC_WEDGE.md)."""
+    bench = _bench()
+    prev = {"metric": "ssc_conversion_rtf_1chip", "value": 0.004,
+            "details": {"vocoder_samples_per_sec": 14_000_000}}
+    prev_path = tmp_path / "BENCH_r09.json"
+    prev_path.write_text(json.dumps(prev))
+
+    details = {"vocoder_samples_per_sec": 2_000_000,  # -86%: way worse
+               "tunnel_rtt_ms": 129_300.0, "tunnel_degraded": True}
+    out = bench._diff_vs_prev(details, {}, "ssc_conversion_rtf_1chip",
+                              0.04, prev_path=str(prev_path))
+    assert out["regressions"] == {}
+    assert "tunnel_degraded" in out["regressions_suppressed"]
+    assert out["deltas"]["vocoder_samples_per_sec"] < -0.8
+
+    # healthy tunnel: the same numbers DO flag
+    details2 = {"vocoder_samples_per_sec": 2_000_000, "tunnel_rtt_ms": 2.4}
+    out2 = bench._diff_vs_prev(details2, {}, "ssc_conversion_rtf_1chip",
+                               0.04, prev_path=str(prev_path))
+    assert set(out2["regressions"]) == {"vocoder_samples_per_sec",
+                                        "ssc_conversion_rtf_1chip"}
